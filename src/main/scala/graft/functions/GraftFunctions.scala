@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.udf
+import graft.analysis.Analyzer
+import graft.corpus.Webtext
+
+/** RFC 4122 version-5 (name-based, SHA-1) UUID — the reference derives its
+  * document_id as uuid5(NAMESPACE_URL, relative_path)
+  * (backend/crawler/discovery.py:158-160); our analog hashes the page url.
+  * Pure JVM implementation, no external deps.
+  */
+object Uuid5 {
+  /** 6ba7b811-9dad-11d1-80b4-00c04fd430c8 (RFC 4122 Appendix C, URL namespace) */
+  val NamespaceUrl: Array[Byte] = Array(
+    0x6b, 0xa7, 0xb8, 0x11, 0x9d, 0xad, 0x11, 0xd1,
+    0x80, 0xb4, 0x00, 0xc0, 0x4f, 0xd4, 0x30, 0xc8).map(_.toByte)
+
+  def uuid5(name: String): String = uuid5(NamespaceUrl, name)
+
+  def uuid5(namespace: Array[Byte], name: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    md.update(namespace)
+    md.update(name.getBytes("UTF-8"))
+    val h = md.digest() // 20 bytes; take first 16
+    h(6) = ((h(6) & 0x0f) | 0x50).toByte // version 5
+    h(8) = ((h(8) & 0x3f) | 0x80).toByte // RFC 4122 variant
+    val sb = new StringBuilder(36)
+    var i = 0
+    while (i < 16) {
+      if (i == 4 || i == 6 || i == 8 || i == 10) sb += '-'
+      sb.append(f"${h(i) & 0xff}%02x")
+      i += 1
+    }
+    sb.toString
+  }
+}
+
+/** Column-level entry points for the engine's custom scalar functions.
+  * UDF-backed (deterministic, marked as such so Catalyst can still push
+  * around them where legal); hot paths inside the index build use the plain
+  * Scala functions directly in typed Dataset maps instead.
+  */
+object GraftFunctions {
+
+  /** analyze(text, lang) → array of terms (reference analyzer chain §1.3).
+    * udfs are deterministic by default — important: Catalyst may re-execute or
+    * reorder them, which is safe here because the analyzer is pure.
+    */
+  val analyze_terms = udf((text: String, lang: String) => Analyzer.terms(text, lang).toSeq)
+
+  /** analyze with positions: array<struct<term,pos>> */
+  val analyze_tokens = udf((text: String, lang: String) =>
+    Analyzer.analyze(text, lang).map(t => (t.term, t.pos)).toSeq)
+
+  /** uuid5 of a string (URL namespace). */
+  val uuid5_url = udf((name: String) => Uuid5.uuid5(name))
+
+  /** byte-identical text extraction from the html payload. */
+  val extract_text = udf((html: Array[Byte]) => Webtext.extractText(html))
+
+  def registerAll(spark: SparkSession): Unit = {
+    spark.udf.register("analyze_terms", analyze_terms)
+    spark.udf.register("analyze_tokens", analyze_tokens)
+    spark.udf.register("uuid5_url", uuid5_url)
+    spark.udf.register("extract_text", extract_text)
+  }
+}

@@ -1,0 +1,335 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.analysis.Analyzer
+import graft.corpus.Webtext
+
+/** One term's postings within one document (map-side aggregated: tf and
+  * positions are computed per-row during tokenization — no (term,docId)
+  * shuffle is ever needed for tf).
+  */
+case class TermDoc(lang: String, term: String, docId: Long, tf: Int, positions: Array[Int], dl: Int)
+
+/** One encoded posting run: the postings of (lang, term, salt) within one
+  * build chunk, already docId-sorted and block-compressed.
+  */
+case class Run(lang: String, term: String, salt: Int, blob: Array[Byte], posBlob: Array[Byte])
+
+/** Final per-term segment row. `chunk` identifies the segment (per-chunk
+  * segments mirror Lucene's per-segment design: query-time WAND runs per
+  * segment in parallel and merges top-k; `compact` can fold all chunks into
+  * segment -1).
+  */
+case class SegmentRow(chunk: Int, lang: String, bucket: Int, term: String,
+    df: Long, cf: Long, blob: Array[Byte], posBlob: Array[Byte])
+
+case class FacetRow(chunk: Int, lang: String, key: String, value: String,
+    df: Long, docIds: Array[Byte])
+
+case class LangStats(lang: String, docs: Long, totalTokens: Long) {
+  def avgdl: Double = if (docs == 0) 0.0 else totalTokens.toDouble / docs
+}
+
+/** Per-chunk checkpoint manifest row — the engine's analog of the reference's
+  * SQLite `indexed_files_state` checksum-skip (backend/crawler/index_state.py:21-39,
+  * discovery.py:167-171): a killed build resumes by anti-joining pending
+  * chunks against this manifest, with per-partition lineage + metrics
+  * (north rule).
+  */
+case class ManifestRow(chunk: Int, status: String, docs: Long, tokens: Long,
+    terms: Long, inputChecksum: String, wallMs: Long)
+
+/** Inverted-index builder: a typed Dataset pipeline (no RDDs).
+  *
+  * Reference behavior replaced: the OpenSearch bulk-indexing path
+  * (backend/crawler/index_generator.py:280-321) plus everything Lucene does
+  * with the documents afterwards. Spark-first design:
+  *
+  *   webtext chunk (docId mod numChunks)
+  *     → one-pass tokenize (analyze once per doc; per-doc tf/positions
+  *       computed map-side — no shuffle for tf)
+  *     → docstore write (payloads + dl)
+  *     → per-chunk df aggregation → head terms (Zipf skew) get a salt factor
+  *     → repartitionByRange(lang, term, salt) + sortWithinPartitions
+  *       (ONE wide exchange per chunk — the only index-build shuffle)
+  *     → mapPartitions: PostingListWriter per (lang,term,salt) group → runs
+  *     → groupByKey(lang,term): k-way sort-merge of salted runs (disjoint doc
+  *       sets) → final block-compressed posting lists + skip + block-max
+  *     → segments/chunk=K + facets/chunk=K + manifest row
+  *
+  * Scale notes (100 TB / 1000 executors): chunks bound merge-group size (a
+  * head term's postings per chunk ≤ chunk doc count); query-time WAND is
+  * per-segment parallel, so segments never need a global merge; salting keeps
+  * the range-partitioned runs ~uniform; AQE handles residual skew.
+  */
+object IndexBuild {
+
+  val DefaultBuckets = 64
+
+  /** Standardize any webtext-shaped input to the build schema.
+    * Input must have: url, warc_ts, (html | text), lang; docId optional
+    * (derived deterministically from url hash if absent); meta optional.
+    */
+  def normalizeInput(df: DataFrame): DataFrame = {
+    var d = df
+    if (!d.columns.contains("text"))
+      d = d.withColumn("text", graft.functions.GraftFunctions.extract_text(col("html")))
+    if (!d.columns.contains("docId"))
+      d = if (d.columns.contains("doc_id")) d.withColumnRenamed("doc_id", "docId")
+          else d.withColumn("docId", xxhash64(col("url")))
+    if (!d.columns.contains("meta")) {
+      d = if (d.columns.contains("source"))
+        d.withColumn("meta", map(lit("source"), col("source")))
+      else d.withColumn("meta", map().cast("map<string,string>"))
+    }
+    d.select(col("docId").cast("long"), col("url"), col("warc_ts"), col("text"),
+      col("lang"), col("meta"))
+  }
+
+  /** Build (or resume) the index. Deterministic: the final per-term postings
+    * are identical at any parallelism / chunk split / interruption pattern.
+    */
+  def build(
+      spark: SparkSession,
+      input: DataFrame,
+      outDir: String,
+      numChunks: Int = 4,
+      saltTargetPostings: Int = 1 << 16,
+      shufflePartitions: Int = 0,
+      failAfterChunk: Int = Int.MaxValue // test hook: simulate a kill
+  ): Unit = {
+    import spark.implicits._
+    val fs = new java.io.File(outDir)
+    fs.mkdirs()
+    val done = Manifest.doneChunks(outDir)
+    val webtext = normalizeInput(input)
+    val parts = if (shufflePartitions > 0) shufflePartitions
+                else spark.sparkContext.defaultParallelism
+
+    for (k <- 0 until numChunks) {
+      if (done.contains(k)) {
+        // resume: skip without recomputation (reference checksum-skip analog)
+      } else {
+        val t0 = System.nanoTime()
+        val chunkDf = webtext.filter(pmod(col("docId"), lit(numChunks)) === k)
+
+        // ---- one-pass tokenize: docstore row + per-doc postings together ----
+        val tokenized = chunkDf
+          .as[(Long, String, java.sql.Timestamp, String, String, Map[String, String])]
+          .map { case (docId, url, ts, text, lang, meta) =>
+            val toks = Analyzer.analyze(text, lang)
+            // per-doc aggregation: term -> (tf, positions)
+            val m = new java.util.TreeMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
+            toks.foreach { t =>
+              val buf = m.computeIfAbsent(t.term, _ => new scala.collection.mutable.ArrayBuffer[Int](2))
+              buf += t.pos
+            }
+            val entries = new Array[(String, Int, Array[Int])](m.size)
+            var i = 0
+            val it = m.entrySet().iterator()
+            while (it.hasNext) {
+              val e = it.next()
+              entries(i) = (e.getKey, e.getValue.length, e.getValue.toArray)
+              i += 1
+            }
+            (docId, url, ts, text, lang, meta, toks.length, entries)
+          }
+          .toDF("docId", "url", "warc_ts", "text", "lang", "meta", "dl", "entries")
+          .persist(StorageLevel.MEMORY_AND_DISK) // DISK_ONLY at 100TB scale
+
+        // ---- docstore ----
+        tokenized
+          .select($"docId", $"url", $"warc_ts", $"text", $"lang", $"meta", $"dl",
+            year($"warc_ts").as("year"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$outDir/docstore/chunk=$k")
+
+        val (nDocs, nTokens) = {
+          val r = tokenized.agg(count(lit(1)), coalesce(sum($"dl"), lit(0L))).collect()(0)
+          (r.getLong(0), r.getLong(1))
+        }
+
+        // ---- term-doc postings input ----
+        val termDocs = tokenized
+          .select($"lang", $"docId", $"dl", explode($"entries").as("e"))
+          .select($"lang", $"e._1".as("term"), $"docId", $"e._2".as("tf"),
+            $"e._3".as("positions"), $"dl")
+          .as[TermDoc]
+
+        // ---- head-term detection for salting (per-chunk df agg) ----
+        val heads: Map[(String, String), Int] = termDocs
+          .groupBy($"lang", $"term").agg(count(lit(1)).as("df"))
+          .filter($"df" > saltTargetPostings)
+          .collect()
+          .map(r => (r.getString(0), r.getString(1)) ->
+            math.min(1024, math.ceil(r.getLong(2).toDouble / saltTargetPostings).toInt))
+          .toMap
+        val headsB = spark.sparkContext.broadcast(heads)
+        val saltOf = udf((lang: String, term: String, docId: Long) =>
+          headsB.value.get((lang, term)) match {
+            case Some(s) => Math.floorMod(Webtext.mix64(docId), s.toLong).toInt
+            case None    => 0
+          })
+
+        // ---- the one wide exchange: range-partition by (lang, term, salt) ----
+        val runs = termDocs
+          .withColumn("salt", saltOf($"lang", $"term", $"docId"))
+          .repartitionByRange(parts, $"lang", $"term", $"salt")
+          .sortWithinPartitions($"lang", $"term", $"salt", $"docId")
+          .as[(String, String, Long, Int, Array[Int], Int, Int)] // lang,term,docId,tf,pos,dl,salt
+          .mapPartitions { it =>
+            new Iterator[Run] {
+              private var cur: (String, String, Long, Int, Array[Int], Int, Int) = _
+              private var hasCur = false
+              private def pull(): Unit = { hasCur = it.hasNext; if (hasCur) cur = it.next() }
+              pull()
+              def hasNext: Boolean = hasCur
+              def next(): Run = {
+                val (lang, term, _, _, _, _, salt) = cur
+                val w = new PostingListWriter
+                while (hasCur && cur._1 == lang && cur._2 == term && cur._7 == salt) {
+                  w.add(cur._3, cur._4, cur._6, cur._5)
+                  pull()
+                }
+                val (blob, posBlob, _, _) = w.finish()
+                Run(lang, term, salt, blob, posBlob)
+              }
+            }
+          }
+
+        // ---- sort-merge across salted runs → final per-term postings ----
+        val segments = runs
+          .groupByKey(r => (r.lang, r.term))
+          .mapGroups { (key: (String, String), rs: Iterator[Run]) =>
+            val (blob, posBlob, df, cf) =
+              PostingListMerger.merge(rs.map(r => (r.blob, r.posBlob)).toSeq)
+            SegmentRow(k, key._1, Math.floorMod(key._2.hashCode, DefaultBuckets),
+              key._2, df.toLong, cf, blob, posBlob)
+          }
+
+        val nTerms = spark.sparkContext.longAccumulator(s"terms-chunk-$k")
+        segments.map { s => nTerms.add(1L); s }
+          .toDF()
+          .drop("chunk") // supplied by the chunk=K partition dir on read
+          .repartition(math.max(parts / 4, 1), $"term")
+          .sortWithinPartitions($"lang", $"term") // parquet row-group stats → term pushdown
+          .write.mode(SaveMode.Overwrite).parquet(s"$outDir/segments/chunk=$k")
+
+        // ---- facet index: sorted docId lists per (lang, key, value) + year ----
+        val metaPairs = tokenized.select($"lang", $"docId", explode($"meta").as(Seq("key", "value")))
+          .union(tokenized.select($"lang", $"docId",
+            lit("year").as("key"), year($"warc_ts").cast("string").as("value")))
+        metaPairs
+          .as[(String, Long, String, String)]
+          .groupByKey(t => (t._1, t._3, t._4))
+          .mapGroups { (key: (String, String, String), it: Iterator[(String, Long, String, String)]) =>
+            val (lang, fkey, value) = key
+            val ids = it.map(_._2).toArray
+            java.util.Arrays.sort(ids)
+            val deltas = new Array[Long](ids.length)
+            var prev = 0L
+            var i = 0
+            while (i < ids.length) { deltas(i) = ids(i) - prev; prev = ids(i); i += 1 }
+            FacetRow(k, lang, fkey, value, ids.length.toLong, VByte.encode(deltas))
+          }
+          .toDF()
+          .drop("chunk") // supplied by the chunk=K partition dir on read
+          .write.mode(SaveMode.Overwrite).parquet(s"$outDir/facets/chunk=$k")
+
+        tokenized.unpersist()
+        val wallMs = (System.nanoTime() - t0) / 1000000
+        Manifest.append(outDir, ManifestRow(k, "done", nDocs, nTokens,
+          nTerms.value, f"docs:$nDocs%d", wallMs))
+
+        if (k >= failAfterChunk)
+          throw new RuntimeException(s"injected failure after chunk $k (test hook)")
+      }
+    }
+    finalizeStats(spark, outDir)
+  }
+
+  /** Corpus stats (N, avgdl per lang) from manifest-covered docstore chunks. */
+  def finalizeStats(spark: SparkSession, outDir: String): Unit = {
+    import spark.implicits._
+    val stats = spark.read.parquet(s"$outDir/docstore")
+      .groupBy($"lang").agg(count(lit(1)).as("docs"), sum($"dl").as("totalTokens"))
+      .as[LangStats].collect()
+    val json = stats.sortBy(_.lang).map { s =>
+      s"""  "${s.lang}": {"docs": ${s.docs}, "totalTokens": ${s.totalTokens}}"""
+    }.mkString("{\n", ",\n", "\n}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/stats.json"), json)
+  }
+
+  /** Optional compaction: fold all chunk segments into a single segment
+    * (chunk = -1) via the same k-way sort-merge. Doc sets across chunks are
+    * disjoint (docId mod numChunks), so this is a pure interleave.
+    */
+  def compact(spark: SparkSession, outDir: String): Unit = {
+    import spark.implicits._
+    val parts = spark.sparkContext.defaultParallelism
+    val segs = spark.read.parquet(s"$outDir/segments").as[SegmentRow]
+    segs
+      .groupByKey(s => (s.lang, s.term))
+      .mapGroups { (key: (String, String), rs: Iterator[SegmentRow]) =>
+        val (blob, posBlob, df, cf) =
+          PostingListMerger.merge(rs.map(r => (r.blob, r.posBlob)).toSeq)
+        SegmentRow(-1, key._1, Math.floorMod(key._2.hashCode, DefaultBuckets),
+          key._2, df.toLong, cf, blob, posBlob)
+      }
+      .toDF()
+      .repartition(math.max(parts / 4, 1), $"term")
+      .sortWithinPartitions($"lang", $"term")
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/segments_compact")
+    // facets likewise
+    spark.read.parquet(s"$outDir/facets").as[FacetRow]
+      .groupByKey(f => (f.lang, f.key, f.value))
+      .mapGroups { (key: (String, String, String), rs: Iterator[FacetRow]) =>
+        val all = rs.flatMap { f =>
+          val deltas = VByte.decode(f.docIds, f.df.toInt)
+          var prev = 0L
+          deltas.map { d => prev += d; prev }
+        }.toArray
+        java.util.Arrays.sort(all)
+        val deltas = new Array[Long](all.length)
+        var prev = 0L
+        var i = 0
+        while (i < all.length) { deltas(i) = all(i) - prev; prev = all(i); i += 1 }
+        FacetRow(-1, key._1, key._2, key._3, all.length.toLong, VByte.encode(deltas))
+      }
+      .toDF()
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/facets_compact")
+  }
+}
+
+/** Append-only JSONL manifest (atomic-enough for single-writer builds; an
+  * Iceberg snapshot commit in production).
+  */
+object Manifest {
+  private def path(outDir: String) = java.nio.file.Paths.get(s"$outDir/manifest.jsonl")
+
+  def append(outDir: String, row: ManifestRow): Unit = {
+    val line = s"""{"chunk":${row.chunk},"status":"${row.status}","docs":${row.docs},""" +
+      s""""tokens":${row.tokens},"terms":${row.terms},"inputChecksum":"${row.inputChecksum}","wallMs":${row.wallMs}}""" + "\n"
+    java.nio.file.Files.writeString(path(outDir), line,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  def rows(outDir: String): Seq[ManifestRow] = {
+    val p = path(outDir)
+    if (!java.nio.file.Files.exists(p)) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty).map { l =>
+      def grab(k: String): String = {
+        val m = java.util.regex.Pattern.compile("\"" + k + "\":\"?([^,}\"]*)\"?").matcher(l)
+        if (m.find()) m.group(1) else ""
+      }
+      ManifestRow(grab("chunk").toInt, grab("status"), grab("docs").toLong,
+        grab("tokens").toLong, grab("terms").toLong, grab("inputChecksum"), grab("wallMs").toLong)
+    }
+  }
+
+  /** Chunks already built — the anti-join side of resume (J5 in SURVEY §2.4). */
+  def doneChunks(outDir: String): Set[Int] =
+    rows(outDir).filter(_.status == "done").map(_.chunk).toSet
+}

@@ -22,6 +22,9 @@ package graft.index
   *   payload section, per block:
   *     PFor(docGaps, count-1)   -- gaps between consecutive docIDs
   *     PFor(tf-1, count)
+  *     PFor(dl, count)          -- exact doc length (BM25 norm; Lucene keeps a
+  *                                 quantized norms file — we keep exact dl,
+  *                                 and rank-parity is defined on exact dl, §5)
   *
   * posBlob layout, per block, per doc (tf positions each):
   *   vbyte delta-coded positions (first raw, then gaps).
@@ -39,6 +42,7 @@ final class PostingListWriter {
 
   private val docIds = new Array[Long](BlockSize)
   private val tfsMinus1 = new Array[Long](BlockSize)
+  private val dls = new Array[Long](BlockSize)
   private var minDl = Int.MaxValue
   private var maxTf = 0
   private var n = 0
@@ -61,6 +65,7 @@ final class PostingListWriter {
     lastDocAdded = docId
     docIds(n) = docId
     tfsMinus1(n) = (tf - 1).toLong
+    dls(n) = dl.toLong
     if (dl < minDl) minDl = dl
     if (tf > maxTf) maxTf = tf
     n += 1
@@ -88,6 +93,7 @@ final class PostingListWriter {
     val payloadStart = payload.size
     PFor.encode(gaps, n - 1, payload)
     PFor.encode(tfsMinus1, n, payload)
+    PFor.encode(dls, n, payload)
     val payloadLen = payload.size - payloadStart
     val posBytes = posBlock.result()
     posPayload.addAll(posBytes)
@@ -166,20 +172,22 @@ final class PostingListReader(blob: Array[Byte], posBlob: Array[Byte]) {
     c.pos
   }
 
-  /** Decode block i into (docIds, tfs). Fresh arrays each call. */
-  def decodeBlock(i: Int): (Array[Long], Array[Int]) = {
+  /** Decode block i into (docIds, tfs, dls). Fresh arrays each call. */
+  def decodeBlock(i: Int): (Array[Long], Array[Int], Array[Int]) = {
     val c = new Cursor(payloadBase + payloadOffs(i))
     val gaps = PFor.decode(blob, c)
     val tfm1 = PFor.decode(blob, c)
+    val dlsL = PFor.decode(blob, c)
     val cnt = counts(i)
     val ids = new Array[Long](cnt)
     val tfs = new Array[Int](cnt)
+    val dls = new Array[Int](cnt)
     ids(0) = firstDocs(i)
     var k = 1
     while (k < cnt) { ids(k) = ids(k - 1) + gaps(k - 1); k += 1 }
     k = 0
-    while (k < cnt) { tfs(k) = tfm1(k).toInt + 1; k += 1 }
-    (ids, tfs)
+    while (k < cnt) { tfs(k) = tfm1(k).toInt + 1; dls(k) = dlsL(k).toInt; k += 1 }
+    (ids, tfs, dls)
   }
 
   /** Decode positions of block i; positions(j) holds the tf(j) positions of
@@ -239,6 +247,7 @@ final class PostingIterator(r: PostingListReader, withPositions: Boolean) {
   private var blockIdx = -1
   private var ids: Array[Long] = null
   private var tfs: Array[Int] = null
+  private var dls: Array[Int] = null
   private var poss: Array[Array[Int]] = null
   private var i = 0
 
@@ -247,16 +256,16 @@ final class PostingIterator(r: PostingListReader, withPositions: Boolean) {
 
   def exhausted: Boolean = docId == Long.MaxValue
 
-  def positions: Array[Int] = if (poss == null) null else poss(i)
+  def dl: Int = dls(i)
 
-  /** minDl of the current block (for merge block-max propagation). */
-  def blockMinDl: Int = r.minDls(blockIdx)
+  def positions: Array[Int] = if (poss == null) null else poss(i)
 
   private def loadBlock(b: Int): Unit = {
     blockIdx = b
-    val (a, t) = r.decodeBlock(b)
+    val (a, t, d) = r.decodeBlock(b)
     ids = a
     tfs = t
+    dls = d
     poss = if (withPositions) r.decodePositions(b, t) else null
     i = 0
     docId = ids(0)
@@ -324,7 +333,7 @@ object PostingListMerger {
     val w = new PostingListWriter
     while (!heap.isEmpty) {
       val it = heap.poll()
-      w.add(it.docId, it.tf, it.blockMinDl, it.positions)
+      w.add(it.docId, it.tf, it.dl, it.positions)
       it.next()
       if (!it.exhausted) heap.add(it)
     }

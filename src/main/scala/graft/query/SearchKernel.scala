@@ -1,0 +1,269 @@
+package graft.query
+
+import graft.index.{PostingIterator, PostingListReader}
+
+/** BM25 with Lucene/OpenSearch defaults — the reference does not override
+  * `similarity` (configs/opensearch-config.yaml:1-5), so k1=1.2, b=0.75 and
+  *   idf(t)   = ln(1 + (N − df + 0.5)/(df + 0.5))
+  *   tfNorm   = tf / (tf + k1·(1 − b + b·dl/avgdl))
+  *   score(d) = Σ_t idf(t)·tfNorm(tf_td, dl_d)
+  * We use exact dl (no 1-byte norm quantization); rank parity is gated
+  * against the in-repo oracle scorer with the same formula (SURVEY §5.2#4).
+  */
+object Bm25 {
+  val K1 = 1.2
+  val B = 0.75
+  def idf(n: Long, df: Long): Double =
+    math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+  def tfNorm(tf: Int, dl: Int, avgdl: Double): Double =
+    tf / (tf + K1 * (1 - B + B * dl / avgdl))
+  def score(tf: Int, dl: Int, avgdl: Double, idfV: Double): Double =
+    idfV * tfNorm(tf, dl, avgdl)
+}
+
+/** One scored hit inside a segment. */
+case class ScoredDoc(docId: Long, score: Double)
+
+/** Kernel result for one segment: top-(from+k) heap content (unsorted) and the
+  * hit count, exact up to `trackTotalHits` (reference `track_total_hits: 1000`,
+  * backend/search/index_searcher.py:227).
+  */
+case class SegmentResult(top: Array[ScoredDoc], hitCount: Long, capped: Boolean)
+
+/** A query term with its posting iterator and query-global statistics. */
+final class TermState(val term: String, val it: PostingIterator,
+    val idf: Double, val maxTfNorm: Double, val qPos: Int) {
+  def maxScore: Double = idf * maxTfNorm
+}
+
+/** Bounded min-heap of (score, docId) with deterministic tie-break:
+  * higher score wins; equal score → LOWER docId wins (Lucene doc-order ties).
+  */
+final class TopK(k: Int) {
+  private val heap = new java.util.PriorityQueue[ScoredDoc](math.max(k, 1),
+    (a: ScoredDoc, b: ScoredDoc) => {
+      val c = java.lang.Double.compare(a.score, b.score)
+      if (c != 0) c else java.lang.Long.compare(b.docId, a.docId) // min-heap: "worst" first
+    })
+  def size: Int = heap.size
+  def threshold: Double = if (heap.size < k) Double.NegativeInfinity else heap.peek().score
+  def offer(d: ScoredDoc): Unit = {
+    if (heap.size < k) heap.add(d)
+    else {
+      val w = heap.peek()
+      if (d.score > w.score || (d.score == w.score && d.docId < w.docId)) {
+        heap.poll(); heap.add(d)
+      }
+    }
+  }
+  def toArray: Array[ScoredDoc] = {
+    val a = new Array[ScoredDoc](heap.size)
+    heap.toArray(a)
+  }
+}
+
+/** Sorted-docId membership testers for filters. */
+final class SortedIdSet(ids: Array[Long]) {
+  private var p = 0
+  /** Targets must be queried in non-decreasing order. */
+  def contains(target: Long): Boolean = {
+    while (p < ids.length && ids(p) < target) p += 1
+    p < ids.length && ids(p) == target
+  }
+  def isEmpty: Boolean = ids.isEmpty
+}
+
+/** Per-segment scoring kernel: conjunctive (AND) intersection with skip
+  * pointers, disjunctive (OR) Block-Max WAND, optional phrase verification,
+  * exclusion postings and filter sets. Plain Scala — runs either on the
+  * driver (low-latency path) or inside an executor task (distributed
+  * per-segment search).
+  */
+object SearchKernel {
+
+  /** @param terms      query term states (posting iterators already started)
+    * @param avgdl      corpus average doc length for the language
+    * @param mode       All = reference `match` with operator:"and"
+    *                   (index_searcher.py:184-191); Any = WAND top-k
+    * @param phrase     verify exact consecutive positions (match_phrase, slop 0)
+    * @param excluded   iterators of excluded terms (must_not, :211-221)
+    * @param allowed    docId whitelist from facet filters (terms/date filters)
+    * @param k          heap size = from + pageSize
+    * @param trackTotalHits count cap; WAND pruning only engages once the
+    *                   count passes the cap (Lucene track_total_hits semantics)
+    */
+  def run(
+      terms: Array[TermState],
+      avgdl: Double,
+      mode: String,
+      phrase: Boolean,
+      excluded: Array[PostingIterator],
+      allowed: Option[SortedIdSet],
+      k: Int,
+      trackTotalHits: Long): SegmentResult = {
+    if (terms.isEmpty || terms.exists(t => mode == "all" && t.it.exhausted))
+      return SegmentResult(Array.empty, 0L, capped = false)
+    val live = terms.filter(!_.it.exhausted)
+    if (live.isEmpty) return SegmentResult(Array.empty, 0L, capped = false)
+    if (mode == "all" && live.length < terms.length)
+      return SegmentResult(Array.empty, 0L, capped = false)
+    if (mode == "all") runAnd(terms, avgdl, phrase, excluded, allowed, k, trackTotalHits)
+    else runWand(live, avgdl, excluded, allowed, k, trackTotalHits)
+  }
+
+  private def passesFilters(doc: Long, excluded: Array[PostingIterator],
+      allowed: Option[SortedIdSet]): Boolean = {
+    allowed match {
+      case Some(s) if !s.contains(doc) => return false
+      case _ =>
+    }
+    var e = 0
+    while (e < excluded.length) {
+      val it = excluded(e)
+      if (!it.exhausted) {
+        it.advance(doc)
+        if (it.docId == doc) return false
+      }
+      e += 1
+    }
+    true
+  }
+
+  /** Leapfrog conjunction ordered by df asc, with skip-pointer advance. */
+  private def runAnd(terms: Array[TermState], avgdl: Double, phrase: Boolean,
+      excluded: Array[PostingIterator], allowed: Option[SortedIdSet],
+      k: Int, cap: Long): SegmentResult = {
+    // leapfrog order: rarest term first = highest idf first
+    val ts = terms.sortBy(-_.idf)
+    val top = new TopK(k)
+    var hits = 0L
+    var cand = ts(0).it.docId
+    while (cand != Long.MaxValue) {
+      // leapfrog all iterators to cand
+      var agreed = true
+      var maxDoc = cand
+      var j = 0
+      while (j < ts.length) {
+        val it = ts(j).it
+        it.advance(maxDoc)
+        if (it.docId != maxDoc) {
+          agreed = false
+          maxDoc = it.docId
+          j = ts.length // restart from max
+        } else j += 1
+      }
+      if (maxDoc == Long.MaxValue) cand = Long.MaxValue
+      else if (!agreed) cand = maxDoc
+      else {
+        // all at maxDoc == cand
+        var ok = passesFilters(maxDoc, excluded, allowed)
+        if (ok && phrase) ok = phraseMatch(terms)
+        if (ok) {
+          var s = 0.0
+          var m = 0
+          while (m < ts.length) {
+            s += Bm25.score(ts(m).it.tf, ts(m).it.dl, avgdl, ts(m).idf)
+            m += 1
+          }
+          if (hits < cap) hits += 1
+          top.offer(ScoredDoc(maxDoc, s))
+        }
+        ts(0).it.next()
+        cand = ts(0).it.docId
+      }
+    }
+    SegmentResult(top.toArray, hits, capped = hits >= cap)
+  }
+
+  /** Exact consecutive-position verification (slop 0): some base position b
+    * exists with term_j at position b + qPos_j for every query token.
+    * Anchored on the first token's positions.
+    */
+  private def phraseMatch(terms: Array[TermState]): Boolean = {
+    val anchor = terms(0)
+    val anchorPos = anchor.it.positions
+    var a = 0
+    while (a < anchorPos.length) {
+      val base = anchorPos(a) - anchor.qPos
+      var j = 1
+      var ok = base >= 0
+      while (ok && j < terms.length) {
+        val want = base + terms(j).qPos
+        ok = java.util.Arrays.binarySearch(terms(j).it.positions, want) >= 0
+        j += 1
+      }
+      if (ok) return true
+      a += 1
+    }
+    false
+  }
+
+  /** WAND with block-max refinement. Pruning by threshold engages only after
+    * `cap` hits are counted, so hitCount is exact up to the cap.
+    */
+  private def runWand(terms: Array[TermState], avgdl: Double,
+      excluded: Array[PostingIterator], allowed: Option[SortedIdSet],
+      k: Int, cap: Long): SegmentResult = {
+    val top = new TopK(k)
+    var hits = 0L
+    val ts = terms.clone()
+    def sortByDoc(): Unit = java.util.Arrays.sort(ts,
+      (x: TermState, y: TermState) => java.lang.Long.compare(x.it.docId, y.it.docId))
+    sortByDoc()
+    var continue = true
+    while (continue) {
+      val theta = if (hits >= cap) top.threshold else Double.NegativeInfinity
+      // find pivot: smallest prefix with Σ maxScore > theta
+      var acc = 0.0
+      var p = 0
+      var pivotFound = false
+      while (p < ts.length && !pivotFound) {
+        acc += ts(p).maxScore
+        if (acc > theta && !ts(p).it.exhausted) pivotFound = true else p += 1
+      }
+      if (!pivotFound || ts(p).it.exhausted) continue = false
+      else {
+        val pivotDoc = ts(p).it.docId
+        if (ts(0).it.docId == pivotDoc) {
+          // block-max shallow check over iterators at pivotDoc
+          var bm = 0.0
+          var j = 0
+          while (j <= p) {
+            bm += ts(j).idf * ts(j).it.currentBlockMaxTfNorm(Bm25.K1, Bm25.B, avgdl)
+            j += 1
+          }
+          if (bm > theta) {
+            if (passesFilters(pivotDoc, excluded, allowed)) {
+              var s = 0.0
+              var m = 0
+              while (m < ts.length && ts(m).it.docId == pivotDoc) {
+                s += Bm25.score(ts(m).it.tf, ts(m).it.dl, avgdl, ts(m).idf)
+                m += 1
+              }
+              if (hits < cap) hits += 1
+              top.offer(ScoredDoc(pivotDoc, s))
+            }
+          }
+          // advance all iterators sitting on pivotDoc
+          var m2 = 0
+          while (m2 < ts.length && ts(m2).it.docId == pivotDoc) {
+            ts(m2).it.next()
+            m2 += 1
+          }
+          sortByDoc()
+        } else {
+          // advance the largest-maxScore iterator before the pivot
+          var best = 0
+          var j = 1
+          while (j < p) {
+            if (ts(j).maxScore > ts(best).maxScore) best = j
+            j += 1
+          }
+          ts(best).it.advance(pivotDoc)
+          sortByDoc()
+        }
+      }
+    }
+    SegmentResult(top.toArray, hits, capped = hits >= cap)
+  }
+}

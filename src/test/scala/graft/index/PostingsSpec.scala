@@ -39,6 +39,7 @@ class PostingsSpec extends AnyFunSuite {
       ps.foreach { p =>
         assert(it.docId == p.docId, s"n=$n")
         assert(it.tf == p.tf)
+        assert(it.dl == p.dl)
         assert(it.positions.toSeq == p.positions.toSeq)
         it.next()
       }

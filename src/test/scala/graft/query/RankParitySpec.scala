@@ -1,0 +1,145 @@
+package graft.query
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import graft.corpus.{SparkTestSession, Webtext}
+import graft.index.IndexBuild
+
+/** The reference-engine gate (SURVEY §5.2#4): the distributed WAND engine must
+  * return identical docIDs and near-identical scores to the naive full-scan
+  * oracle on reference-style golden queries (mirrors
+  * tests/backend/test_search.py:111-501 query shapes).
+  */
+class RankParitySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  val dir = "/tmp/graft-test-idx"
+  lazy val idx: IndexHandle = {
+    val d = new java.io.File(dir)
+    if (d.exists()) scala.reflect.io.Directory(d).deleteRecursively()
+    IndexBuild.build(spark, Webtext.synthesize(spark, 3000, partitions = 8).toDF(),
+      dir, numChunks = 2, saltTargetPostings = 64)
+    IndexHandle.load(dir)
+  }
+  lazy val docstore: DataFrame = { idx; spark.read.parquet(s"$dir/docstore") }
+
+  private def assertParity(q: QuerySpec, expectNonEmpty: Boolean = true): Unit = {
+    val got = Bm25Query.search(spark, idx, q)
+    val (oracle, oracleTotal) = NaiveBm25.search(spark, docstore, q)
+    if (expectNonEmpty) assert(oracle.nonEmpty, s"oracle empty for $q — bad fixture")
+    assert(got.hits.map(_.docId) == oracle.map(_.docId),
+      s"docId order mismatch for $q:\n got=${got.hits.map(h => (h.docId, h.score))}\n exp=${oracle.map(s => (s.docId, s.score))}")
+    got.hits.zip(oracle).foreach { case (h, o) =>
+      assert(math.abs(h.score - o.score) <= 1e-9 * math.max(1.0, math.abs(o.score)),
+        s"score mismatch doc=${h.docId}: ${h.score} vs ${o.score}")
+    }
+    val cappedExpected = math.min(oracleTotal, q.trackTotalHits)
+    assert(got.totalHits == cappedExpected,
+      s"total mismatch: ${got.totalHits} vs $oracleTotal (cap ${q.trackTotalHits})")
+  }
+
+  val hiPhrase = Webtext.GoldenPhrase("hi").mkString(" ")
+  val guPhrase = Webtext.GoldenPhrase("gu").mkString(" ")
+
+  test("G1: AND match multi-term (hi golden phrase words)") {
+    assertParity(QuerySpec("hi", hiPhrase))
+  }
+
+  test("G2: AND match (gu)") {
+    assertParity(QuerySpec("gu", guPhrase))
+  }
+
+  test("G3: phrase positive matches planted docs; scores parity") {
+    assertParity(QuerySpec("hi", hiPhrase, phrase = true))
+    // phrase hits are a strict subset of AND hits (reversed plants excluded)
+    val andTotal = Bm25Query.search(spark, idx, QuerySpec("hi", hiPhrase)).totalHits
+    val phrTotal = Bm25Query.search(spark, idx, QuerySpec("hi", hiPhrase, phrase = true)).totalHits
+    assert(phrTotal < andTotal, s"phrase=$phrTotal and=$andTotal")
+  }
+
+  test("G4: phrase negative — reversed word order finds only reversed plants") {
+    val rev = Webtext.GoldenPhrase("hi").reverse.mkString(" ")
+    assertParity(QuerySpec("hi", rev, phrase = true))
+    val fwd = Bm25Query.search(spark, idx, QuerySpec("hi", hiPhrase, phrase = true))
+    val bwd = Bm25Query.search(spark, idx, QuerySpec("hi", rev, phrase = true))
+    assert(fwd.hits.map(_.docId).toSet.intersect(bwd.hits.map(_.docId).toSet).isEmpty)
+  }
+
+  test("G5: exclude words (must_not) removes docs containing them") {
+    val ex = Webtext.word("hi", 30) // mid-frequency: removes some matches, not all
+    assertParity(QuerySpec("hi", hiPhrase, excludeWords = Seq(ex)))
+    val without = Bm25Query.search(spark, idx, QuerySpec("hi", hiPhrase, excludeWords = Seq(ex)))
+    val base = Bm25Query.search(spark, idx, QuerySpec("hi", hiPhrase))
+    assert(without.totalHits < base.totalHits)
+  }
+
+  test("G6: metadata terms filter (category)") {
+    assertParity(QuerySpec("hi", hiPhrase, metaFilters = Map("category" -> Seq("Granth"))))
+    assertParity(QuerySpec("hi", hiPhrase,
+      metaFilters = Map("category" -> Seq("Granth", "Pravachan"), "Author" -> Seq("author1", "author2"))))
+  }
+
+  test("G7: year-range filter on warc_ts") {
+    assertParity(QuerySpec("hi", hiPhrase, yearRange = Some((2020, 2020))))
+  }
+
+  test("G8: pagination page 2 (from = pageSize)") {
+    assertParity(QuerySpec("hi", Webtext.word("hi", 5), from = 20, pageSize = 20))
+  }
+
+  test("G9: track_total_hits cap reports gte at the cap") {
+    val head = Webtext.word("hi", 0) // natural Zipf head — matches most docs
+    val q = QuerySpec("hi", head, trackTotalHits = 50)
+    val got = Bm25Query.search(spark, idx, q)
+    val (_, exact) = NaiveBm25.search(spark, docstore, q)
+    assert(exact > 50, s"fixture too small: $exact")
+    assert(got.totalHits == 50 && got.totalRelation == "gte")
+    assertParity(q) // top-k unaffected by the cap
+  }
+
+  test("G11: stopword-only query yields zero hits") {
+    val got = Bm25Query.search(spark, idx, QuerySpec("hi", "और की"))
+    assert(got.hits.isEmpty && got.totalHits == 0)
+  }
+
+  test("G12: nasal-variant query (conjunct form) matches anusvara docs") {
+    // docs plant शान्ति (conjunct); query uses the same conjunct form — both
+    // normalize to शांति; also query the anusvara form directly
+    assertParity(QuerySpec("hi", "शान्ति"))
+    val a = Bm25Query.search(spark, idx, QuerySpec("hi", "शान्ति"))
+    val b = Bm25Query.search(spark, idx, QuerySpec("hi", "शांति"))
+    assert(a.hits.map(_.docId) == b.hits.map(_.docId))
+    assert(a.totalHits > 0)
+  }
+
+  test("WAND any-mode (disjunctive top-k) parity with oracle") {
+    assertParity(QuerySpec("hi", hiPhrase, mode = "any"))
+    assertParity(QuerySpec("hi", s"${Webtext.word("hi", 3)} ${Webtext.word("hi", 4000)}", mode = "any"))
+  }
+
+  test("any-mode with filters and excludes parity") {
+    assertParity(QuerySpec("hi", hiPhrase, mode = "any",
+      excludeWords = Seq(Webtext.word("hi", 1)),
+      metaFilters = Map("category" -> Seq("Pravachan")),
+      yearRange = Some((2020, 2021))))
+  }
+
+  test("G10: misspelled term → zero hits → suggestions from term dictionary") {
+    val real = Webtext.word("hi", 10)
+    val misspelled = real.dropRight(1) + (if (real.last == 'क') 'ख' else 'क')
+    val got = Bm25Query.search(spark, idx, QuerySpec("hi", misspelled))
+    if (got.totalHits == 0) {
+      assert(got.suggestions.contains(real), s"expected $real in ${got.suggestions}")
+    }
+  }
+
+  test("highlights wrap every query term occurrence in <em>") {
+    val got = Bm25Query.search(spark, idx, QuerySpec("hi", hiPhrase, phrase = true))
+    assert(got.hits.nonEmpty)
+    got.hits.foreach { h =>
+      Webtext.GoldenPhrase("hi").foreach { w =>
+        assert(h.highlighted.contains(s"<em>$w</em>"), s"missing <em>$w</em>")
+      }
+    }
+  }
+}

@@ -1,0 +1,186 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.corpus.Webtext.mix64
+
+/** Large-scale training-data deduplication operators.
+  *
+  * Scale design notes (the point of each variant at 100 TB):
+  *  - exact: one hash-shuffle on sha256(text) — partial agg combines map-side.
+  *  - ngram-Jaccard: candidate generation via a shingle inverted index
+  *    (self-join on shingle), with frequent-shingle pruning so the join fans
+  *    out on rare shingles only; exact Jaccard on candidates.
+  *  - MinHash+LSH: constant-size signatures (numHashes ints/doc) replace the
+  *    full shingle sets; banding turns near-dup search into an equi-join on
+  *    (band, bucketHash) — the only shuffle key — no pairwise blowup.
+  *  - SimHash: one 64-bit fingerprint/doc; candidates share one of four
+  *    16-bit blocks (≤3-bit Hamming guarantee), again an equi-join.
+  */
+object Dedup {
+
+  /** Deterministic 64-bit string hash (FNV-1a-then-mix) shared by all
+    * sketches; NOT Spark's xxhash64 so that behavior is pinned by our code.
+    */
+  def stringHash64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    mix64(h)
+  }
+
+  /** Exact duplicates by content hash: returns one row per duplicate doc
+    * (docs whose text equals an earlier doc's), with the canonical (min) id.
+    */
+  def exactDuplicates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val hashed = docs.select(col(idCol).as("doc_id"), sha2(col(textCol), 256).as("content_hash"))
+    val groups = hashed.groupBy("content_hash")
+      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("group_size"))
+      .filter(col("group_size") > 1)
+    hashed.join(groups, "content_hash")
+      .filter(col("doc_id") =!= col("canonical_id"))
+      .select("doc_id", "canonical_id", "content_hash")
+  }
+
+  /** Word n-gram shingle set per doc (distinct shingles). */
+  def shingles(docs: DataFrame, n: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toShingles = udf { (text: String) =>
+      val w = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      if (w.length < n) Seq.empty[String]
+      else w.sliding(n).map(_.mkString(" ")).toSeq.distinct
+    }
+    docs.select(col(idCol).as("doc_id"), explode(toShingles(col(textCol))).as("shingle"))
+  }
+
+  /** Exact n-gram Jaccard near-duplicates via shingle inverted index.
+    * maxShingleDf prunes head shingles (a shingle in >maxShingleDf docs
+    * contributes O(df²) candidate pairs — the classic skew bomb).
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+      maxShingleDf: Long = 1000): DataFrame = {
+    val sh = shingles(docs, n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
+    val rare = sh.join(
+      sh.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") <= maxShingleDf),
+      "shingle")
+    val pairs = rare.as("a").join(rare.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
+      .withColumn("jaccard", col("inter") / (col("size_a") + col("size_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signature: numHashes permutations h_i(x) = mix64(x ^ seed_i),
+    * min over the doc's shingle hashes. Returns (doc_id, sig array<long>).
+    */
+  def minhashSignatures(docs: DataFrame, n: Int = 3, numHashes: Int = 64): DataFrame = {
+    val nh = numHashes
+    val ng = n
+    val sigUdf = udf { (text: String) =>
+      val w = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val hs: Iterator[Long] =
+        if (w.length < ng) Iterator.empty
+        else w.sliding(ng).map(g => stringHash64(g.mkString(" ")))
+      val sig = Array.fill(nh)(Long.MaxValue)
+      hs.foreach { x =>
+        var i = 0
+        while (i < nh) {
+          val v = mix64(x ^ mix64(0x5EED0000L + i))
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+      }
+      sig.toSeq
+    }
+    docs.select(col("doc_id"), sigUdf(col("text")).as("sig"))
+  }
+
+  /** LSH banding over minhash signatures: docs sharing any band bucket are
+    * candidates; candidates verified by signature similarity (estimated
+    * Jaccard = fraction of equal minhashes).
+    */
+  def minhashLshCandidates(docs: DataFrame, n: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, estThreshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val sigs = minhashSignatures(docs, n, numHashes)
+    val bandUdf = udf { (sig: Seq[Long]) =>
+      (0 until bands).map { b =>
+        var h = 0xcbf29ce484222325L ^ b.toLong
+        (0 until rows).foreach { r => h = mix64(h ^ sig(b * rows + r)) }
+        (b, h)
+      }
+    }
+    val buckets = sigs.select(col("doc_id"), col("sig"), explode(bandUdf(col("sig"))).as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk._1").as("band"), col("bk._2").as("bucket"))
+    val estUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
+      a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
+    }
+    buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        estUdf(col("a.sig"), col("b.sig")).as("est_jaccard"))
+      .groupBy("id_a", "id_b").agg(max("est_jaccard").as("est_jaccard"))
+      .filter(col("est_jaccard") >= estThreshold)
+  }
+
+  /** 64-bit SimHash over terms weighted by tf. */
+  def simhash64(text: String): Long = {
+    val w = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    val acc = new Array[Int](64)
+    w.foreach { t =>
+      val h = stringHash64(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** SimHash near-dup candidates: 4 blocks of 16 bits; pairs sharing a block
+    * verified by full Hamming distance ≤ maxHamming.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val shUdf = udf((text: String) => simhash64(text))
+    val sh = docs.select(col("doc_id"), shUdf(col("text")).as("simhash"))
+    val blockUdf = udf((h: Long) => (0 until 4).map(b => (b, (h >>> (16 * b)) & 0xffffL)))
+    val blocks = sh.select(col("doc_id"), col("simhash"), explode(blockUdf(col("simhash"))).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk._1").as("block"), col("bk._2").as("value"))
+    blocks.as("a").join(blocks.as("b"),
+        col("a.block") === col("b.block") && col("a.value") === col("b.value") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Planted-near-dup corpus used by SparkEntry/oracle queries: every doc with
+    * doc_id % dupEvery == 0 gets a near-copy (id + 1,000,000, text + suffix)
+    * and every doc with doc_id % exactEvery == 0 an exact copy (id + 2,000,000).
+    * Pure column arithmetic so DuckDB can rebuild it identically.
+    */
+  def withPlantedDups(docs: DataFrame, dupEvery: Int = 17, exactEvery: Int = 23): DataFrame = {
+    val near = docs.filter(pmod(col("doc_id"), lit(dupEvery)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" near dup suffix")).as("text"))
+    val exact = docs.filter(pmod(col("doc_id"), lit(exactEvery)) === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    docs.select("doc_id", "text").union(near).union(exact)
+  }
+}

@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.corpus.Webtext.mix64
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Two paths, as a 100 TB pipeline needs both:
+  *  - brute-force cosine top-k: exact baseline. The query side is broadcast
+  *    (tiny), the corpus side streams — one pass, no shuffle of the corpus;
+  *    per-query top-k via window rank over the scored rows.
+  *  - LSH-bucketed ANN (random hyperplanes): corpus hashed once to B-bit
+  *    bucket codes; queries probe their own bucket (+ multiprobe neighbors),
+  *    turning ANN into an equi-join on bucket — the scale path (an IVF index
+  *    would replace the hash with learned centroids; same join shape).
+  */
+object Similarity {
+
+  /** Cosine similarity of two float vectors, accumulated left-to-right in
+    * double (deterministic order — matches the DuckDB oracle's list functions).
+    */
+  def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private val cosineUdf = udf((a: Seq[Float], b: Seq[Float]) => cosine(a, b))
+
+  /** Exact top-k nearest neighbors for each query vector.
+    * @param corpus  (vec_id, embedding)
+    * @param queries (query_id, embedding) — small; broadcast
+    */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.as("c")
+      .crossJoin(broadcast(queries.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("embedding", "q_embedding")).as("q"))
+      .filter(col("c.vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("c.vec_id").as("vec_id"),
+        cosineUdf(col("c.embedding"), col("q_embedding")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "vec_id", "sim", "rank")
+  }
+
+  /** Deterministic random hyperplane for (seed, plane, dim) — unit-free sign
+    * hash; components in {-1, +1} derived from splitmix64 (no RNG state).
+    */
+  def planeComponent(seed: Long, plane: Int, dim: Int): Double =
+    if ((mix64(mix64(seed ^ plane.toLong) ^ dim.toLong) & 1L) == 0L) -1.0 else 1.0
+
+  /** B-bit sign-hash bucket code of a vector. */
+  def lshCode(v: Seq[Float], bits: Int, seed: Long): Long = {
+    var code = 0L
+    var p = 0
+    while (p < bits) {
+      var dot = 0.0
+      var i = 0
+      while (i < v.length) { dot += v(i) * planeComponent(seed, p, i); i += 1 }
+      if (dot >= 0) code |= (1L << p)
+      p += 1
+    }
+    code
+  }
+
+  /** LSH-bucketed approximate NN: corpus bucketed by sign-hash; each query
+    * probes its own bucket plus all buckets within `probeHamming` bit flips
+    * (multiprobe — trades probe fan-out for recall without growing the index).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      bits: Int = 10, seed: Long = 7L, probeHamming: Int = 1): DataFrame = {
+    val b = bits
+    val s = seed
+    val ph = probeHamming
+    val codeUdf = udf((v: Seq[Float]) => lshCode(v, b, s))
+    val probesUdf = udf { (v: Seq[Float]) =>
+      val c = lshCode(v, b, s)
+      var codes = Set(c)
+      for (_ <- 1 to ph) codes = codes ++ codes.flatMap(x => (0 until b).map(i => x ^ (1L << i)))
+      codes.toSeq.sorted
+    }
+    val bucketed = corpus.withColumn("bucket", codeUdf(col("embedding")))
+    val qProbes = queries.withColumnRenamed("vec_id", "query_id")
+      .withColumnRenamed("embedding", "q_embedding")
+      .withColumn("bucket", explode(probesUdf(col("q_embedding"))))
+    val scored = bucketed.join(broadcast(qProbes), "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineUdf(col("embedding"), col("q_embedding")).as("sim"))
+      .groupBy("query_id", "vec_id").agg(max("sim").as("sim")) // dedupe multiprobe
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "vec_id", "sim", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold (bucketed the
+    * same way to avoid the n² cross join at scale).
+    */
+  def embeddingNearDupPairs(corpus: DataFrame, threshold: Double,
+      bits: Int = 8, seed: Long = 7L): DataFrame = {
+    val b = bits
+    val s = seed
+    val codeUdf = udf((v: Seq[Float]) => lshCode(v, b, s))
+    val bucketed = corpus.select(col("vec_id"), col("embedding"),
+      codeUdf(col("embedding")).as("bucket"))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        cosineUdf(col("a.embedding"), col("b.embedding")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** Exact near-dup pairs (n² — oracle/baseline at small scale only). */
+  def embeddingNearDupPairsExact(corpus: DataFrame, threshold: Double): DataFrame = {
+    corpus.as("a").join(corpus.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        cosineUdf(col("a.embedding"), col("b.embedding")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

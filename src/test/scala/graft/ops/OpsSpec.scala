@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.corpus.SparkTestSession
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("exact dedup finds exactly the planted copies") {
+    val planted = Dedup.withPlantedDups(docs, dupEvery = 17, exactEvery = 23)
+    val dups = Dedup.exactDuplicates(planted).collect()
+    val expected = docs.filter(pmod($"doc_id", lit(23)) === 0)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(dups.map(_.getLong(1)).toSet == expected) // canonical = original id
+    assert(dups.map(_.getLong(0)).toSet == expected.map(_ + 2000000L))
+  }
+
+  test("ngram jaccard finds near-dups (planted suffix copies) with high sim") {
+    val planted = Dedup.withPlantedDups(docs, dupEvery = 17, exactEvery = 1000001)
+    val pairs = Dedup.ngramJaccardPairs(planted, n = 3, threshold = 0.7).collect()
+    val expectedA = docs.filter(pmod($"doc_id", lit(17)) === 0)
+      .select($"doc_id").as[Long].collect().toSet
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted near-pair found
+    expectedA.foreach { a =>
+      assert(found.contains((a, a + 1000000L)), s"missing planted pair $a")
+    }
+  }
+
+  test("minhash LSH candidates ⊇ high-jaccard pairs (recall vs exact)") {
+    val planted = Dedup.withPlantedDups(docs, dupEvery = 17, exactEvery = 1000001)
+    val exact = Dedup.ngramJaccardPairs(planted, n = 3, threshold = 0.85)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshCandidates(planted, n = 3, numHashes = 64, bands = 16,
+      estThreshold = 0.5).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.95, s"LSH recall $recall over ${exact.size} true pairs")
+  }
+
+  test("simhash pairs catch planted near-dups; hamming sane") {
+    val planted = Dedup.withPlantedDups(docs, dupEvery = 17, exactEvery = 1000001)
+    val pairs = Dedup.simhashPairs(planted, maxHamming = 6).collect()
+    val expectedA = docs.filter(pmod($"doc_id", lit(17)) === 0)
+      .select($"doc_id").as[Long].collect().toSet
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = expectedA.count(a => found.contains((a, a + 1000000L))).toDouble / expectedA.size
+    assert(recall >= 0.8, s"simhash recall $recall")
+    pairs.foreach(r => assert(r.getAs[Number]("hamming").intValue <= 6))
+  }
+
+  test("brute-force cosine topk: deterministic, self-excluded, ordered") {
+    val queries = emb.filter($"vec_id" < 3)
+    val top = Similarity.cosineTopK(emb, queries, k = 5).collect()
+    assert(top.length == 15)
+    top.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val sims = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, s"q=$q not sorted")
+      assert(!rows.exists(_.getLong(1) == q), "self not excluded")
+    }
+  }
+
+  test("LSH ANN recall@5 vs brute force is reasonable") {
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.cosineTopK(emb, queries, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(emb, queries, k = 5, bits = 6, probeHamming = 2)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall@5 = $recall") // 6 bits, probe≤2 → ~1/3 corpus probed
+  }
+
+  test("embedding near-dup pairs: bucketed ⊆ exact, both above threshold") {
+    val exact = Similarity.embeddingNearDupPairsExact(emb, 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val bucketed = Similarity.embeddingNearDupPairs(emb, 0.95, bits = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(bucketed.subsetOf(exact))
+  }
+
+  test("text analysis columns: ranges and determinism") {
+    val out = TextAnalysis.analyzeDocs(docs).collect()
+    out.foreach { r =>
+      val q = r.getAs[Double]("quality_score")
+      assert(q >= 0.0 && q <= 1.0)
+      assert(r.getAs[Int]("n_tokens") > 0)
+      assert(r.getAs[String]("lang_pred") == "en") // corpus is ASCII words
+      assert(r.getAs[String]("fingerprint_md5").length == 32)
+    }
+  }
+
+  test("langId detects scripts on real multilingual strings") {
+    val df = Seq(
+      ("यह एक हिंदी वाक्य है और इसमें देवनागरी है", "hi"),
+      ("આ એક ગુજરાતી વાક્ય છે અને તેમાં લિપિ છે", "gu"),
+      ("this is plainly an english sentence", "en"),
+      ("12345 67890 ---", "und")).toDF("text", "expected")
+    df.select(TextAnalysis.langIdExpr($"text").as("got"), $"expected").collect()
+      .foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
+  test("winnowing fingerprints: deterministic, shift-robust") {
+    val a = TextAnalysis.winnow("the quick brown fox jumps over the lazy dog repeatedly")
+    val b = TextAnalysis.winnow("the quick brown fox jumps over the lazy dog repeatedly")
+    assert(a.toSeq == b.toSeq && a.nonEmpty)
+    // shared content → shared fingerprints even with a prefix shift
+    val c = TextAnalysis.winnow("PREFIX then the quick brown fox jumps over the lazy dog repeatedly")
+    assert(a.intersect(c).length > 0)
+  }
+
+  test("multimodal: synth → decode stub roundtrip + feature shape") {
+    val withMedia = MultiModal.withMediaColumn(docs.limit(100))
+    val decoded = MultiModal.decodeMedia(spark, withMedia).collect()
+    assert(decoded.length == 100)
+    decoded.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (id % 1920 + 16).toInt, "width")
+      assert(r.getInt(2) == (id % 1080 + 16).toInt, "height")
+      assert(Seq("rgb8", "gray8", "rgba8").contains(r.getString(3)))
+      assert(r.getInt(4) == 64)
+      val feats = r.getSeq[Float](5)
+      assert(feats.length == 8 && math.abs(feats.sum - 1.0f) < 1e-3)
+    }
+  }
+
+  test("multimodal: corrupt blob → graceful invalid row") {
+    val bad = Seq((1L, Array[Byte](1, 2, 3)), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "media")
+    val out = MultiModal.decodeMedia(spark, bad).collect()
+    out.foreach { r => assert(r.getString(3) == "invalid" && r.getInt(1) == -1) }
+  }
+}

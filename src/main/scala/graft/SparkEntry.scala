@@ -1,13 +1,529 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.corpus.Webtext
+import graft.functions.GraftFunctions
+import graft.index.IndexBuild
+import graft.ops.{Dedup, MultiModal, Similarity, TextAnalysis}
+import graft.query.{Bm25Query, IndexHandle, QuerySpec}
+
+/** Driver contract: one `queries` entry per implemented operator family
+  * (SURVEY.md §2), each with equivalent DuckDB SQL in [[oracleSql]] where the
+  * op is SQL-expressible (sketch-hash ops — minhash, simhash, LSH, uuid5 —
+  * get rows-only checks and are gated by ScalaTest specs instead).
+  *
+  * The engine queries run against a REAL index built from the webtext table
+  * derived deterministically from `documents.parquet`
+  * ([[Webtext.fromDocuments]]) — the same derivation the oracle SQL performs
+  * in its `webtext` CTE, so DuckDB reproduces the input exactly.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ------------------------------------------------------------------
+  // helpers
+  // ------------------------------------------------------------------
+  private def documents(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def events(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/events.parquet")
+  private def embeddings(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/embeddings.parquet")
+  private def lineitem(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/lineitem.parquet")
+
+  /** BM25 index over the derived webtext, built once per sfDir; the manifest
+    * makes re-invocations resume-as-no-op.
+    */
+  private val idxCache = new java.util.concurrent.ConcurrentHashMap[String, IndexHandle]()
+  private def index(s: SparkSession, dir: String): IndexHandle =
+    idxCache.computeIfAbsent(dir, { d =>
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_entry_idx_" +
+        d.replaceAll("[^a-zA-Z0-9]", "_")
+      IndexBuild.build(s, Webtext.fromDocuments(s, d), out, numChunks = 2)
+      IndexHandle.load(out)
+    })
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Run an engine query and emit (doc_id, score) page rows, oracle-shaped. */
+  private def engineTopK(s: SparkSession, dir: String, q: QuerySpec): DataFrame = {
+    import s.implicits._
+    val res = Bm25Query.search(s, index(s, dir), q)
+    res.hits.map(h => (h.docId, round6(h.score))).toDF("doc_id", "score")
+  }
+
+  // shared oracle CTEs (DuckDB SQL over the SAME parquet tables)
+  private val WebtextCte =
+    """webtext AS (
+      |  SELECT doc_id,
+      |         'https://example.org/' || lang || '/' || source || '/' ||
+      |           lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+      |         TIMESTAMP '2020-01-01 00:00:00' + (doc_id * 139733) * INTERVAL 1 SECOND AS warc_ts,
+      |         text, lang, source
+      |  FROM documents)""".stripMargin
+
+  private def tokensCte(where: String) =
+    s"""tok0 AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+       |  FROM documents $where),
+       |tokens AS (SELECT doc_id, term FROM tok0 WHERE term <> '')""".stripMargin
+
+  /** Full BM25 oracle in SQL: same formula, same stats scope (per-language
+    * corpus), same tie-break, rounded to 6 decimals like the engine output.
+    */
+  private def bm25Oracle(terms: Seq[String], requireAll: Boolean, extra: String,
+      k: Int): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val matchedCond = if (requireAll) s"matched = ${terms.size}" else "TRUE"
+    s"""WITH $WebtextCte,
+       |${tokensCte("WHERE lang = 'en'")},
+       |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tokens GROUP BY doc_id),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tokens
+       |       WHERE term IN ($termList) GROUP BY doc_id, term),
+       |dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |         sum(ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5)) *
+       |             (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)))) AS score,
+       |         CAST(count(*) AS BIGINT) AS matched
+       |  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+       |  GROUP BY tf.doc_id)
+       |SELECT doc_id, round(score, 6) AS score FROM scored
+       |WHERE $matchedCond $extra
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  // fixed query constants (chosen from the corpus: 'dup' is rare (df≈10/218
+  // en docs), the rest are mid-frequency; 'batch batch' occurs adjacently)
+  private val QTerms = Seq("dup", "merge", "spark")
+
+  // ------------------------------------------------------------------
+  // flagship
+  // ------------------------------------------------------------------
+  /** Flagship: end-to-end index build + BM25 AND query on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    engineTopK(spark, "/root/testdata/sf0.001",
+      QuerySpec(lang = "en", query = QTerms.mkString(" ")))
+
+  // ------------------------------------------------------------------
+  // queries + oracles
+  // ------------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational sanity (Spark built-ins end-to-end) ----
+    "q1_agg" -> ((s, dir) => {
+      lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum("l_quantity"), 4).as("sum_qty"),
+          round(avg(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("avg_revenue"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q3_topk_join" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("o_orderkey"), col("c_mktsegment"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // ---- extraction + analysis plane ----
+    "ext_parity" -> ((s, dir) => {
+      Webtext.fromDocuments(s, dir)
+        .select(col("doc_id"),
+          (GraftFunctions.extract_text(col("html")) === col("text")).as("matched"))
+        .orderBy("doc_id")
+    }),
+    "tokenize_tf" -> ((s, dir) => {
+      documents(s, dir)
+        .select(col("doc_id"), explode(GraftFunctions.analyze_terms(col("text"), col("lang"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .orderBy("doc_id", "term")
+    }),
+    "term_stats" -> ((s, dir) => {
+      documents(s, dir)
+        .select(col("doc_id"), explode(GraftFunctions.analyze_terms(col("text"), col("lang"))).as("term"))
+        .groupBy("term")
+        .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("cf"))
+        .orderBy("term")
+    }),
+    "doc_stats" -> ((s, dir) => {
+      documents(s, dir)
+        .select(col("lang"), size(GraftFunctions.analyze_terms(col("text"), col("lang"))).cast("long").as("dl"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), round(avg("dl"), 6).as("avg_dl"))
+        .orderBy("lang")
+    }),
+
+    // ---- the BM25 engine itself (real index build + WAND/AND kernels) ----
+    "bm25_topk" -> ((s, dir) =>
+      engineTopK(s, dir, QuerySpec("en", QTerms.mkString(" ")))),
+    "bm25_wand_topk" -> ((s, dir) =>
+      engineTopK(s, dir, QuerySpec("en", QTerms.mkString(" "), mode = "any"))),
+    "bm25_exclude" -> ((s, dir) =>
+      engineTopK(s, dir, QuerySpec("en", "merge spark", excludeWords = Seq("slow")))),
+    "bm25_meta_filter" -> ((s, dir) =>
+      engineTopK(s, dir, QuerySpec("en", "spark data",
+        metaFilters = Map("source" -> Seq("src1", "src3"))))),
+    "bm25_year_filter" -> ((s, dir) =>
+      engineTopK(s, dir, QuerySpec("en", "spark data", yearRange = Some((2020, 2020))))),
+    "phrase_match" -> ((s, dir) => {
+      import s.implicits._
+      val res = Bm25Query.search(s, index(s, dir),
+        QuerySpec("en", "batch batch", phrase = true, pageSize = 100000,
+          trackTotalHits = 1000000000L))
+      res.hits.map(_.docId).sorted.toDF("doc_id")
+    }),
+    "suggest_terms" -> ((s, dir) => {
+      // term-dictionary spelling suggestions (Q8): candidates share the first
+      // char, length ≥ 3, levenshtein ≤ 2, score = 1 - d/maxLen ≥ 0.6
+      val dict = documents(s, dir)
+        .select(explode(GraftFunctions.analyze_terms(col("text"), col("lang"))).as("term"),
+          col("doc_id"))
+        .groupBy("term").agg(countDistinct("doc_id").as("df"))
+        .where(length(col("term")) >= 3 && col("term").startsWith("s") && col("term") =!= "spakr")
+      dict
+        .withColumn("dist", levenshtein(lit("spakr"), col("term")))
+        .withColumn("score", round(lit(1.0) - col("dist") /
+          greatest(length(col("term")), lit(5)).cast("double"), 6))
+        .where(col("score") >= 0.6)
+        .select("term", "df", "score")
+        .orderBy(col("score").desc, col("df").desc, col("term"))
+        .limit(5)
+    }),
+    "topk_payload_join" -> ((s, dir) => {
+      // J7: winners semi-joined back to the doc store for payloads
+      val hits = engineTopK(s, dir, QuerySpec("en", QTerms.mkString(" "), pageSize = 10))
+      hits.join(Webtext.fromDocuments(s, dir).select("doc_id", "url"), Seq("doc_id"))
+        .select("doc_id", "score", "url")
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // ---- windows / sequences ----
+    "neighbor_context" -> ((s, dir) => {
+      val w = Window.orderBy("doc_id")
+      documents(s, dir).where(col("source") === "src0")
+        .select(col("doc_id"),
+          lag("doc_id", 1).over(w).as("prev_id"),
+          lead("doc_id", 1).over(w).as("next_id"),
+          substring(lag("text", 1).over(w), 1, 20).as("prev_snippet"))
+        .orderBy("doc_id")
+    }),
+    "fwd_fill" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          last(when(col("event_type") === "purchase", col("value")), ignoreNulls = true)
+            .over(w).as("last_purchase_value"))
+        .orderBy("event_id")
+    }),
+    "events_by_day" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(date_trunc("DAY", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
+        .orderBy("day", "event_type")
+    }),
+
+    // ---- facets / metadata (A1) ----
+    "facet_values" -> ((s, dir) =>
+      documents(s, dir).select("lang", "source").distinct().orderBy("lang", "source")),
+
+    // ---- checkpoint manifest anti-join (J5) ----
+    "checkpoint_pending" -> ((s, dir) => {
+      import s.implicits._
+      val done = Seq(0L, 1L, 2L, 3L).toDF("chunk")
+      documents(s, dir)
+        .select(pmod(col("doc_id"), lit(8)).cast("long").as("chunk"), col("doc_id"))
+        .join(done, Seq("chunk"), "left_anti")
+        .groupBy("chunk").agg(count(lit(1)).as("docs"))
+        .orderBy("chunk")
+    }),
+
+    // ---- scalar plane: uuid5 (rows-only; DuckDB lacks sha1) ----
+    "uuid5_ids" -> ((s, dir) =>
+      Webtext.fromDocuments(s, dir)
+        .select(col("doc_id"), GraftFunctions.uuid5_url(col("url")).as("document_id"))
+        .orderBy("doc_id")),
+
+    // ---- dedup family ----
+    "dedup_exact" -> ((s, dir) => {
+      Dedup.exactDuplicates(Dedup.withPlantedDups(documents(s, dir)))
+        .select("doc_id", "canonical_id").orderBy("doc_id")
+    }),
+    "dedup_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(Dedup.withPlantedDups(documents(s, dir)), n = 3, threshold = 0.7)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+    "dedup_minhash" -> ((s, dir) => { // rows-only: sketch hashes are ours
+      Dedup.minhashLshCandidates(Dedup.withPlantedDups(documents(s, dir)),
+        n = 3, numHashes = 64, bands = 16, estThreshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+    "dedup_simhash" -> ((s, dir) => { // rows-only: sketch hashes are ours
+      Dedup.simhashPairs(Dedup.withPlantedDups(documents(s, dir)), maxHamming = 6)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- similarity search ----
+    "ann_cosine_topk" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      Similarity.cosineTopK(emb, emb.where(col("vec_id") < 5), k = 10)
+        .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"),
+          col("rank").cast("long").as("nn_rank"))
+        .orderBy("query_id", "nn_rank")
+    }),
+    "ann_neardup" -> ((s, dir) => {
+      Similarity.embeddingNearDupPairsExact(embeddings(s, dir), 0.40)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+        .orderBy("id_a", "id_b")
+    }),
+    "ann_lsh_topk" -> ((s, dir) => { // rows-only: bucket hashes are ours
+      val emb = embeddings(s, dir)
+      Similarity.lshTopK(emb, emb.where(col("vec_id") < 5), k = 10, bits = 6, probeHamming = 2)
+        .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"),
+          col("rank").cast("long").as("nn_rank"))
+        .orderBy("query_id", "nn_rank")
+    }),
+
+    // ---- text analysis ----
+    "lang_id" -> ((s, dir) =>
+      documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.langIdExpr(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+    "quality_score" -> ((s, dir) => {
+      val base = documents(s, dir).select(col("doc_id"), col("text"))
+      TextAnalysis.qualityColumns(col("text")).foldLeft(base) {
+        case (d, (name, c)) => d.withColumn(name, c)
+      }.drop("text")
+        .withColumn("n_chars", col("n_chars").cast("long"))
+        .withColumn("n_tokens", col("n_tokens").cast("long"))
+        .orderBy("doc_id")
+    }),
+    "token_counts" -> ((s, dir) => {
+      val base = documents(s, dir).select(col("doc_id"), col("text"))
+      TextAnalysis.tokenCountColumns(col("text")).foldLeft(base) {
+        case (d, (name, c)) => d.withColumn(name, c.cast("long"))
+      }.drop("text").orderBy("doc_id")
+    }),
+    "fingerprint" -> ((s, dir) =>
+      documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.md5Fingerprint(col("text")).as("fp_md5"))
+        .orderBy("doc_id")),
+
+    // ---- multimodal plumbing (decode stub over binary column) ----
+    "multimodal_meta" -> ((s, dir) => {
+      MultiModal.decodeMedia(s, MultiModal.withMediaColumn(documents(s, dir)))
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("format"),
+          col("payload_bytes").cast("long").as("payload_bytes"))
+        .orderBy("doc_id")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(CAST(sum(l_quantity) AS DOUBLE), 4) AS sum_qty,
+        |       round(avg(l_extendedprice * (1 - l_discount)), 4) AS avg_revenue,
+        |       round(avg(l_discount), 6) AS avg_disc,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q3_topk_join" ->
+      """SELECT o_orderkey, c_mktsegment,
+        |       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 4) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "ext_parity" ->
+      s"""WITH ex AS (
+         |  SELECT doc_id, text,
+         |         '<html><head><title>doc-' || doc_id || '</title></head><body><p>' ||
+         |           replace(text, chr(10) || chr(10), '</p><p>') || '</p></body></html>' AS html
+         |  FROM documents)
+         |SELECT doc_id,
+         |       (replace(regexp_extract(html,
+         |          '(?s)^<html><head><title>.*?</title></head><body><p>(.*)</p></body></html>$$', 1),
+         |          '</p><p>', chr(10) || chr(10)) = text) AS matched
+         |FROM ex ORDER BY doc_id""".stripMargin,
+    "tokenize_tf" ->
+      s"""WITH ${tokensCte("")}
+         |SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |FROM tokens GROUP BY doc_id, term ORDER BY doc_id, term""".stripMargin,
+    "term_stats" ->
+      s"""WITH ${tokensCte("")}
+         |SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         |       CAST(count(*) AS BIGINT) AS cf
+         |FROM tokens GROUP BY term ORDER BY term""".stripMargin,
+    "doc_stats" ->
+      s"""WITH ${tokensCte("")},
+         |dl AS (SELECT t.doc_id, d.lang, CAST(count(*) AS BIGINT) AS dl
+         |       FROM tokens t JOIN documents d USING (doc_id) GROUP BY t.doc_id, d.lang)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, round(avg(dl), 6) AS avg_dl
+         |FROM dl GROUP BY lang ORDER BY lang""".stripMargin,
+    "bm25_topk" -> bm25Oracle(QTerms, requireAll = true, "", 20),
+    "bm25_wand_topk" -> bm25Oracle(QTerms, requireAll = false, "", 20),
+    "bm25_exclude" -> bm25Oracle(Seq("merge", "spark"), requireAll = true,
+      "AND doc_id NOT IN (SELECT DISTINCT doc_id FROM tokens WHERE term = 'slow')", 20),
+    "bm25_meta_filter" -> bm25Oracle(Seq("spark", "data"), requireAll = true,
+      "AND doc_id IN (SELECT doc_id FROM documents WHERE source IN ('src1','src3'))", 20),
+    "bm25_year_filter" -> bm25Oracle(Seq("spark", "data"), requireAll = true,
+      "AND doc_id IN (SELECT doc_id FROM webtext WHERE EXTRACT(year FROM warc_ts) BETWEEN 2020 AND 2020)", 20),
+    "phrase_match" ->
+      """SELECT doc_id FROM documents
+        |WHERE lang = 'en'
+        |  AND (' ' || regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g') || ' ')
+        |      LIKE '% batch batch %'
+        |ORDER BY doc_id""".stripMargin,
+    "suggest_terms" ->
+      s"""WITH ${tokensCte("")},
+         |dict AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |         FROM tokens GROUP BY term),
+         |cand AS (
+         |  SELECT term, df, levenshtein('spakr', term) AS dist
+         |  FROM dict
+         |  WHERE length(term) >= 3 AND term LIKE 's%' AND term <> 'spakr')
+         |SELECT term, df, round(1.0 - dist / CAST(greatest(length(term), 5) AS DOUBLE), 6) AS score
+         |FROM cand WHERE 1.0 - dist / CAST(greatest(length(term), 5) AS DOUBLE) >= 0.6
+         |ORDER BY score DESC, df DESC, term LIMIT 5""".stripMargin,
+    "topk_payload_join" -> {
+      val inner = bm25Oracle(QTerms, requireAll = true, "", 10)
+      s"""WITH hits AS ($inner)
+         |SELECT h.doc_id, h.score,
+         |       'https://example.org/' || d.lang || '/' || d.source || '/' ||
+         |         lpad(CAST(d.doc_id AS VARCHAR), 8, '0') AS url
+         |FROM hits h JOIN documents d USING (doc_id)
+         |ORDER BY h.score DESC, h.doc_id""".stripMargin
+    },
+    "neighbor_context" ->
+      """SELECT doc_id,
+        |       lag(doc_id) OVER (ORDER BY doc_id) AS prev_id,
+        |       lead(doc_id) OVER (ORDER BY doc_id) AS next_id,
+        |       substr(lag(text) OVER (ORDER BY doc_id), 1, 20) AS prev_snippet
+        |FROM documents WHERE source = 'src0' ORDER BY doc_id""".stripMargin,
+    "fwd_fill" ->
+      """SELECT event_id, user_id, ts,
+        |       last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "events_by_day" ->
+      """SELECT date_trunc('day', ts) AS day, event_type,
+        |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "facet_values" ->
+      "SELECT DISTINCT lang, source FROM documents ORDER BY lang, source",
+    "checkpoint_pending" ->
+      """SELECT CAST(doc_id % 8 AS BIGINT) AS chunk, CAST(count(*) AS BIGINT) AS docs
+        |FROM documents WHERE doc_id % 8 NOT IN (0, 1, 2, 3)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_exact" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text || ' near dup suffix' FROM documents WHERE doc_id % 17 = 0
+        |  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 23 = 0),
+        |hashed AS (SELECT doc_id, sha256(text) AS h FROM planted),
+        |grp AS (SELECT h, min(doc_id) AS canonical_id, count(*) AS n FROM hashed GROUP BY h)
+        |SELECT hashed.doc_id, grp.canonical_id
+        |FROM hashed JOIN grp USING (h)
+        |WHERE grp.n > 1 AND hashed.doc_id <> grp.canonical_id
+        |ORDER BY hashed.doc_id""".stripMargin,
+    "dedup_jaccard" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text || ' near dup suffix' FROM documents WHERE doc_id % 17 = 0
+        |  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 23 = 0),
+        |arr AS (SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS a FROM planted),
+        |arrf AS (SELECT doc_id, list_filter(a, x -> x <> '') AS a FROM arr),
+        |sh0 AS (SELECT doc_id, a, unnest(range(1, len(a) - 1)) AS i
+        |        FROM arrf WHERE len(a) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS shingle
+        |       FROM sh0),
+        |sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+        |rare AS (SELECT sh.* FROM sh
+        |         JOIN (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle) f USING (shingle)
+        |         WHERE f.df <= 1000),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |       round(inter / CAST(sa.set_size + sb.set_size - inter AS DOUBLE), 6) AS jaccard
+        |FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE inter / CAST(sa.set_size + sb.set_size - inter AS DOUBLE) >= 0.7
+        |ORDER BY id_a, id_b""".stripMargin,
+    "ann_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.query_id, e.vec_id,
+        |             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS sim
+        |      FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, vec_id, sim,
+        |             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+        |      FROM s)
+        |SELECT query_id, vec_id, round(sim, 6) AS sim, CAST(rnk AS BIGINT) AS nn_rank
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, nn_rank""".stripMargin,
+    "ann_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |             CAST(b.embedding AS DOUBLE[])), 6) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])) >= 0.40
+        |ORDER BY id_a, id_b""".stripMargin,
+    "lang_id" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(regexp_replace(text, '[^ऀ-ॿ]', '', 'g')) / greatest(length(text), 1) > 0.3 THEN 'hi'
+        |       WHEN length(regexp_replace(text, '[^઀-૿]', '', 'g')) / greatest(length(text), 1) > 0.3 THEN 'gu'
+        |       WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(length(text), 1) > 0.3 THEN 'en'
+        |       ELSE 'und' END AS lang_pred
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "quality_score" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         length(text) AS n_chars,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |         length(regexp_replace(text, '\s+', '', 'g')) AS squeezed,
+        |         length(regexp_replace(text, '[^.,;:!?।॥''"()\[\]-]', '', 'g')) AS punct,
+        |         length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+        |         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |             w -> w IN ('the','a','of','and','to','in','is','और','की','के','અને','છે'))) AS stop_hits
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE squeezed / CAST(n_tokens AS DOUBLE) END, 6) AS avg_token_len,
+        |       round(punct / CAST(greatest(n_chars, 1) AS DOUBLE), 6) AS punct_ratio,
+        |       round(digits / CAST(greatest(n_chars, 1) AS DOUBLE), 6) AS digit_ratio,
+        |       round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE stop_hits / CAST(n_tokens AS DOUBLE) END, 6) AS stopword_ratio,
+        |       round(0.4 * (CASE WHEN n_tokens BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.0 END)
+        |           + 0.3 * (1.0 - least(punct / CAST(greatest(n_chars, 1) AS DOUBLE) * 5, 1.0))
+        |           + 0.3 * (1.0 - least(digits / CAST(greatest(n_chars, 1) AS DOUBLE) * 5, 1.0)), 6) AS quality_score
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "token_counts" ->
+      """SELECT doc_id,
+        |       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[ऀ-ॿ઀-૿]+|[^A-Za-z0-9ऀ-ॿ઀-૿\s]')) AS BIGINT) AS bpeish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |       CAST(doc_id % 1920 + 16 AS BIGINT) AS width,
+        |       CAST(doc_id % 1080 + 16 AS BIGINT) AS height,
+        |       CASE doc_id % 3 WHEN 0 THEN 'rgb8' WHEN 1 THEN 'gray8' ELSE 'rgba8' END AS format,
+        |       CAST(64 AS BIGINT) AS payload_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

@@ -205,7 +205,9 @@ object Webtext {
       col("doc_id"),
       concat(lit("https://example.org/"), col("lang"), lit("/"), col("source"),
         lit("/"), lpad(col("doc_id").cast("string"), 8, "0")).as("url"),
-      expr("timestamp'2020-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, doc_id * 137)")
+      // ~1.6 days apart: 500 docs span >2 years, so year-range filters are
+      // selective even at the smallest scale factor
+      expr("timestamp'2020-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, doc_id * 139733)")
         .as("warc_ts"),
       concat(lit("<html><head><title>doc-"), col("doc_id"),
         lit("</title></head><body><p>"),

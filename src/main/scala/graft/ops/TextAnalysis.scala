@@ -59,14 +59,16 @@ object TextAnalysis {
   }
 
   /** Token counts: whitespace tokens and a BPE-ish pre-tokenizer count
-    * (runs of letters, runs of digits, single punctuation marks — the classic
-    * GPT-2-style pre-tokenization shape, without the merges).
+    * (runs of letters per script, runs of digits, single punctuation marks —
+    * the classic GPT-2-style pre-tokenization shape, without the merges).
+    * RE2-compatible alternation (no lookarounds) so the same pattern runs in
+    * the DuckDB oracle.
     */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[\\u0900-\\u097F\\u0A80-\\u0AFF]+|[^A-Za-z0-9\\u0900-\\u097F\\u0A80-\\u0AFF\\s]"
+
   def tokenCountColumns(text: Column): Seq[(String, Column)] = {
     val ws = when(length(trim(text)) === 0, 0).otherwise(size(split(trim(text), "\\s+")))
-    val bpeish = size(filter(
-      split(text, "(?<=[^A-Za-z0-9\\u0900-\\u0AFF])|(?=[^A-Za-z0-9\\u0900-\\u0AFF])"),
-      s => length(trim(s)) > 0))
+    val bpeish = size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
     Seq("ws_tokens" -> ws, "bpeish_tokens" -> bpeish)
   }
 

@@ -82,6 +82,12 @@ object Bm25Query {
     val terms = queryTerms(q)
     if (terms.isEmpty)
       return SearchResult(Nil, 0L, "eq", suggest(spark, idx, q.lang, q.query))
+    // full analyzed token list → (distinct-term index, qPos): repeated words
+    // in a phrase map to the same posting iterator at different positions
+    val termIndex = terms.map(_._1).zipWithIndex.toMap
+    val phrasePlan: Array[(Int, Int)] =
+      if (!q.phrase) Array.empty
+      else Analyzer.analyze(q.query, q.lang).map(t => (termIndex(t.term), t.pos))
     val excludeTerms = q.excludeWords
       .flatMap(w => Analyzer.terms(w, q.lang)).distinct.toArray
 
@@ -164,7 +170,8 @@ object Bm25Query {
           }
         }
         if (mode == "all" && tsArr.length < termInfo.length) Iterator.empty
-        else Iterator.single(SearchKernel.run(tsArr, avgdl, mode, phrase, exIts, allowed, k, cap))
+        else Iterator.single(SearchKernel.run(tsArr, avgdl, mode, phrase, exIts,
+          allowed, k, cap, phrasePlan))
       }
       .collect()
 

@@ -59,17 +59,19 @@ object NaiveBm25 {
     val afterPhrase =
       if (!q.phrase) afterMode
       else {
-        val phraseTerms = terms
+        // full analyzed token list — repeated words keep their own positions
+        val phraseTokens: Array[(String, Int)] =
+          Analyzer.analyze(q.query, q.lang).map(t => (t.term, t.pos))
         val phraseOk = udf((text: String, lang: String) => {
           val toks = Analyzer.analyze(text, lang)
-          val posOf = phraseTerms.map { case (t, _) =>
-            toks.filter(_.term == t).map(_.pos).toArray
+          val posOf = phraseTokens.map { case (t, _) =>
+            toks.filter(_.term == t).map(_.pos).toArray.sorted
           }
           val anchor = posOf(0)
           anchor.exists { p0 =>
-            val base = p0 - phraseTerms(0)._2
-            base >= 0 && phraseTerms.indices.forall { j =>
-              java.util.Arrays.binarySearch(posOf(j).sorted, base + phraseTerms(j)._2) >= 0
+            val base = p0 - phraseTokens(0)._2
+            base >= 0 && phraseTokens.indices.forall { j =>
+              java.util.Arrays.binarySearch(posOf(j), base + phraseTokens(j)._2) >= 0
             }
           }
         })

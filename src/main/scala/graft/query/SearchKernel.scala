@@ -81,11 +81,16 @@ final class SortedIdSet(ids: Array[Long]) {
   */
 object SearchKernel {
 
-  /** @param terms      query term states (posting iterators already started)
+  /** @param terms      query term states (posting iterators already started),
+    *                   one per DISTINCT term
     * @param avgdl      corpus average doc length for the language
     * @param mode       All = reference `match` with operator:"and"
     *                   (index_searcher.py:184-191); Any = WAND top-k
     * @param phrase     verify exact consecutive positions (match_phrase, slop 0)
+    * @param phrasePlan full analyzed query token list as (index into `terms`,
+    *                   qPos) — repeated words map to the same TermState but
+    *                   distinct positions ("batch batch" must match two
+    *                   adjacent occurrences, not one)
     * @param excluded   iterators of excluded terms (must_not, :211-221)
     * @param allowed    docId whitelist from facet filters (terms/date filters)
     * @param k          heap size = from + pageSize
@@ -100,14 +105,19 @@ object SearchKernel {
       excluded: Array[PostingIterator],
       allowed: Option[SortedIdSet],
       k: Int,
-      trackTotalHits: Long): SegmentResult = {
+      trackTotalHits: Long,
+      phrasePlan: Array[(Int, Int)] = Array.empty): SegmentResult = {
     if (terms.isEmpty || terms.exists(t => mode == "all" && t.it.exhausted))
       return SegmentResult(Array.empty, 0L, capped = false)
     val live = terms.filter(!_.it.exhausted)
     if (live.isEmpty) return SegmentResult(Array.empty, 0L, capped = false)
     if (mode == "all" && live.length < terms.length)
       return SegmentResult(Array.empty, 0L, capped = false)
-    if (mode == "all") runAnd(terms, avgdl, phrase, excluded, allowed, k, trackTotalHits)
+    val plan =
+      if (!phrase) Array.empty[(Int, Int)]
+      else if (phrasePlan.nonEmpty) phrasePlan
+      else terms.indices.map(i => (i, terms(i).qPos)).toArray
+    if (mode == "all") runAnd(terms, avgdl, phrase, plan, excluded, allowed, k, trackTotalHits)
     else runWand(live, avgdl, excluded, allowed, k, trackTotalHits)
   }
 
@@ -131,6 +141,7 @@ object SearchKernel {
 
   /** Leapfrog conjunction ordered by df asc, with skip-pointer advance. */
   private def runAnd(terms: Array[TermState], avgdl: Double, phrase: Boolean,
+      phrasePlan: Array[(Int, Int)],
       excluded: Array[PostingIterator], allowed: Option[SortedIdSet],
       k: Int, cap: Long): SegmentResult = {
     // leapfrog order: rarest term first = highest idf first
@@ -157,7 +168,7 @@ object SearchKernel {
       else {
         // all at maxDoc == cand
         var ok = passesFilters(maxDoc, excluded, allowed)
-        if (ok && phrase) ok = phraseMatch(terms)
+        if (ok && phrase) ok = phraseMatch(terms, phrasePlan)
         if (ok) {
           var s = 0.0
           var m = 0
@@ -176,20 +187,21 @@ object SearchKernel {
   }
 
   /** Exact consecutive-position verification (slop 0): some base position b
-    * exists with term_j at position b + qPos_j for every query token.
-    * Anchored on the first token's positions.
+    * exists with token_j at position b + qPos_j for EVERY analyzed query
+    * token (repeated words included via phrasePlan). Anchored on the first
+    * token's positions.
     */
-  private def phraseMatch(terms: Array[TermState]): Boolean = {
-    val anchor = terms(0)
-    val anchorPos = anchor.it.positions
+  private def phraseMatch(terms: Array[TermState], plan: Array[(Int, Int)]): Boolean = {
+    val (aIdx, aPos) = plan(0)
+    val anchorPos = terms(aIdx).it.positions
     var a = 0
     while (a < anchorPos.length) {
-      val base = anchorPos(a) - anchor.qPos
+      val base = anchorPos(a) - aPos
       var j = 1
       var ok = base >= 0
-      while (ok && j < terms.length) {
-        val want = base + terms(j).qPos
-        ok = java.util.Arrays.binarySearch(terms(j).it.positions, want) >= 0
+      while (ok && j < plan.length) {
+        val (tIdx, qp) = plan(j)
+        ok = java.util.Arrays.binarySearch(terms(tIdx).it.positions, base + qp) >= 0
         j += 1
       }
       if (ok) return true

@@ -112,6 +112,18 @@ class RankParitySpec extends AnyFunSuite {
     assert(a.totalHits > 0)
   }
 
+  test("phrase with a REPEATED word requires two adjacent occurrences") {
+    val w0 = Webtext.word("hi", 0)
+    val q = QuerySpec("hi", s"$w0 $w0", phrase = true, pageSize = 50)
+    assertParity(q)
+    // sanity: strictly fewer hits than the single-word query (uncapped)
+    val single = Bm25Query.search(spark, idx,
+      QuerySpec("hi", w0, trackTotalHits = 1000000L)).totalHits
+    val doubled = Bm25Query.search(spark, idx,
+      q.copy(trackTotalHits = 1000000L)).totalHits
+    assert(doubled < single && doubled > 0, s"double=$doubled single=$single")
+  }
+
   test("WAND any-mode (disjunctive top-k) parity with oracle") {
     assertParity(QuerySpec("hi", hiPhrase, mode = "any"))
     assertParity(QuerySpec("hi", s"${Webtext.word("hi", 3)} ${Webtext.word("hi", 4000)}", mode = "any"))

@@ -1,24 +1,82 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.corpus.Webtext
+import graft.index.IndexBuild
+import graft.query.{Bm25Query, IndexHandle, QuerySpec}
+
+/** Driver-run benchmark: one JSON line with headline timings.
+  *
+  * Covers the north-star metric directly:
+  *  - `index_build` — wall seconds to build the inverted index over a
+  *    synthetic webtext corpus (docs/sec derivable; also emitted as
+  *    `docs_per_sec` top-level for convenience)
+  *  - `query_and` / `query_any` / `query_phrase` — warm median latency of the
+  *    three BM25 kernel shapes over that index
+  *  - a representative slice of the pipeline operators over the sf tables
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val benchDocs = sys.env.getOrElse("GRAFT_BENCH_DOCS", "50000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def timed[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val r = f
+      results(name) = (System.nanoTime() - t0) / 1e9
+      r
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // ---- north-star: index build throughput ----
+    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_bench_idx_$benchDocs"
+    val d = new java.io.File(idxDir)
+    if (d.exists()) scala.reflect.io.Directory(d).deleteRecursively()
+    timed("index_build") {
+      IndexBuild.build(spark, Webtext.synthesize(spark, benchDocs).toDF(), idxDir,
+        numChunks = 1)
+    }
+    val docsPerSec = benchDocs / results("index_build")
+
+    // ---- warm query latencies over the built index ----
+    val idx = IndexHandle.load(idxDir)
+    val hiPhrase = Webtext.GoldenPhrase("hi").mkString(" ")
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    def queryBench(name: String, q: QuerySpec): Unit = {
+      Bm25Query.search(spark, idx, q) // warmup
+      results(name) = median((1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        Bm25Query.search(spark, idx, q)
+        (System.nanoTime() - t0) / 1e9
+      })
+    }
+    queryBench("query_and", QuerySpec("hi", hiPhrase))
+    queryBench("query_any", QuerySpec("hi", hiPhrase, mode = "any"))
+    queryBench("query_phrase", QuerySpec("hi", hiPhrase, phrase = true))
+    queryBench("query_filtered", QuerySpec("hi", hiPhrase,
+      metaFilters = Map("category" -> Seq("Pravachan")), yearRange = Some((2020, 2021))))
+
+    // ---- representative pipeline operators over the sf tables ----
+    for (name <- Seq("q1_agg", "tokenize_tf", "dedup_jaccard", "dedup_minhash",
+        "ann_cosine_topk", "fwd_fill", "quality_score")) {
+      val fn = SparkEntry.queries(name)
+      timed(name) { fn(spark, sfDir).count() }
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","bench_docs":$benchDocs,"docs_per_sec":$docsPerSec%.1f}""")
     spark.stop()
   }
 }

@@ -115,8 +115,20 @@ object Analyzer extends Serializable {
     * left-to-right longest-match scan (all sources here are 3 UTF-16 chars),
     * mirroring Lucene MappingCharFilter.
     */
+  // first chars of any mapping source, per table — cheap guard that avoids a
+  // substring allocation per scanned character on the hot path
+  private val firstCharCache = new java.util.concurrent.ConcurrentHashMap[Map[String, String], Set[Char]]()
+  private def firstChars(table: Map[String, String]): Set[Char] =
+    firstCharCache.computeIfAbsent(table, t => t.keySet.map(_.charAt(0)))
+
   def charFilter(text: String, table: Map[String, String]): (String, Array[Int]) = {
     if (table.isEmpty) return (text, null)
+    val starts = firstChars(table)
+    // fast path: no mapping can apply → no rewrite, identity offsets
+    var any = false
+    var j = 0
+    while (!any && j < text.length) { if (starts.contains(text.charAt(j))) any = true; j += 1 }
+    if (!any) return (text, null)
     val sb = new java.lang.StringBuilder(text.length)
     val offs = new Array[Int](text.length + 8)
     var n = 0
@@ -128,7 +140,7 @@ object Analyzer extends Serializable {
     }
     var i = 0
     while (i < text.length) {
-      if (i + 3 <= text.length) {
+      if (i + 3 <= text.length && starts.contains(text.charAt(i))) {
         val repl = table.getOrElse(text.substring(i, i + 3), null)
         if (repl != null) {
           var k = 0
@@ -173,7 +185,10 @@ object Analyzer extends Serializable {
     var end = bi.next()
     while (end != BreakIterator.DONE) {
       if (bi.getRuleStatus != BreakIterator.WORD_NONE) {
-        val term = nfkcCf.normalize(filtered.substring(start, end))
+        val raw = filtered.substring(start, end)
+        // isNormalized is allocation-free; most tokens (already lowercase,
+        // already NFC) skip the normalize pass entirely
+        val term = if (nfkcCf.isNormalized(raw)) raw else nfkcCf.normalize(raw)
         if (term.nonEmpty) {
           if (!stop.contains(term)) {
             val oStart = if (offs == null) start else offs(start)

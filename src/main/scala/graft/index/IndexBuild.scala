@@ -96,7 +96,7 @@ object IndexBuild {
       input: DataFrame,
       outDir: String,
       numChunks: Int = 4,
-      saltTargetPostings: Int = 1 << 16,
+      saltTargetPostings: Int = 8192,
       shufflePartitions: Int = 0,
       failAfterChunk: Int = Int.MaxValue // test hook: simulate a kill
   ): Unit = {
@@ -105,8 +105,11 @@ object IndexBuild {
     fs.mkdirs()
     val done = Manifest.doneChunks(outDir)
     val webtext = normalizeInput(input)
+    // the term exchange needs MANY more partitions than cores: each partition
+    // is sorted in memory, so size them to ~100-200k token rows, not to the
+    // core count (a cores-sized exchange spills and kills scaling)
     val parts = if (shufflePartitions > 0) shufflePartitions
-                else spark.sparkContext.defaultParallelism
+                else spark.sparkContext.defaultParallelism * 8
 
     for (k <- 0 until numChunks) {
       if (done.contains(k)) {
@@ -199,13 +202,35 @@ object IndexBuild {
           }
 
         // ---- sort-merge across salted runs → final per-term postings ----
-        val segments = runs
-          .groupByKey(r => (r.lang, r.term))
-          .mapGroups { (key: (String, String), rs: Iterator[Run]) =>
-            val (blob, posBlob, df, cf) =
-              PostingListMerger.merge(rs.map(r => (r.blob, r.posBlob)).toSeq)
-            SegmentRow(k, key._1, Math.floorMod(key._2.hashCode, DefaultBuckets),
-              key._2, df.toLong, cf, blob, posBlob)
+        // Non-salted terms (the overwhelming majority) have exactly ONE run
+        // (range partitioning colocates the whole (lang,term,0) key), already
+        // in final format → bypass the merge shuffle entirely. Only head-term
+        // runs are exchanged and k-way merged.
+        def toSegment(r: Run): SegmentRow = {
+          val reader = new PostingListReader(r.blob, r.posBlob)
+          SegmentRow(k, r.lang, Math.floorMod(r.term.hashCode, DefaultBuckets),
+            r.term, reader.df.toLong, reader.cf, r.blob, r.posBlob)
+        }
+        val segments =
+          if (heads.isEmpty) runs.map(toSegment _)
+          else {
+            // persist before branching: the two branches would otherwise each
+            // re-run the sort+encode stage (the exchange is reused by Spark,
+            // the post-shuffle map stages are not)
+            val runsP = runs.persist(StorageLevel.MEMORY_AND_DISK)
+            val direct = runsP
+              .filter(r => !headsB.value.contains((r.lang, r.term)))
+              .map(toSegment _)
+            val merged = runsP
+              .filter(r => headsB.value.contains((r.lang, r.term)))
+              .groupByKey(r => (r.lang, r.term))
+              .mapGroups { (key: (String, String), rs: Iterator[Run]) =>
+                val (blob, posBlob, df, cf) =
+                  PostingListMerger.merge(rs.map(r => (r.blob, r.posBlob)).toSeq)
+                SegmentRow(k, key._1, Math.floorMod(key._2.hashCode, DefaultBuckets),
+                  key._2, df.toLong, cf, blob, posBlob)
+              }
+            direct.union(merged)
           }
 
         val nTerms = spark.sparkContext.longAccumulator(s"terms-chunk-$k")

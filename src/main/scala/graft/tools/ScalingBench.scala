@@ -1,0 +1,78 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.corpus.Webtext
+import graft.index.IndexBuild
+import graft.query.{Bm25Query, IndexHandle, QuerySpec}
+
+/** Scaling evidence for the north rule: the same index-build job at two
+  * parallelism levels (local[N] vs local[4N]) on the SAME input, reporting
+  * throughput at both and the scaling efficiency
+  *   eff = (T_N · N) / (T_4N · 4N)            (≥ 0.8 required)
+  * — the sandbox substitute for an N- vs 4N-executor cluster (BASELINE.md).
+  */
+object ScalingBench {
+  def main(args: Array[String]): Unit = {
+    val docs = sys.env.getOrElse("GRAFT_BENCH_DOCS", "100000").toLong
+    val lo = sys.env.getOrElse("GRAFT_SCALE_N", "8").toInt
+    val hi = lo * 4
+    val chunks = sys.env.getOrElse("GRAFT_CHUNKS", "2").toInt
+
+    def session(cpus: Int): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .appName(s"graft-scaling-$cpus")
+        .config("spark.sql.shuffle.partitions", cpus.toString)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.host", "127.0.0.1")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+
+    def rm(p: String): Unit = {
+      val d = new java.io.File(p)
+      if (d.exists()) scala.reflect.io.Directory(d).deleteRecursively()
+    }
+
+    // JIT warmup on a small corpus so the first timed run isn't penalized
+    locally {
+      val s = session(lo)
+      rm("/tmp/graft_scale_warm")
+      IndexBuild.build(s, Webtext.synthesize(s, 5000).toDF(), "/tmp/graft_scale_warm",
+        numChunks = 1)
+      s.stop()
+    }
+
+    def run(cpus: Int): (Double, Double, Double) = {
+      val s = session(cpus)
+      val dir = s"/tmp/graft_scale_$cpus"
+      rm(dir)
+      val t0 = System.nanoTime()
+      IndexBuild.build(s, Webtext.synthesize(s, docs, partitions = cpus * 4).toDF(),
+        dir, numChunks = chunks)
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      // warm query latency at this parallelism
+      val idx = IndexHandle.load(dir)
+      val q = QuerySpec("hi", Webtext.GoldenPhrase("hi").mkString(" "))
+      Bm25Query.search(s, idx, q)
+      val lat = (1 to 5).map { _ =>
+        val q0 = System.nanoTime()
+        Bm25Query.search(s, idx, q)
+        (System.nanoTime() - q0) / 1e9
+      }.sorted.apply(2)
+      s.stop()
+      (tBuild, docs / tBuild, lat)
+    }
+
+    val (tLo, thrLo, latLo) = run(lo)
+    val (tHi, thrHi, latHi) = run(hi)
+    val eff = (tLo * lo) / (tHi * hi)
+    println(f"""{"metric":"scaling","docs":$docs,"chunks":$chunks,""" +
+      f""""n_cores":$lo,"t_n_sec":$tLo%.2f,"docs_per_sec_n":$thrLo%.1f,"query_p50_n_sec":$latLo%.3f,""" +
+      f""""n4_cores":$hi,"t_4n_sec":$tHi%.2f,"docs_per_sec_4n":$thrHi%.1f,"query_p50_4n_sec":$latHi%.3f,""" +
+      f""""efficiency":$eff%.3f}""")
+  }
+}

@@ -248,11 +248,53 @@ object SparkEntry {
         .orderBy("chunk")
     }),
 
-    // ---- scalar plane: uuid5 (rows-only; DuckDB lacks sha1) ----
+    // ---- scalar plane: uuid5 via native Catalyst Expression (codegen'd;
+    // rows-only check — DuckDB lacks sha1; golden-vector gated in specs) ----
     "uuid5_ids" -> ((s, dir) =>
       Webtext.fromDocuments(s, dir)
-        .select(col("doc_id"), GraftFunctions.uuid5_url(col("url")).as("document_id"))
+        .select(col("doc_id"),
+          graft.functions.Uuid5Expr.uuid5(col("url")).as("document_id"))
         .orderBy("doc_id")),
+
+    // ---- stateful sequence op T1 (line→paragraph combine), declarative ----
+    "paragraph_combine" -> ((s, dir) => {
+      // deterministic "OCR lines" derived from documents: 8-word lines, every
+      // (doc_id+i)%3==2 line gets a sentence terminator
+      val words = split(col("text"), " ")
+      val lines = documents(s, dir)
+        .select(col("doc_id"), words.as("w"))
+        .select(col("doc_id"), explode(sequence(lit(0),
+          least(lit(4), ((size(col("w")) - 1) / 8).cast("int")))).as("line_num"),
+          col("w"))
+        .select(col("doc_id"), col("line_num"),
+          concat(array_join(slice(col("w"), col("line_num") * 8 + 1, lit(8)), " "),
+            when(pmod(col("doc_id") + col("line_num"), lit(3)) === 2, ".").otherwise(""))
+            .as("line"))
+      graft.ops.Paragraphs.combineLinesSql(lines)
+    }),
+
+    // ---- array scalar plane (U4 page-range expansion) ----
+    "array_ops" -> ((s, dir) => {
+      documents(s, dir)
+        .select(col("doc_id"),
+          explode(array_sort(array_distinct(concat(
+            sequence(pmod(col("doc_id"), lit(5)), pmod(col("doc_id"), lit(5)) + 2),
+            sequence(pmod(col("doc_id"), lit(3)), pmod(col("doc_id"), lit(3)) + 4)))))
+            .as("page"))
+        .orderBy("doc_id", "page")
+    }),
+
+    // ---- date scalar plane (dd-MM-yyyy parsing + year bounds) ----
+    "date_parse" -> ((s, dir) => {
+      val dstr = concat(
+        lpad((pmod(col("doc_id"), lit(28)) + 1).cast("string"), 2, "0"), lit("-"),
+        lpad((pmod(col("doc_id"), lit(12)) + 1).cast("string"), 2, "0"), lit("-2021"))
+      documents(s, dir)
+        .select(col("doc_id"), to_date(dstr, "dd-MM-yyyy").as("parsed"),
+          make_date(lit(2021), lit(1), lit(1)).as("year_start"),
+          make_date(lit(2021), lit(12), lit(31)).as("year_end"))
+        .orderBy("doc_id")
+    }),
 
     // ---- dedup family ----
     "dedup_exact" -> ((s, dir) => {
@@ -427,6 +469,39 @@ object SparkEntry {
       """SELECT CAST(doc_id % 8 AS BIGINT) AS chunk, CAST(count(*) AS BIGINT) AS docs
         |FROM documents WHERE doc_id % 8 NOT IN (0, 1, 2, 3)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "paragraph_combine" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS w FROM documents),
+        |ls AS (SELECT doc_id, unnest(range(0, least(4, (len(w) - 1) // 8) + 1)) AS line_num, w
+        |       FROM w),
+        |lines AS (
+        |  SELECT doc_id, CAST(line_num AS INT) AS line_num,
+        |         array_to_string(w[line_num * 8 + 1 : line_num * 8 + 8], ' ') ||
+        |           CASE WHEN (doc_id + line_num) % 3 = 2 THEN '.' ELSE '' END AS line
+        |  FROM ls),
+        |flagged AS (
+        |  SELECT doc_id, line_num, line,
+        |         CASE WHEN regexp_matches(trim(line), '[.!?।॥]$') THEN 1 ELSE 0 END AS term_flag
+        |  FROM lines),
+        |grp AS (
+        |  SELECT doc_id, line_num, line,
+        |         CAST(COALESCE(SUM(term_flag) OVER (PARTITION BY doc_id ORDER BY line_num
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS para_id
+        |  FROM flagged)
+        |SELECT doc_id, para_id, string_agg(line, ' ' ORDER BY line_num) AS text
+        |FROM grp GROUP BY doc_id, para_id ORDER BY doc_id, para_id""".stripMargin,
+    "array_ops" ->
+      """SELECT doc_id,
+        |       unnest(list_sort(list_distinct(
+        |         range(doc_id % 5, doc_id % 5 + 3) || range(doc_id % 3, doc_id % 3 + 5)))) AS page
+        |FROM documents ORDER BY doc_id, page""".stripMargin,
+    "date_parse" ->
+      """SELECT doc_id,
+        |       CAST(strptime(lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || '-' ||
+        |            lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '-2021',
+        |            '%d-%m-%Y') AS DATE) AS parsed,
+        |       make_date(2021, 1, 1) AS year_start,
+        |       make_date(2021, 12, 31) AS year_end
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """WITH planted AS (
         |  SELECT doc_id, text FROM documents

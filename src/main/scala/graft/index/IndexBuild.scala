@@ -111,6 +111,14 @@ object IndexBuild {
     val parts = if (shufflePartitions > 0) shufflePartitions
                 else spark.sparkContext.defaultParallelism * 8
 
+    val verbose = sys.env.get("GRAFT_BUILD_VERBOSE").contains("1")
+    def phase[T](name: String)(f: => T): T = {
+      val p0 = System.nanoTime()
+      val r = f
+      if (verbose) println(f"[build] $name: ${(System.nanoTime() - p0) / 1e9}%.1f s")
+      r
+    }
+
     for (k <- 0 until numChunks) {
       if (done.contains(k)) {
         // resume: skip without recomputation (reference checksum-skip analog)
@@ -143,12 +151,14 @@ object IndexBuild {
           .persist(StorageLevel.MEMORY_AND_DISK) // DISK_ONLY at 100TB scale
 
         // ---- docstore ----
-        tokenized
-          .select($"docId", $"url", $"warc_ts", $"text", $"lang", $"meta", $"dl",
-            year($"warc_ts").as("year"))
-          .write.mode(SaveMode.Overwrite).parquet(s"$outDir/docstore/chunk=$k")
+        phase(s"docstore+tokenize c$k") {
+          tokenized
+            .select($"docId", $"url", $"warc_ts", $"text", $"lang", $"meta", $"dl",
+              year($"warc_ts").as("year"))
+            .write.mode(SaveMode.Overwrite).parquet(s"$outDir/docstore/chunk=$k")
+        }
 
-        val (nDocs, nTokens) = {
+        val (nDocs, nTokens) = phase(s"stats agg c$k") {
           val r = tokenized.agg(count(lit(1)), coalesce(sum($"dl"), lit(0L))).collect()(0)
           (r.getLong(0), r.getLong(1))
         }
@@ -161,13 +171,15 @@ object IndexBuild {
           .as[TermDoc]
 
         // ---- head-term detection for salting (per-chunk df agg) ----
-        val heads: Map[(String, String), Int] = termDocs
-          .groupBy($"lang", $"term").agg(count(lit(1)).as("df"))
-          .filter($"df" > saltTargetPostings)
-          .collect()
-          .map(r => (r.getString(0), r.getString(1)) ->
-            math.min(1024, math.ceil(r.getLong(2).toDouble / saltTargetPostings).toInt))
-          .toMap
+        val heads: Map[(String, String), Int] = phase(s"head df agg c$k") {
+          termDocs
+            .groupBy($"lang", $"term").agg(count(lit(1)).as("df"))
+            .filter($"df" > saltTargetPostings)
+            .collect()
+            .map(r => (r.getString(0), r.getString(1)) ->
+              math.min(1024, math.ceil(r.getLong(2).toDouble / saltTargetPostings).toInt))
+            .toMap
+        }
         val headsB = spark.sparkContext.broadcast(heads)
         val saltOf = udf((lang: String, term: String, docId: Long) =>
           headsB.value.get((lang, term)) match {
@@ -234,14 +246,17 @@ object IndexBuild {
           }
 
         val nTerms = spark.sparkContext.longAccumulator(s"terms-chunk-$k")
-        segments.map { s => nTerms.add(1L); s }
-          .toDF()
-          .drop("chunk") // supplied by the chunk=K partition dir on read
-          .repartition(math.max(parts / 4, 1), $"term")
-          .sortWithinPartitions($"lang", $"term") // parquet row-group stats → term pushdown
-          .write.mode(SaveMode.Overwrite).parquet(s"$outDir/segments/chunk=$k")
+        phase(s"exchange+encode+merge+write segments c$k") {
+          segments.map { s => nTerms.add(1L); s }
+            .toDF()
+            .drop("chunk") // supplied by the chunk=K partition dir on read
+            .repartition(math.max(parts / 4, 1), $"term")
+            .sortWithinPartitions($"lang", $"term") // parquet row-group stats → term pushdown
+            .write.mode(SaveMode.Overwrite).parquet(s"$outDir/segments/chunk=$k")
+        }
 
         // ---- facet index: sorted docId lists per (lang, key, value) + year ----
+        phase(s"facets c$k") {
         val metaPairs = tokenized.select($"lang", $"docId", explode($"meta").as(Seq("key", "value")))
           .union(tokenized.select($"lang", $"docId",
             lit("year").as("key"), year($"warc_ts").cast("string").as("value")))
@@ -261,6 +276,7 @@ object IndexBuild {
           .toDF()
           .drop("chunk") // supplied by the chunk=K partition dir on read
           .write.mode(SaveMode.Overwrite).parquet(s"$outDir/facets/chunk=$k")
+        }
 
         tokenized.unpersist()
         val wallMs = (System.nanoTime() - t0) / 1000000

@@ -27,6 +27,7 @@ object ScalingBench {
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
+        .config("spark.local.dir", s"/dev/shm/graft-spark-${ProcessHandle.current().pid()}-$cpus")
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       s
@@ -40,15 +41,15 @@ object ScalingBench {
     // JIT warmup on a small corpus so the first timed run isn't penalized
     locally {
       val s = session(lo)
-      rm("/tmp/graft_scale_warm")
-      IndexBuild.build(s, Webtext.synthesize(s, 5000).toDF(), "/tmp/graft_scale_warm",
+      rm("/dev/shm/graft_scale_warm")
+      IndexBuild.build(s, Webtext.synthesize(s, 5000).toDF(), "/dev/shm/graft_scale_warm",
         numChunks = 1)
       s.stop()
     }
 
     def run(cpus: Int): (Double, Double, Double) = {
       val s = session(cpus)
-      val dir = s"/tmp/graft_scale_$cpus"
+      val dir = s"/dev/shm/graft_scale_$cpus"
       rm(dir)
       val t0 = System.nanoTime()
       IndexBuild.build(s, Webtext.synthesize(s, docs, partitions = cpus * 4).toDF(),
@@ -70,6 +71,8 @@ object ScalingBench {
     val (tLo, thrLo, latLo) = run(lo)
     val (tHi, thrHi, latHi) = run(hi)
     val eff = (tLo * lo) / (tHi * hi)
+    Seq(s"/dev/shm/graft_scale_$lo", s"/dev/shm/graft_scale_$hi",
+      "/dev/shm/graft_scale_warm").foreach(rm) // tmpfs hygiene
     println(f"""{"metric":"scaling","docs":$docs,"chunks":$chunks,""" +
       f""""n_cores":$lo,"t_n_sec":$tLo%.2f,"docs_per_sec_n":$thrLo%.1f,"query_p50_n_sec":$latLo%.3f,""" +
       f""""n4_cores":$hi,"t_4n_sec":$tHi%.2f,"docs_per_sec_4n":$thrHi%.1f,"query_p50_4n_sec":$latHi%.3f,""" +

@@ -47,35 +47,55 @@ object ScalingBench {
       s.stop()
     }
 
-    def run(cpus: Int): (Double, Double, Double) = {
-      val s = session(cpus)
-      val dir = s"/dev/shm/graft_scale_$cpus"
-      rm(dir)
-      val t0 = System.nanoTime()
-      IndexBuild.build(s, Webtext.synthesize(s, docs, partitions = cpus * 4).toDF(),
-        dir, numChunks = chunks)
-      val tBuild = (System.nanoTime() - t0) / 1e9
-      // warm query latency at this parallelism
-      val idx = IndexHandle.load(dir)
-      val q = QuerySpec("hi", Webtext.GoldenPhrase("hi").mkString(" "))
-      Bm25Query.search(s, idx, q)
-      val lat = (1 to 5).map { _ =>
-        val q0 = System.nanoTime()
+    // This sandbox is a VM whose host steals CPU in waves (observed minutes
+    // of heavy steal): a single wall-clock sample can be off by 4×. Each
+    // level runs `attempts` times; we keep the fastest attempt (capability
+    // under least external interference) and report the steal fraction
+    // measured during it.
+    def cpuStat(): (Long, Long) = {
+      val f = scala.io.Source.fromFile("/proc/stat").getLines().next().split("\\s+")
+      val vals = f.drop(1).map(_.toLong)
+      (vals.sum, vals(7)) // total jiffies, steal jiffies
+    }
+    val attempts = sys.env.getOrElse("GRAFT_ATTEMPTS", "3").toInt
+
+    def run(cpus: Int): (Double, Double, Double, Double) = {
+      var best = (Double.MaxValue, 0.0, 0.0, 0.0) // wall, thr, lat, stealPct
+      for (a <- 1 to attempts) {
+        val s = session(cpus)
+        val dir = s"/dev/shm/graft_scale_$cpus"
+        rm(dir)
+        val (tot0, st0) = cpuStat()
+        val t0 = System.nanoTime()
+        IndexBuild.build(s, Webtext.synthesize(s, docs, partitions = cpus * 4).toDF(),
+          dir, numChunks = chunks)
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        val (tot1, st1) = cpuStat()
+        val stealPct = if (tot1 == tot0) 0.0 else 100.0 * (st1 - st0) / (tot1 - tot0)
+        // warm query latency at this parallelism
+        val idx = IndexHandle.load(dir)
+        val q = QuerySpec("hi", Webtext.GoldenPhrase("hi").mkString(" "))
         Bm25Query.search(s, idx, q)
-        (System.nanoTime() - q0) / 1e9
-      }.sorted.apply(2)
-      s.stop()
-      (tBuild, docs / tBuild, lat)
+        val lat = (1 to 5).map { _ =>
+          val q0 = System.nanoTime()
+          Bm25Query.search(s, idx, q)
+          (System.nanoTime() - q0) / 1e9
+        }.sorted.apply(2)
+        s.stop()
+        System.err.println(f"[scaling] cores=$cpus attempt=$a wall=$tBuild%.1f s steal=$stealPct%.1f%%")
+        if (tBuild < best._1) best = (tBuild, docs / tBuild, lat, stealPct)
+      }
+      best
     }
 
-    val (tLo, thrLo, latLo) = run(lo)
-    val (tHi, thrHi, latHi) = run(hi)
+    val (tLo, thrLo, latLo, stLo) = run(lo)
+    val (tHi, thrHi, latHi, stHi) = run(hi)
     val eff = (tLo * lo) / (tHi * hi)
     Seq(s"/dev/shm/graft_scale_$lo", s"/dev/shm/graft_scale_$hi",
       "/dev/shm/graft_scale_warm").foreach(rm) // tmpfs hygiene
     println(f"""{"metric":"scaling","docs":$docs,"chunks":$chunks,""" +
-      f""""n_cores":$lo,"t_n_sec":$tLo%.2f,"docs_per_sec_n":$thrLo%.1f,"query_p50_n_sec":$latLo%.3f,""" +
-      f""""n4_cores":$hi,"t_4n_sec":$tHi%.2f,"docs_per_sec_4n":$thrHi%.1f,"query_p50_4n_sec":$latHi%.3f,""" +
+      f""""n_cores":$lo,"t_n_sec":$tLo%.2f,"docs_per_sec_n":$thrLo%.1f,"query_p50_n_sec":$latLo%.3f,"steal_pct_n":$stLo%.1f,""" +
+      f""""n4_cores":$hi,"t_4n_sec":$tHi%.2f,"docs_per_sec_4n":$thrHi%.1f,"query_p50_4n_sec":$latHi%.3f,"steal_pct_4n":$stHi%.1f,""" +
       f""""efficiency":$eff%.3f}""")
   }
 }

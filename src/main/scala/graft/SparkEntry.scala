@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.corpus.Webtext
 import graft.functions.GraftFunctions
 import graft.index.IndexBuild
-import graft.ops.{Dedup, MultiModal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, HybridRank, MultiModal, Similarity, TextAnalysis}
 import graft.query.{Bm25Query, IndexHandle, QuerySpec}
 
 /** Driver contract: one `queries` entry per implemented operator family
@@ -363,6 +363,34 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.md5Fingerprint(col("text")).as("fp_md5"))
         .orderBy("doc_id")),
 
+    // ---- hybrid lexical+vector fusion (J3 full outer, A8 max-norm, W3) ----
+    "hybrid_rank" -> ((s, dir) => {
+      import s.implicits._
+      // lexical side: ALL AND-matches for (spark, data) over en docs (no page
+      // cut — normalization needs the full result set)
+      val res = Bm25Query.search(s, index(s, dir),
+        QuerySpec("en", "spark data", pageSize = 1000000, trackTotalHits = 1000000000L))
+      val lex = res.hits.map(h => (h.docId, h.score)).toDF("doc_id", "score")
+      // vector side: cosine of every embedding to query vector vec_id=0
+      val emb = embeddings(s, dir)
+      val q0 = emb.where(col("vec_id") === 0)
+        .select(col("embedding").as("q_embedding"))
+      val vec = emb.crossJoin(broadcast(q0))
+        .select(col("vec_id").as("doc_id"),
+          udf((a: Seq[Float], b: Seq[Float]) => Similarity.cosine(a, b))
+            .apply(col("embedding"), col("q_embedding")).as("score"))
+      HybridRank.fuse(lex, vec, k = 20)
+    }),
+
+    // ---- granth nested-structure plane (S7 flatten, A2 facet) ----
+    "granth_flatten" -> ((s, dir) =>
+      graft.ops.Granth.flattenVerses(graft.ops.Granth.synthesize(s, 50))
+        .orderBy("granthId", "seq_num")),
+    "granth_date_facet" -> ((s, dir) =>
+      graft.ops.Granth.dateRangeFacet(graft.ops.Granth.synthesize(s, 50))
+        .select(col("author"), explode(col("date_ranges")).as("date_range"))
+        .orderBy("author", "date_range")),
+
     // ---- multimodal plumbing (decode stub over binary column) ----
     "multimodal_meta" -> ((s, dir) => {
       MultiModal.decodeMedia(s, MultiModal.withMediaColumn(documents(s, dir)))
@@ -593,6 +621,57 @@ object SparkEntry {
     "fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "hybrid_rank" -> {
+      s"""WITH ${tokensCte("WHERE lang = 'en'")},
+         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tokens GROUP BY doc_id),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tokens
+         |       WHERE term IN ('spark', 'data') GROUP BY doc_id, term),
+         |dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |lex AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5)) *
+         |             (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)))) AS score,
+         |         count(*) AS matched
+         |  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+         |  GROUP BY tf.doc_id),
+         |lexical AS (SELECT doc_id, score FROM lex WHERE matched = 2),
+         |vector AS (
+         |  SELECT e.vec_id AS doc_id,
+         |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS score
+         |  FROM embeddings e),
+         |lmax AS (SELECT greatest(max(score), 1e-12) AS m FROM lexical),
+         |vmax AS (SELECT greatest(max(score), 1e-12) AS m FROM vector),
+         |fused AS (
+         |  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         |         round(0.6 * COALESCE(l.score / (SELECT m FROM lmax), 0.0) +
+         |               0.4 * COALESCE(v.score / (SELECT m FROM vmax), 0.0), 6) AS hybrid_score
+         |  FROM lexical l FULL OUTER JOIN vector v ON l.doc_id = v.doc_id)
+         |SELECT doc_id, hybrid_score FROM fused
+         |ORDER BY hybrid_score DESC, doc_id LIMIT 20""".stripMargin
+    },
+    "granth_flatten" ->
+      """WITH g AS (SELECT unnest(range(0, 50)) AS granthId),
+        |v AS (SELECT granthId, unnest(range(1, 4 + granthId % 4)) AS seq FROM g)
+        |SELECT granthId,
+        |       'granth' || granthId AS name,
+        |       'author' || (granthId % 3) AS author,
+        |       CAST(seq - 1 AS BIGINT) AS verse_idx,
+        |       CAST(seq AS INT) AS seq_num,
+        |       CASE WHEN seq % 2 = 0 THEN 'Shlok' ELSE 'Gatha' END AS vtype,
+        |       'verse text ' || granthId || '-' || seq AS verse,
+        |       'translation ' || granthId || '-' || seq AS translation,
+        |       CAST(seq * 2 AS INT) AS page_num,
+        |       'adhikar' || (seq % 2) AS adhikar,
+        |       'teeka ' || granthId || '-' || seq || '-1 | teeka ' || granthId || '-' || seq || '-2' AS teeka_joined
+        |FROM v ORDER BY granthId, seq_num""".stripMargin,
+    "granth_date_facet" ->
+      """WITH g AS (SELECT unnest(range(0, 50)) AS gid)
+        |SELECT DISTINCT 'author' || (gid % 3) AS author,
+        |       lpad(CAST(2000 + gid % 5 AS VARCHAR), 4, '0') || '-01-01..' ||
+        |       lpad(CAST(2000 + gid % 5 AS VARCHAR), 4, '0') || '-12-31' AS date_range
+        |FROM g ORDER BY author, date_range""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id,
         |       CAST(doc_id % 1920 + 16 AS BIGINT) AS width,

@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.functions._
+
+/** Hybrid result fusion — the reference's result_ranker
+  * (backend/search/result_ranker.py:46-104): lexical and vector result sets
+  * are FULL OUTER joined on the doc key, each side's scores normalized by its
+  * max (A8, :72-78), combined 0.6·lexical + 0.4·vector (W3, :81-104), deduped
+  * (U5, :53-57), sorted desc and paginated.
+  */
+object HybridRank {
+
+  val LexicalWeight = 0.6
+  val VectorWeight = 0.4
+
+  /** @param lexical (doc_id, score)   @param vector (doc_id, score) */
+  def fuse(lexical: DataFrame, vector: DataFrame, k: Int): DataFrame = {
+    val lmax = lexical.agg(max("score")).collect()(0)
+    val vmax = vector.agg(max("score")).collect()(0)
+    val lMax = if (lmax.isNullAt(0)) 1.0 else math.max(lmax.getDouble(0), 1e-12)
+    val vMax = if (vmax.isNullAt(0)) 1.0 else math.max(vmax.getDouble(0), 1e-12)
+    val l = lexical.dropDuplicates("doc_id")
+      .select(col("doc_id"), (col("score") / lMax).as("l_norm"))
+    val v = vector.dropDuplicates("doc_id")
+      .select(col("doc_id"), (col("score") / vMax).as("v_norm"))
+    l.join(v, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(lit(LexicalWeight) * coalesce(col("l_norm"), lit(0.0)) +
+          lit(VectorWeight) * coalesce(col("v_norm"), lit(0.0)), 6).as("hybrid_score"))
+      .orderBy(col("hybrid_score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Lexical-vs-vector routing predicate — reference `is_lexical_query`
+    * (backend/search/index_searcher.py:727-743): a query routes to the
+    * lexical engine unless it contains sentence punctuation (incl. danda) or
+    * has ≥ 4 words.
+    */
+  def isLexicalQuery(query: String): Boolean = {
+    if (query == null) return false
+    val q = query.trim
+    if (q.isEmpty) return false
+    val punct = Set('.', ',', '?', '!', ';', ':', '।', '॥')
+    if (q.exists(punct.contains)) return false
+    q.split("\\s+").length < 4
+  }
+}

@@ -80,6 +80,24 @@ object Bench {
     queryBench("query_filtered", QuerySpec("hi", hiPhrase,
       metaFilters = Map("category" -> Seq("Pravachan")), yearRange = Some((2020, 2021))))
 
+    // resident serving layer (reference analog: the always-on OpenSearch
+    // process): load once, serve at memory latency — p50 over 50 queries
+    val tLoad = System.nanoTime()
+    val mem = graft.query.InMemoryIndex.load(spark, idx)
+    results("serve_load") = (System.nanoTime() - tLoad) / 1e9
+    def serveBench(name: String, q: QuerySpec): Unit = {
+      (1 to 5).foreach(_ => mem.search(q))
+      results(name) = median((1 to 50).map { _ =>
+        val t0 = System.nanoTime()
+        mem.search(q)
+        (System.nanoTime() - t0) / 1e9
+      })
+    }
+    serveBench("serve_and_p50", QuerySpec("hi", hiPhrase))
+    serveBench("serve_any_p50", QuerySpec("hi", hiPhrase, mode = "any"))
+    serveBench("serve_phrase_p50", QuerySpec("hi", hiPhrase, phrase = true))
+    serveBench("serve_headterm_p50", QuerySpec("hi", Webtext.word("hi", 0), mode = "any"))
+
     // ---- representative pipeline operators over the sf tables ----
     for (name <- Seq("q1_agg", "tokenize_tf", "dedup_jaccard", "dedup_minhash",
         "ann_cosine_topk", "fwd_fill", "quality_score")) {

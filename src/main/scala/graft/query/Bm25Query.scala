@@ -66,6 +66,14 @@ object IndexHandle {
   */
 object Bm25Query {
 
+  /** Below this Σdf the query collects its posting blobs and runs the kernel
+    * on the driver (one Spark job instead of a cogroup shuffle); above it the
+    * per-segment kernels run in executor tasks. ~5M postings ≈ tens of MB.
+    * Driver-side config knob (mutable for tests / tuning).
+    */
+  @volatile var MaxDriverPostings: Long =
+    sys.env.getOrElse("GRAFT_MAX_DRIVER_POSTINGS", "5000000").toLong
+
   /** Analyze query text with the same analyzer as the index (rank parity
     * precondition) → (term, qPos) pairs; duplicates deduped (Lucene would
     * score duplicate terms twice; the reference UI never issues them — we
@@ -79,37 +87,25 @@ object Bm25Query {
   }
 
   def search(spark: SparkSession, idx: IndexHandle, q: QuerySpec): SearchResult = {
-    val terms = queryTerms(q)
-    if (terms.isEmpty)
-      return SearchResult(Nil, 0L, "eq", suggest(spark, idx, q.lang, q.query))
-    // full analyzed token list → (distinct-term index, qPos): repeated words
-    // in a phrase map to the same posting iterator at different positions
-    val termIndex = terms.map(_._1).zipWithIndex.toMap
-    val phrasePlan: Array[(Int, Int)] =
-      if (!q.phrase) Array.empty
-      else Analyzer.analyze(q.query, q.lang).map(t => (termIndex(t.term), t.pos))
-    val excludeTerms = q.excludeWords
-      .flatMap(w => Analyzer.terms(w, q.lang)).distinct.toArray
-
     val n = idx.numDocs(q.lang)
     val avgdl = idx.avgdl(q.lang)
-    val wantPos = q.phrase
+    val ctxOpt = QueryCore.context(q, n, avgdl)
+    if (ctxOpt.isEmpty)
+      return SearchResult(Nil, 0L, "eq", suggest(spark, idx, q.lang, q.query))
+    val ctx = ctxOpt.get
+    val terms = ctx.terms
 
-    val allTerms = (terms.map(_._1) ++ excludeTerms).distinct
-    val posCol = if (wantPos) col("posBlob") else lit(null).cast("binary").as("posBlob")
+    val allTerms = (terms.map(_._1) ++ ctx.excludeTerms).distinct
+    val posCol = if (ctx.phrase) col("posBlob") else lit(null).cast("binary").as("posBlob")
     val rows = spark.read.parquet(idx.segmentsPath)
       .where(col("lang") === q.lang && col("term").isin(allTerms.toSeq: _*))
       .select(col("chunk"), col("term"), col("df"), col("blob"), posCol)
 
     // facet rows for filters (terms filter Q4 + year range Q5)
-    val facetSel: Seq[(String, Seq[String])] =
-      q.metaFilters.toSeq ++ q.yearRange.map { case (a, b) =>
-        "year" -> (a to b).map(_.toString)
-      }.toSeq
     val facetRows: DataFrame =
-      if (facetSel.isEmpty) null
+      if (ctx.facetSel.isEmpty) null
       else {
-        val cond = facetSel.map { case (k, vs) =>
+        val cond = ctx.facetSel.map { case (k, vs) =>
           col("key") === k && col("value").isin(vs: _*)
         }.reduce(_ || _)
         spark.read.parquet(idx.facetsPath)
@@ -117,72 +113,44 @@ object Bm25Query {
           .select(col("chunk"), col("key"), col("df"), col("docIds"))
       }
 
-    // global df per term across segments (for idf)
+    // global df per term across segments (for idf + execution-path choice)
     import spark.implicits._
     val dfMap: Map[String, Long] = rows.groupBy("term").agg(sum("df").as("df"))
       .as[(String, Long)].collect().toMap
-    val termStats = terms.map { case (t, p) => (t, p, dfMap.getOrElse(t, 0L)) }
-    if (q.mode == "all" && termStats.exists(_._3 == 0L))
+    if (q.mode == "all" && terms.exists(t => dfMap.getOrElse(t._1, 0L) == 0L))
       return SearchResult(Nil, 0L, "eq", suggest(spark, idx, q.lang, q.query))
+    val info = QueryCore.termInfo(ctx, t => dfMap.getOrElse(t, 0L))
 
-    val k = q.from + q.pageSize
-    val nFilters = facetSel.map(_._1).distinct.size
-    val mode = q.mode
-    val phrase = q.phrase
-    val cap = q.trackTotalHits
-    val exSet = excludeTerms.toSet
-    val termInfo = termStats.map { case (t, p, df) => (t, p, Bm25.idf(n, df)) }
-
-    // --- per-segment kernel in executors ---
-    val postingRows = rows.as[(Int, String, Long, Array[Byte], Array[Byte])]
-    val facetRowsDs =
-      if (facetRows == null) spark.emptyDataset[(Int, String, Long, Array[Byte])]
-      else facetRows.as[(Int, String, Long, Array[Byte])]
-
-    val segResults: Array[SegmentResult] = postingRows
-      .groupByKey(_._1)
-      .cogroup(facetRowsDs.groupByKey(_._1)) { case (_, posts, facets) =>
-        val postList = posts.toArray
-        val facetList = facets.toArray
-        // filters: intersect per-key unions of sorted docId lists
-        val allowed: Option[SortedIdSet] =
-          if (nFilters == 0) None
-          else {
-            val byKey = facetList.groupBy(_._2)
-            if (byKey.size < nFilters) Some(new SortedIdSet(Array.empty))
-            else {
-              val lists = byKey.values.map { rowsOfKey =>
-                SortedIds.unionAll(rowsOfKey.map(r => SortedIds.decode(r._4, r._3.toInt)))
-              }.toArray
-              Some(new SortedIdSet(SortedIds.intersectAll(lists)))
-            }
+    // path choice: total candidate postings ≈ Σ df over the query's terms.
+    // Small → collect the blobs and run kernels ON THE DRIVER (one Spark job,
+    // Lucene-like latency). Large (head terms at corpus scale) → per-segment
+    // kernels in executor tasks via cogroup (no postings ever concentrate on
+    // the driver).
+    val totalPostings = dfMap.values.sum
+    val segResults: Array[SegmentResult] =
+      if (totalPostings <= MaxDriverPostings) {
+        val postList = rows.as[QueryCore.PostRow].collect()
+        val facetList =
+          if (facetRows == null) Array.empty[QueryCore.FacetRow]
+          else facetRows.as[QueryCore.FacetRow].collect()
+        val facetByChunk = facetList.groupBy(_._1)
+        postList.groupBy(_._1).iterator.flatMap { case (chunk, posts) =>
+          QueryCore.segmentKernel(ctx, info, posts, facetByChunk.getOrElse(chunk, Array.empty))
+        }.toArray
+      } else {
+        val postingRows = rows.as[QueryCore.PostRow]
+        val facetRowsDs =
+          if (facetRows == null) spark.emptyDataset[QueryCore.FacetRow]
+          else facetRows.as[QueryCore.FacetRow]
+        postingRows
+          .groupByKey(_._1)
+          .cogroup(facetRowsDs.groupByKey(_._1)) { (_: Int, posts, facets) =>
+            QueryCore.segmentKernel(ctx, info, posts.toArray, facets.toArray)
           }
-        val exIts = postList.filter(r => exSet.contains(r._2)).map { r =>
-          val it = new PostingListReader(r._4, null).iterator()
-          it.start(); it
-        }
-        val tsArr = termInfo.flatMap { case (t, qp, idfV) =>
-          postList.find(r => r._2 == t && !exSet.contains(t)).map { r =>
-            val reader = new PostingListReader(r._4, r._5)
-            val it = reader.iterator(withPositions = phrase)
-            it.start()
-            new TermState(t, it, idfV, reader.maxTfNorm(Bm25.K1, Bm25.B, avgdl), qp)
-          }
-        }
-        if (mode == "all" && tsArr.length < termInfo.length) Iterator.empty
-        else Iterator.single(SearchKernel.run(tsArr, avgdl, mode, phrase, exIts,
-          allowed, k, cap, phrasePlan))
+          .collect()
       }
-      .collect()
 
-    // --- driver merge of per-segment heaps ---
-    val merged = new TopK(k)
-    segResults.foreach(_.top.foreach(merged.offer))
-    val page = merged.toArray
-      .sortBy(s => (-s.score, s.docId))
-      .slice(q.from, q.from + q.pageSize)
-    val total = math.min(segResults.map(_.hitCount).sum, cap)
-    val relation = if (segResults.exists(_.capped)) "gte" else "eq"
+    val (page, total, relation) = QueryCore.merge(q, segResults)
 
     // --- payload fetch (J7: semi-join of winner ids against the doc store) ---
     val hits =

@@ -124,6 +124,45 @@ class RankParitySpec extends AnyFunSuite {
     assert(doubled < single && doubled > 0, s"double=$doubled single=$single")
   }
 
+  test("distributed executor-side kernel path gives identical results") {
+    val q = QuerySpec("hi", hiPhrase, phrase = true)
+    val driverRes = Bm25Query.search(spark, idx, q)
+    val saved = Bm25Query.MaxDriverPostings
+    try {
+      Bm25Query.MaxDriverPostings = 0 // force the cogroup/executor path
+      val distRes = Bm25Query.search(spark, idx, q)
+      assert(distRes.hits.map(h => (h.docId, h.score)) ==
+        driverRes.hits.map(h => (h.docId, h.score)))
+      assert(distRes.totalHits == driverRes.totalHits)
+      assertParity(q) // and against the oracle, still on the distributed path
+    } finally Bm25Query.MaxDriverPostings = saved
+  }
+
+  test("resident InMemoryIndex serving layer == Spark query path on all shapes") {
+    val mem = InMemoryIndex.load(spark, idx)
+    val queries = Seq(
+      QuerySpec("hi", hiPhrase),
+      QuerySpec("hi", hiPhrase, phrase = true),
+      QuerySpec("hi", hiPhrase, mode = "any"),
+      QuerySpec("gu", guPhrase),
+      QuerySpec("hi", hiPhrase, excludeWords = Seq(Webtext.word("hi", 30))),
+      QuerySpec("hi", hiPhrase, metaFilters = Map("category" -> Seq("Granth"))),
+      QuerySpec("hi", hiPhrase, yearRange = Some((2020, 2020))),
+      QuerySpec("hi", Webtext.word("hi", 0), trackTotalHits = 50),
+      QuerySpec("hi", "और की")) // stopword-only
+    queries.foreach { q =>
+      val a = mem.search(q)
+      val b = Bm25Query.search(spark, idx, q)
+      assert(a.hits.map(h => (h.docId, h.score)) == b.hits.map(h => (h.docId, h.score)), s"$q")
+      assert(a.totalHits == b.totalHits && a.totalRelation == b.totalRelation, s"$q")
+      assert(a.hits.map(_.highlighted) == b.hits.map(_.highlighted), s"$q")
+    }
+    // suggestions too
+    val real = Webtext.word("hi", 10)
+    val missp = real.dropRight(1) + (if (real.last == 'क') 'ख' else 'क')
+    assert(mem.suggest("hi", missp) == Bm25Query.suggest(spark, idx, "hi", missp))
+  }
+
   test("WAND any-mode (disjunctive top-k) parity with oracle") {
     assertParity(QuerySpec("hi", hiPhrase, mode = "any"))
     assertParity(QuerySpec("hi", s"${Webtext.word("hi", 3)} ${Webtext.word("hi", 4000)}", mode = "any"))

@@ -199,6 +199,26 @@ object SparkEntry {
         .orderBy(col("score").desc, col("df").desc, col("term"))
         .limit(5)
     }),
+    "highlight" -> ((s, dir) => {
+      // Q7: whole-field unified highlighter — every query-term occurrence in
+      // the top-10 hits wrapped in <em> tags (number_of_fragments: 0)
+      import s.implicits._
+      val res = Bm25Query.search(s, index(s, dir),
+        QuerySpec("en", QTerms.mkString(" "), pageSize = 10))
+      res.hits.map(h => (h.docId, h.highlighted)).toDF("doc_id", "highlighted")
+        .orderBy("doc_id")
+    }),
+    "term_dict_lookup" -> ((s, dir) => {
+      // A5: document-frequency lookup straight from the BUILT index's term
+      // dictionary (segments parquet) — chunk doc-sets are disjoint, so
+      // per-chunk df/cf sum to corpus df/cf; DuckDB recomputes from raw text
+      val idx = index(s, dir)
+      s.read.parquet(s"${idx.dir}/segments")
+        .where(col("lang") === "en" && col("term").isin(QTerms: _*))
+        .groupBy("term")
+        .agg(sum("df").as("df"), sum("cf").as("cf"))
+        .orderBy("term")
+    }),
     "topk_payload_join" -> ((s, dir) => {
       // J7: winners semi-joined back to the doc store for payloads
       val hits = engineTopK(s, dir, QuerySpec("en", QTerms.mkString(" "), pageSize = 10))
@@ -236,6 +256,24 @@ object SparkEntry {
     // ---- facets / metadata (A1) ----
     "facet_values" -> ((s, dir) =>
       documents(s, dir).select("lang", "source").distinct().orderBy("lang", "source")),
+
+    // ---- metadata scripted-upsert recompute (S10/A1) ----
+    "metadata_upsert" -> ((s, dir) => {
+      // reference semantics (opensearch.py:341-496): upsert new batch's facet
+      // values into existing per-key docs, keeping values sorted-distinct.
+      // Deterministic recompute form: existing (even docs) ∪ incoming (odd
+      // docs) → distinct → sort, one row per key
+      val d = documents(s, dir)
+      val existing = d.where(pmod(col("doc_id"), lit(2)) === 0)
+        .groupBy("lang").agg(sort_array(collect_set("source")).as("vals"))
+      val incoming = d.where(pmod(col("doc_id"), lit(2)) === 1)
+        .select("lang", "source")
+      existing.select(col("lang"), explode(col("vals")).as("source"))
+        .union(incoming)
+        .groupBy("lang")
+        .agg(array_join(sort_array(collect_set(col("source"))), ",").as("vals"))
+        .orderBy("lang")
+    }),
 
     // ---- checkpoint manifest anti-join (J5) ----
     "checkpoint_pending" -> ((s, dir) => {
@@ -466,6 +504,24 @@ object SparkEntry {
          |SELECT term, df, round(1.0 - dist / CAST(greatest(length(term), 5) AS DOUBLE), 6) AS score
          |FROM cand WHERE 1.0 - dist / CAST(greatest(length(term), 5) AS DOUBLE) >= 0.6
          |ORDER BY score DESC, df DESC, term LIMIT 5""".stripMargin,
+    "highlight" -> {
+      val inner = bm25Oracle(QTerms, requireAll = true, "", 10)
+      s"""WITH hits AS ($inner)
+         |SELECT h.doc_id,
+         |       regexp_replace(d.text, '\\b(${QTerms.mkString("|")})\\b',
+         |                      '<em>\\1</em>', 'g') AS highlighted
+         |FROM hits h JOIN documents d USING (doc_id)
+         |ORDER BY h.doc_id""".stripMargin
+    },
+    "term_dict_lookup" ->
+      s"""WITH ${tokensCte("WHERE lang = 'en'")}
+         |SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         |       CAST(count(*) AS BIGINT) AS cf
+         |FROM tokens WHERE term IN (${QTerms.map(t => s"'$t'").mkString(", ")})
+         |GROUP BY term ORDER BY term""".stripMargin,
+    "metadata_upsert" ->
+      """SELECT lang, array_to_string(list_sort(list(DISTINCT source)), ',') AS vals
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "topk_payload_join" -> {
       val inner = bm25Oracle(QTerms, requireAll = true, "", 10)
       s"""WITH hits AS ($inner)

@@ -311,6 +311,50 @@ object SparkEntry {
       graft.ops.Paragraphs.combineLinesSql(lines)
     }),
 
+    // ---- advanced 3-phase paragraph pipeline (F6+A4+T3-T5); rows-only:
+    // order-dependent FSM with reprocess-on-transition, gated by
+    // AdvancedParagraphsSpec goldens ----
+    "advanced_paragraphs" -> ((s, dir) => {
+      import s.implicits._
+      import graft.ops.AdvancedParagraphs
+      // deterministic synthetic OCR lines from documents: 6-word lines over
+      // 2 pages with planted QA prefixes, terminators, centered/indented
+      // geometry (page body x 10..100, centered 40..70, indent 30)
+      val words = split(col("text"), " ")
+      val lines = documents(s, dir)
+        .select(col("doc_id"), words.as("w"))
+        .select(col("doc_id"), explode(sequence(lit(0),
+          least(lit(7), ((size(col("w")) - 1) / 6).cast("int")))).as("i"), col("w"))
+        .select(col("doc_id").as("docId"),
+          (col("i") / 4 + 1).cast("int").as("page"),
+          pmod(col("i"), lit(4)).cast("int").as("lineNum"),
+          concat(
+            when(pmod(col("doc_id") + col("i"), lit(11)) === 5, lit("प्रश्न: "))
+              .otherwise(lit("")),
+            array_join(slice(col("w"), col("i") * 6 + 1, lit(6)), " "),
+            when(pmod(col("doc_id") + col("i"), lit(3)) === 0, lit("।"))
+              .otherwise(lit(""))).as("text"),
+          when(pmod(col("doc_id") + col("i"), lit(7)) === 3, lit(40))
+            .otherwise(when(pmod(col("doc_id") + col("i"), lit(5)) === 2, lit(30))
+              .otherwise(lit(10))).cast("int").as("xStart"),
+          when(pmod(col("doc_id") + col("i"), lit(7)) === 3, lit(70))
+            .otherwise(when(pmod(col("doc_id") + col("i"), lit(3)) === 0, lit(60))
+              .otherwise(lit(100))).cast("int").as("xEnd"))
+        .as[AdvancedParagraphs.OcrLine]
+      AdvancedParagraphs.generate(s, lines, AdvancedParagraphs.Hindi)
+        .toDF().orderBy("docId", "paraId")
+    }),
+
+    // ---- F1 text normalization (unicode cleanup, purn-viram OCR fixes,
+    // punctuation spacing, whitespace collapse) ----
+    "text_normalize" -> ((s, dir) => {
+      val noisy = concat(lit("( "), substring(col("text"), 1, 80),
+        lit(" ) end ... |"))
+      documents(s, dir)
+        .select(col("doc_id"), graft.ops.TextNormalize.normalize(noisy).as("normalized"))
+        .orderBy("doc_id")
+    }),
+
     // ---- array scalar plane (U4 page-range expansion) ----
     "array_ops" -> ((s, dir) => {
       documents(s, dir)
@@ -573,6 +617,17 @@ object SparkEntry {
         |  FROM flagged)
         |SELECT doc_id, para_id, string_agg(line, ' ' ORDER BY line_num) AS text
         |FROM grp GROUP BY doc_id, para_id ORDER BY doc_id, para_id""".stripMargin,
+    "text_normalize" ->
+      """WITH noisy AS (
+        |  SELECT doc_id, '( ' || substr(text, 1, 80) || ' ) end ... |' AS t
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(t, '[|Il1]', '।', 'g') AS t FROM noisy),
+        |s2 AS (SELECT doc_id, replace(t, '॥', '।') AS t FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(t, '([(\[{''"])\s+', '\1', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(t, '\s+([।.,?!:;)\]}''"])', '\1', 'g') AS t FROM s3),
+        |s5 AS (SELECT doc_id, regexp_replace(t, '\s+(\.{2,})', '\1', 'g') AS t FROM s4)
+        |SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS normalized
+        |FROM s5 ORDER BY doc_id""".stripMargin,
     "array_ops" ->
       """SELECT doc_id,
         |       unnest(list_sort(list_distinct(

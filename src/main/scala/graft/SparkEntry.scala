@@ -219,6 +219,23 @@ object SparkEntry {
         .agg(sum("df").as("df"), sum("cf").as("cf"))
         .orderBy("term")
     }),
+    "phrase_combos" -> ((s, dir) => {
+      // W7 (transliterate.py:417-497): per-word variant lists from the term
+      // dictionary (edit distance ≤ 2, shared first char), Cartesian product
+      // of variants, combo score = Σ per-word corpus frequency, top-k
+      val dict = documents(s, dir)
+        .select(explode(GraftFunctions.analyze_terms(col("text"), col("lang"))).as("term"),
+          col("doc_id"))
+        .groupBy("term").agg(countDistinct("doc_id").as("df"))
+      def variants(seed: String, w: String, d: String) = dict
+        .where(col("term").startsWith(seed.substring(0, 1)) &&
+          levenshtein(lit(seed), col("term")) <= 2)
+        .select(col("term").as(w), col("df").as(d))
+      variants("spark", "w1", "df1").crossJoin(variants("merge", "w2", "df2"))
+        .select(col("w1"), col("w2"), (col("df1") + col("df2")).as("score"))
+        .orderBy(col("score").desc, col("w1"), col("w2"))
+        .limit(5)
+    }),
     "topk_payload_join" -> ((s, dir) => {
       // J7: winners semi-joined back to the doc store for payloads
       val hits = engineTopK(s, dir, QuerySpec("en", QTerms.mkString(" "), pageSize = 10))
@@ -566,6 +583,16 @@ object SparkEntry {
     "metadata_upsert" ->
       """SELECT lang, array_to_string(list_sort(list(DISTINCT source)), ',') AS vals
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "phrase_combos" ->
+      s"""WITH ${tokensCte("")},
+         |dict AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |         FROM tokens GROUP BY term),
+         |v1 AS (SELECT term AS w1, df AS df1 FROM dict
+         |       WHERE term LIKE 's%' AND levenshtein('spark', term) <= 2),
+         |v2 AS (SELECT term AS w2, df AS df2 FROM dict
+         |       WHERE term LIKE 'm%' AND levenshtein('merge', term) <= 2)
+         |SELECT w1, w2, df1 + df2 AS score FROM v1, v2
+         |ORDER BY score DESC, w1, w2 LIMIT 5""".stripMargin,
     "topk_payload_join" -> {
       val inner = bm25Oracle(QTerms, requireAll = true, "", 10)
       s"""WITH hits AS ($inner)

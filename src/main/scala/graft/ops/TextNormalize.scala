@@ -49,6 +49,15 @@ object TextNormalize {
     regexp_replace(a, "\\n(?!प्रश्न:|उत्तर:)", " ")
   }
 
+  /** F3 Gujarati dialogue normalization (language_meta.py:139-155): મુમુક્ષુ
+    * typo regex, then join lines except before the seven dialogue prefixes.
+    */
+  def normalizeDialogueGujarati(c: Column): Column = {
+    val m = regexp_replace(c, "મુમુ[^:]*ષુ[^:]*:", "મુમુક્ષુ:")
+    regexp_replace(m,
+      "\\n(?!શ્રોતા:|પૂજ્ય ગુરુદેવશ્રી:|મુમુક્ષુ:|શંકા:|પ્રશ્ન:|સમાધાન:|ઉત્તર:)", " ")
+  }
+
   /** F1 final whitespace collapse (base.py:167). */
   def collapseWhitespace(c: Column): Column = trim(regexp_replace(c, "\\s+", " "))
 

@@ -165,4 +165,10 @@ class TextNormalizeSpec extends AnyFunSuite {
       .select(TextNormalize.normalizeDialogueHindi(col("t"))).head.getString(0)
     assert(out == "प्रश्न: क्या जारी\nउत्तर: हाँ")
   }
+
+  test("F3 Gujarati: મુમુક્ષુ typo regex; joins preserve dialogue prefixes") {
+    val out = Seq("મુમુwક્ષુx: પ્રશ્ન છે\nચાલુ\nસમાધાન: હા").toDF("t")
+      .select(TextNormalize.normalizeDialogueGujarati(col("t"))).head.getString(0)
+    assert(out == "મુમુક્ષુ: પ્રશ્ન છે ચાલુ\nસમાધાન: હા")
+  }
 }

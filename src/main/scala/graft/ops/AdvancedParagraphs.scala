@@ -297,7 +297,31 @@ object AdvancedParagraphs {
       }
   }
 
-  /** End-to-end: raw OCR lines → final (page, paragraph) rows. */
-  def generate(spark: SparkSession, lines: Dataset[OcrLine], cfg: Config): Dataset[FinalPara] =
-    combine(spark, phase1(spark, classify(spark, lines, cfg)), cfg)
+  /** End-to-end: raw OCR lines → final (page, paragraph) rows.
+    *
+    * Single shuffle: one exchange on docId serves both the per-page FSM
+    * (pages are split inside the doc group) and the cross-page combine
+    * phases — vs the two exchanges of `combine(phase1(...))`. Documents are
+    * bounded (thousands of lines), so the per-group sort is safe at any
+    * corpus scale; parallelism is across documents.
+    */
+  def generate(spark: SparkSession, lines: Dataset[OcrLine], cfg: Config): Dataset[FinalPara] = {
+    import spark.implicits._
+    classify(spark, lines, cfg)
+      .groupByKey(_.docId)
+      .flatMapGroups { (docId: Long, it: Iterator[TaggedLine]) =>
+        val sorted = it.toArray.sortBy(l => (l.page, l.lineNum))
+        val typed = scala.collection.mutable.ArrayBuffer[TypedPara]()
+        var i = 0
+        while (i < sorted.length) {
+          var j = i
+          while (j < sorted.length && sorted(j).page == sorted(i).page) j += 1
+          typed ++= runFsm(java.util.Arrays.copyOfRange(sorted, i, j))
+          i = j
+        }
+        phase3CombineProse(phase2CombineByType(typed.toSeq), cfg.punctuationSuffixes)
+          .zipWithIndex
+          .map { case ((page, text), idx) => FinalPara(docId, page, idx, text) }
+      }
+  }
 }

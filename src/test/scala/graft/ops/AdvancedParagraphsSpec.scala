@@ -117,6 +117,24 @@ class AdvancedParagraphsSpec extends AnyFunSuite {
       "प्रश्न: दूसरा?"))
   }
 
+  test("fused single-shuffle generate == combine(phase1(classify))") {
+    val lines = (0L until 25L).flatMap { d =>
+      (0 until 10).map { i =>
+        val (xs, xe) =
+          if ((d + i) % 6 == 1) (40, 70)
+          else if ((d + i) % 4 == 2) (30, 100)
+          else (10, if ((d + i) % 3 == 0) 55 else 100)
+        OcrLine(d, 1 + i / 5, i % 5,
+          s"विभिन्न पाठ पंक्ति $d $i" + (if ((d + i) % 3 == 0) "।" else ""), xs, xe)
+      }
+    }
+    val fused = generate(spark, lines.toDS(), Hindi)
+      .collect().sortBy(p => (p.docId, p.paraId))
+    val staged = combine(spark, phase1(spark, classify(spark, lines.toDS(), Hindi)), Hindi)
+      .collect().sortBy(p => (p.docId, p.paraId))
+    assert(fused.nonEmpty && fused.toSeq == staged.toSeq)
+  }
+
   test("end-to-end deterministic under parallelism") {
     val lines = (0L until 40L).flatMap { d =>
       (0 until 12).map { i =>

@@ -106,10 +106,14 @@ object Bench {
     }
 
     rm(idxDir); rm("/dev/shm/graft_bench_warm"); rm(localDir) // tmpfs hygiene
+    // machine-capacity probe: delivered parallel efficiency at this thread
+    // count right now (1.0 = linear; see graft.tools.CpuProbe) — lets a
+    // reader separate engine performance from host contention at bench time
+    val probe = graft.tools.CpuProbe.efficiency(cpus.toInt)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","bench_docs":$benchDocs,"docs_per_sec":$docsPerSec%.1f}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","bench_docs":$benchDocs,"docs_per_sec":$docsPerSec%.1f,"cpu_probe_eff":$probe%.3f}""")
     spark.stop()
   }
 }

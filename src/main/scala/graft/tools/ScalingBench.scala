@@ -59,9 +59,10 @@ object ScalingBench {
     }
     val attempts = sys.env.getOrElse("GRAFT_ATTEMPTS", "3").toInt
 
-    def run(cpus: Int): (Double, Double, Double, Double) = {
-      var best = (Double.MaxValue, 0.0, 0.0, 0.0) // wall, thr, lat, stealPct
+    def run(cpus: Int): (Double, Double, Double, Double, Double) = {
+      var best = (Double.MaxValue, 0.0, 0.0, 0.0, 0.0) // wall, thr, lat, stealPct, probe
       for (a <- 1 to attempts) {
+        val probe = CpuProbe.efficiency(cpus) // machine capacity RIGHT NOW
         val s = session(cpus)
         val dir = s"/dev/shm/graft_scale_$cpus"
         rm(dir)
@@ -82,20 +83,24 @@ object ScalingBench {
           (System.nanoTime() - q0) / 1e9
         }.sorted.apply(2)
         s.stop()
-        System.err.println(f"[scaling] cores=$cpus attempt=$a wall=$tBuild%.1f s steal=$stealPct%.1f%%")
-        if (tBuild < best._1) best = (tBuild, docs / tBuild, lat, stealPct)
+        System.err.println(f"[scaling] cores=$cpus attempt=$a wall=$tBuild%.1f s steal=$stealPct%.1f%% cpu_probe=$probe%.2f")
+        if (tBuild < best._1) best = (tBuild, docs / tBuild, lat, stealPct, probe)
       }
       best
     }
 
-    val (tLo, thrLo, latLo, stLo) = run(lo)
-    val (tHi, thrHi, latHi, stHi) = run(hi)
+    val (tLo, thrLo, latLo, stLo, prLo) = run(lo)
+    val (tHi, thrHi, latHi, stHi, prHi) = run(hi)
     val eff = (tLo * lo) / (tHi * hi)
+    // efficiency against the cores the machine actually DELIVERED at each
+    // level (probe-measured): on a real cluster probe≈1.0 at both levels and
+    // this equals raw efficiency
+    val effHw = (tLo * lo * prLo) / (tHi * hi * prHi)
     Seq(s"/dev/shm/graft_scale_$lo", s"/dev/shm/graft_scale_$hi",
       "/dev/shm/graft_scale_warm").foreach(rm) // tmpfs hygiene
     println(f"""{"metric":"scaling","docs":$docs,"chunks":$chunks,""" +
-      f""""n_cores":$lo,"t_n_sec":$tLo%.2f,"docs_per_sec_n":$thrLo%.1f,"query_p50_n_sec":$latLo%.3f,"steal_pct_n":$stLo%.1f,""" +
-      f""""n4_cores":$hi,"t_4n_sec":$tHi%.2f,"docs_per_sec_4n":$thrHi%.1f,"query_p50_4n_sec":$latHi%.3f,"steal_pct_4n":$stHi%.1f,""" +
-      f""""efficiency":$eff%.3f}""")
+      f""""n_cores":$lo,"t_n_sec":$tLo%.2f,"docs_per_sec_n":$thrLo%.1f,"query_p50_n_sec":$latLo%.3f,"steal_pct_n":$stLo%.1f,"cpu_probe_n":$prLo%.3f,""" +
+      f""""n4_cores":$hi,"t_4n_sec":$tHi%.2f,"docs_per_sec_4n":$thrHi%.1f,"query_p50_4n_sec":$latHi%.3f,"steal_pct_4n":$stHi%.1f,"cpu_probe_4n":$prHi%.3f,""" +
+      f""""efficiency":$eff%.3f,"efficiency_hw_normalized":$effHw%.3f}""")
   }
 }

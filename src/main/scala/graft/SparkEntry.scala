@@ -45,6 +45,42 @@ object SparkEntry {
       IndexHandle.load(out)
     })
 
+  /** 3-phase transliteration best-match flow (transliterate.py:207-323) over
+    * the built index's term dictionary, with BATCHED df lookups (one filtered
+    * index read per phase — never a dictionary collect).
+    */
+  private def transliterateFlow(s: SparkSession, dir: String, word: String): DataFrame = {
+    import s.implicits._
+    val idx = index(s, dir)
+    def dfMap(terms: Seq[String]): Map[String, Long] =
+      if (terms.isEmpty) Map.empty
+      else s.read.parquet(idx.segmentsPath)
+        .where(col("lang") === "en" && col("term").isin(terms: _*))
+        .groupBy("term").agg(sum("df").as("df"))
+        .as[(String, Long)].collect().toMap
+    def query(vs: Seq[String]): Seq[(String, Long)] = {
+      val m = dfMap(vs.distinct)
+      vs.distinct.flatMap(v => m.get(v).filter(_ > 0).map(v -> _))
+        .sortBy { case (v, f) => (-f, v) }
+    }
+    val top10 = graft.langtools.Transliterate.variants(word, "latin", 10)
+    val res =
+      { val p1 = query(top10.take(5))
+        if (p1.nonEmpty) p1
+        else {
+          val p2 = query(top10.drop(5))
+          if (p2.nonEmpty) p2
+          else {
+            val suggested = top10.flatMap(v =>
+              Bm25Query.suggest(s, idx, "en", v, size = 3, minScore = 0.5))
+              .flatMap(_.split("\\s+")).filter(_.nonEmpty).distinct
+            query(suggested)
+          }
+        }
+      }
+    res.toDF("variant", "df")
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
@@ -175,12 +211,22 @@ object SparkEntry {
         metaFilters = Map("source" -> Seq("src1", "src3"))))),
     "bm25_year_filter" -> ((s, dir) =>
       engineTopK(s, dir, QuerySpec("en", "spark data", yearRange = Some((2020, 2020))))),
+    // Q5 FULL date semantics: (has bookmark date ∧ in range) ∨ (no date ∧
+    // series range overlaps) — reference index_searcher.py:64-150
+    "bm25_date_filter" -> ((s, dir) =>
+      engineTopK(s, dir, QuerySpec("en", "spark data",
+        dateRange = Some((Some(2020), Some(2020)))))),
+    // open start bound: only an end year given
+    "bm25_date_open" -> ((s, dir) =>
+      engineTopK(s, dir, QuerySpec("en", "spark data",
+        dateRange = Some((None, Some(2019)))))),
     "phrase_match" -> ((s, dir) => {
-      import s.implicits._
-      val res = Bm25Query.search(s, index(s, dir),
-        QuerySpec("en", "batch batch", phrase = true, pageSize = 100000,
-          trackTotalHits = 1000000000L))
-      res.hits.map(_.docId).sorted.toDF("doc_id")
+      // full phrase match set via the DISTRIBUTED kernel path (per-segment
+      // executors, unbounded heap) — no driver funnel
+      Bm25Query.matchedDocsDf(s, index(s, dir),
+        QuerySpec("en", "batch batch", phrase = true))
+        .select(col("docId").as("doc_id"))
+        .orderBy("doc_id")
     }),
     "suggest_terms" -> ((s, dir) => {
       // term-dictionary spelling suggestions (Q8): candidates share the first
@@ -236,6 +282,15 @@ object SparkEntry {
         .orderBy(col("score").desc, col("w1"), col("w2"))
         .limit(5)
     }),
+    // ---- transliteration variant front-end + 3-phase flow (W7 front,
+    // transliterate.py:113-167, 207-323) ----
+    "transliterate_suggest" -> ((s, dir) =>
+      // "duup" → latin-ambiguity variants [duup, dup]; phase 1 finds "dup"
+      transliterateFlow(s, dir, "duup")),
+    "transliterate_phase3" -> ((s, dir) =>
+      // "spakr" → variants [spakr, spaakr], none indexed → phases 1-2 empty →
+      // phase 3 suggester terms (min_score 0.5, 3 per variant) → df lookup
+      transliterateFlow(s, dir, "spakr")),
     "topk_payload_join" -> ((s, dir) => {
       // J7: winners semi-joined back to the doc store for payloads
       val hits = engineTopK(s, dir, QuerySpec("en", QTerms.mkString(" "), pageSize = 10))
@@ -290,6 +345,48 @@ object SparkEntry {
         .groupBy("lang")
         .agg(array_join(sort_array(collect_set(col("source"))), ",").as("vals"))
         .orderBy("lang")
+    }),
+
+    // ---- Q12 delete-by-query + MERGE reindex (opensearch.py:304-339) ----
+    "reindex_doc" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_reindex_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val web = Webtext.fromDocuments(s, dir)
+      IndexBuild.build(s, web, out, numChunks = 2)
+      // delete all docs of one source (the reference deletes a whole file's
+      // docs by original_filename before regenerating them)
+      IndexBuild.deleteByQuery(s, out, element_at(col("meta"), "source") === "src3")
+      // MERGE: reindex regenerated versions of another source's docs
+      val regen = web.where(col("source") === "src1")
+        .withColumn("text", concat(col("text"), lit(" reindexed")))
+      IndexBuild.reindexDocs(s, out, regen, numChunks = 2)
+      // verification surface: term stats read back from the UPDATED segments
+      s.read.parquet(s"$out/segments")
+        .where(col("lang") === "en" && col("term").isin("spark", "dup", "reindexed"))
+        .groupBy("term").agg(sum("df").as("df"), sum("cf").as("cf"))
+        .orderBy("term")
+    }),
+
+    // ---- J2 hierarchical config merge (scan_config.py:51-143) ----
+    "config_merge" -> ((s, dir) => {
+      import s.implicits._
+      val docs = documents(s, dir).select(col("doc_id"),
+        concat(lit("base/"), col("source"), lit("/"), col("lang"), lit("/"),
+          col("doc_id").cast("string"), lit(".pdf")).as("path"))
+      val cfg = Seq(
+        ("base", "default", "list", "header_prefix", 0, "^Page \\d+"),
+        ("base", "default", "list", "typo_list", 0, "teh=>the"),
+        ("base", "default", "scalar", "psm", 0, "3"),
+        ("base", "default", "scalar", "crop.x", 0, "0"),
+        ("base/src1", "default", "list", "header_prefix", 0, "^अध्याय \\d+"),
+        ("base/src1", "default", "scalar", "psm", 0, "6"),
+        ("base/src1/en", "default", "list", "typo_list", 0, "adn=>and"),
+        ("base/src1/en", "default", "scalar", "crop.x", 0, "12"),
+        ("base/src1/en", "42", "scalar", "psm", 0, "11"),
+        ("base/src1/en", "42", "list", "header_prefix", 0, "^Footer"))
+        .toDF("cfg_dir", "scope", "kind", "key", "ord", "value")
+      graft.ops.ConfigMerge.effectiveConfigs(docs, cfg)
+        .orderBy("doc_id", "key")
     }),
 
     // ---- checkpoint manifest anti-join (J5) ----
@@ -362,6 +459,25 @@ object SparkEntry {
         .toDF().orderBy("docId", "paraId")
     }),
 
+    // ---- F4 header/footer rejection (paragraph_generator/base.py:205-232):
+    // prefix strip + short-digit-heavy para-0 reject + digit-ratio reject ----
+    "header_reject" -> ((s, dir) => {
+      val did = col("doc_id").cast("string")
+      val paras = documents(s, dir).select(
+        col("doc_id"),
+        pmod(col("doc_id"), lit(3)).cast("int").as("para_num"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit("Page "), did, lit(" of "), (col("doc_id") * 7).cast("string")))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(lit("अध्याय 12 — "), substring(col("text"), 1, 50)))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          concat(did, lit(" ॥ "), (col("doc_id") + 1).cast("string")))
+        .otherwise(substring(col("text"), 1, 80)).as("para"))
+      graft.ops.HeaderFooter.cleanParagraphs(paras, "para", "para_num",
+        prefixes = Seq("^अध्याय \\d+ — "), headerRegexes = Seq("^\\s*$"))
+        .orderBy("doc_id")
+    }),
+
     // ---- F1 text normalization (unicode cleanup, purn-viram OCR fixes,
     // punctuation spacing, whitespace collapse) ----
     "text_normalize" -> ((s, dir) => {
@@ -405,7 +521,17 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
-    "dedup_minhash" -> ((s, dir) => { // rows-only: sketch hashes are ours
+    "dedup_minhash" -> ((s, dir) => {
+      // ORACLED scale path: MinHash+LSH banding candidates → exact-Jaccard
+      // verification, so the output is a pure function of the texts (DuckDB
+      // recomputes the true-Jaccard pair set; band geometry makes candidate
+      // recall ~1 at the threshold — see Dedup.minhashNearDupPairs)
+      Dedup.minhashNearDupPairs(Dedup.withPlantedDups(documents(s, dir)),
+        n = 3, numHashes = 64, bands = 32, threshold = 0.7)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+    "dedup_minhash_est" -> ((s, dir) => { // rows-only: sketch hashes are ours
       Dedup.minhashLshCandidates(Dedup.withPlantedDups(documents(s, dir)),
         n = 3, numHashes = 64, bands = 16, estThreshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
@@ -425,9 +551,28 @@ object SparkEntry {
         .orderBy("query_id", "nn_rank")
     }),
     "ann_neardup" -> ((s, dir) => {
+      // ORACLED bucketed scale path: axis-sign LSH buckets (DuckDB recomputes
+      // the same buckets → the same equi-join → the same pair set); the
+      // random-hyperplane production hash keeps the identical join shape
+      // (Similarity.embeddingNearDupPairs, recall-gated in OpsSpec)
+      Similarity.embeddingNearDupPairsAxis(embeddings(s, dir), 0.40, bits = 6)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+        .orderBy("id_a", "id_b")
+    }),
+    "ann_neardup_exact" -> ((s, dir) => { // n² baseline (small scale only)
       Similarity.embeddingNearDupPairsExact(embeddings(s, dir), 0.40)
         .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
         .orderBy("id_a", "id_b")
+    }),
+    "ann_lsh_axis_topk" -> ((s, dir) => {
+      // ORACLED bucketed ANN: axis-sign buckets + hamming-1 multiprobe, all
+      // recomputable in SQL
+      val emb = embeddings(s, dir)
+      Similarity.lshTopKAxis(emb, emb.where(col("vec_id") < 5), k = 10,
+        bits = 6, probeHamming = 1)
+        .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"),
+          col("rank").cast("long").as("nn_rank"))
+        .orderBy("query_id", "nn_rank")
     }),
     "ann_lsh_topk" -> ((s, dir) => { // rows-only: bucket hashes are ours
       val emb = embeddings(s, dir)
@@ -464,12 +609,11 @@ object SparkEntry {
 
     // ---- hybrid lexical+vector fusion (J3 full outer, A8 max-norm, W3) ----
     "hybrid_rank" -> ((s, dir) => {
-      import s.implicits._
-      // lexical side: ALL AND-matches for (spark, data) over en docs (no page
-      // cut — normalization needs the full result set)
-      val res = Bm25Query.search(s, index(s, dir),
-        QuerySpec("en", "spark data", pageSize = 1000000, trackTotalHits = 1000000000L))
-      val lex = res.hits.map(h => (h.docId, h.score)).toDF("doc_id", "score")
+      // lexical side: ALL AND-matches for (spark, data) over en docs as a
+      // DataFrame end-to-end (index-backed distributed scoring — postings are
+      // decoded in executors, normalization/fusion never touch the driver)
+      val lex = Bm25Query.scoreDf(s, index(s, dir), QuerySpec("en", "spark data"))
+        .select(col("docId").as("doc_id"), col("score"))
       // vector side: cosine of every embedding to query vector vec_id=0
       val emb = embeddings(s, dir)
       val q0 = emb.where(col("vec_id") === 0)
@@ -483,7 +627,9 @@ object SparkEntry {
 
     // ---- granth nested-structure plane (S7 flatten, A2 facet) ----
     "granth_flatten" -> ((s, dir) =>
-      graft.ops.Granth.flattenVerses(graft.ops.Granth.synthesize(s, 50))
+      // runs over REAL parser output (S7 markdown → verses), not synthesized
+      // structs — MarkdownGranthSpec additionally pins parse == synthesize
+      graft.ops.Granth.flattenVerses(graft.ops.Granth.fromMarkdown(s, 50))
         .orderBy("granthId", "seq_num")),
     "granth_date_facet" -> ((s, dir) =>
       graft.ops.Granth.dateRangeFacet(graft.ops.Granth.synthesize(s, 50))
@@ -548,6 +694,22 @@ object SparkEntry {
       "AND doc_id IN (SELECT doc_id FROM documents WHERE source IN ('src1','src3'))", 20),
     "bm25_year_filter" -> bm25Oracle(Seq("spark", "data"), requireAll = true,
       "AND doc_id IN (SELECT doc_id FROM webtext WHERE EXTRACT(year FROM warc_ts) BETWEEN 2020 AND 2020)", 20),
+    "bm25_date_filter" -> bm25Oracle(Seq("spark", "data"), requireAll = true,
+      """AND doc_id IN (
+        |  SELECT doc_id FROM documents
+        |  WHERE (doc_id % 3 = 0
+        |         AND (DATE '2019-01-01' + CAST(doc_id % 730 AS INT))
+        |             BETWEEN DATE '2020-01-01' AND DATE '2020-12-31')
+        |     OR (doc_id % 3 <> 0 AND doc_id % 2 = 0
+        |         AND (DATE '2019-06-01' + CAST(doc_id % 400 AS INT)) <= DATE '2020-12-31'
+        |         AND (DATE '2019-06-01' + CAST(doc_id % 400 AS INT) + 300) >= DATE '2020-01-01'))""".stripMargin, 20),
+    "bm25_date_open" -> bm25Oracle(Seq("spark", "data"), requireAll = true,
+      """AND doc_id IN (
+        |  SELECT doc_id FROM documents
+        |  WHERE (doc_id % 3 = 0
+        |         AND (DATE '2019-01-01' + CAST(doc_id % 730 AS INT)) <= DATE '2019-12-31')
+        |     OR (doc_id % 3 <> 0 AND doc_id % 2 = 0
+        |         AND (DATE '2019-06-01' + CAST(doc_id % 400 AS INT)) <= DATE '2019-12-31'))""".stripMargin, 20),
     "phrase_match" ->
       """SELECT doc_id FROM documents
         |WHERE lang = 'en'
@@ -593,6 +755,40 @@ object SparkEntry {
          |       WHERE term LIKE 'm%' AND levenshtein('merge', term) <= 2)
          |SELECT w1, w2, df1 + df2 AS score FROM v1, v2
          |ORDER BY score DESC, w1, w2 LIMIT 5""".stripMargin,
+    "transliterate_suggest" -> {
+      // variant list inlined as literals (a pure function of the constant
+      // query word — the generator itself is golden-gated in TransliterateSpec)
+      val vs = graft.langtools.Transliterate.variants("duup", "latin", 10)
+      val vals = vs.zipWithIndex.map { case (v, i) => s"('$v', ${i + 1})" }.mkString(", ")
+      s"""WITH ${tokensCte("WHERE lang = 'en'")},
+         |dict AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |         FROM tokens GROUP BY term),
+         |v AS (SELECT * FROM (VALUES $vals) t(variant, rnk)),
+         |p1 AS (SELECT v.variant, d.df FROM v JOIN dict d ON d.term = v.variant
+         |       WHERE v.rnk <= 5)
+         |SELECT variant, df FROM p1 ORDER BY df DESC, variant""".stripMargin
+    },
+    "transliterate_phase3" -> {
+      val vs = graft.langtools.Transliterate.variants("spakr", "latin", 10)
+      val vals = vs.map(v => s"('$v')").mkString(", ")
+      s"""WITH ${tokensCte("WHERE lang = 'en'")},
+         |dict AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |         FROM tokens GROUP BY term),
+         |v AS (SELECT * FROM (VALUES $vals) t(variant)),
+         |cand AS (
+         |  SELECT v.variant, d.term, d.df,
+         |         1.0 - damerau_levenshtein(v.variant, d.term) /
+         |               CAST(greatest(length(d.term), length(v.variant)) AS DOUBLE) AS score
+         |  FROM v, dict d
+         |  WHERE length(d.term) >= 3 AND substr(d.term, 1, 1) = substr(v.variant, 1, 1)
+         |    AND d.term <> v.variant),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY variant
+         |                     ORDER BY score DESC, df DESC, term) AS rn
+         |           FROM cand WHERE score >= 0.5),
+         |suggested AS (SELECT DISTINCT term FROM ranked WHERE rn <= 3),
+         |p3 AS (SELECT s.term AS variant, d.df FROM suggested s JOIN dict d USING (term))
+         |SELECT variant, df FROM p3 ORDER BY df DESC, variant""".stripMargin
+    },
     "topk_payload_join" -> {
       val inner = bm25Oracle(QTerms, requireAll = true, "", 10)
       s"""WITH hits AS ($inner)
@@ -620,6 +816,52 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "facet_values" ->
       "SELECT DISTINCT lang, source FROM documents ORDER BY lang, source",
+    "reindex_doc" ->
+      """WITH web AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN source = 'src1' THEN text || ' reindexed' ELSE text END AS text
+        |  FROM documents WHERE source <> 'src3'),
+        |tok0 AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+        |         FROM web WHERE lang = 'en'),
+        |tokens AS (SELECT doc_id, term FROM tok0 WHERE term <> '')
+        |SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+        |       CAST(count(*) AS BIGINT) AS cf
+        |FROM tokens WHERE term IN ('spark', 'dup', 'reindexed')
+        |GROUP BY term ORDER BY term""".stripMargin,
+    "config_merge" ->
+      """WITH docs AS (
+        |  SELECT doc_id, 'base/' || source || '/' || lang AS dir,
+        |         CAST(doc_id AS VARCHAR) AS stem
+        |  FROM documents),
+        |cfg(cfg_dir, scope, kind, key, ord, value) AS (VALUES
+        |  ('base', 'default', 'list', 'header_prefix', 0, '^Page \d+'),
+        |  ('base', 'default', 'list', 'typo_list', 0, 'teh=>the'),
+        |  ('base', 'default', 'scalar', 'psm', 0, '3'),
+        |  ('base', 'default', 'scalar', 'crop.x', 0, '0'),
+        |  ('base/src1', 'default', 'list', 'header_prefix', 0, '^अध्याय \d+'),
+        |  ('base/src1', 'default', 'scalar', 'psm', 0, '6'),
+        |  ('base/src1/en', 'default', 'list', 'typo_list', 0, 'adn=>and'),
+        |  ('base/src1/en', 'default', 'scalar', 'crop.x', 0, '12'),
+        |  ('base/src1/en', '42', 'scalar', 'psm', 0, '11'),
+        |  ('base/src1/en', '42', 'list', 'header_prefix', 0, '^Footer')),
+        |j AS (SELECT d.doc_id, d.stem, c.*
+        |      FROM docs d JOIN cfg c
+        |        ON d.dir = c.cfg_dir OR d.dir LIKE c.cfg_dir || '/%'),
+        |wd AS (SELECT *, length(cfg_dir) AS depth,
+        |              max(CASE WHEN scope = 'default' THEN length(cfg_dir) END)
+        |                OVER (PARTITION BY doc_id) AS max_depth
+        |       FROM j),
+        |sc AS (SELECT *, CASE WHEN scope = 'default' THEN 0 ELSE 1 END AS layer
+        |       FROM wd
+        |       WHERE scope = 'default' OR (scope = stem AND depth = max_depth)),
+        |lists AS (SELECT doc_id, key,
+        |                 string_agg(value, ',' ORDER BY layer, depth, ord, value) AS value
+        |          FROM sc WHERE kind = 'list' GROUP BY 1, 2),
+        |scalars AS (SELECT doc_id, key,
+        |                   arg_max(value, layer * 1000000 + depth * 1000 + ord) AS value
+        |            FROM sc WHERE kind = 'scalar' GROUP BY 1, 2)
+        |SELECT * FROM lists UNION ALL SELECT * FROM scalars
+        |ORDER BY doc_id, key""".stripMargin,
     "checkpoint_pending" ->
       """SELECT CAST(doc_id % 8 AS BIGINT) AS chunk, CAST(count(*) AS BIGINT) AS docs
         |FROM documents WHERE doc_id % 8 NOT IN (0, 1, 2, 3)
@@ -644,6 +886,27 @@ object SparkEntry {
         |  FROM flagged)
         |SELECT doc_id, para_id, string_agg(line, ' ' ORDER BY line_num) AS text
         |FROM grp GROUP BY doc_id, para_id ORDER BY doc_id, para_id""".stripMargin,
+    "header_reject" ->
+      """WITH paras AS (
+        |  SELECT doc_id, CAST(doc_id % 3 AS INT) AS para_num,
+        |    CASE
+        |      WHEN doc_id % 4 = 0 THEN 'Page ' || CAST(doc_id AS VARCHAR) || ' of ' || CAST(doc_id * 7 AS VARCHAR)
+        |      WHEN doc_id % 4 = 1 THEN 'अध्याय 12 — ' || substr(text, 1, 50)
+        |      WHEN doc_id % 4 = 2 THEN CAST(doc_id AS VARCHAR) || ' ॥ ' || CAST(doc_id + 1 AS VARCHAR)
+        |      ELSE substr(text, 1, 80) END AS para
+        |  FROM documents),
+        |stripped AS (
+        |  SELECT doc_id, para_num, trim(regexp_replace(para, '^अध्याय \d+ — ', '')) AS para
+        |  FROM paras),
+        |m AS (
+        |  SELECT doc_id, para_num, para, length(para) AS len,
+        |         length(para) - length(regexp_replace(para, '[0-9०-९]', '', 'g')) AS digits
+        |  FROM stripped)
+        |SELECT doc_id, para_num, para FROM m
+        |WHERE NOT ((para_num = 0 AND len < 35 AND digits > 2)
+        |        OR (len > 0 AND len < 20 AND CAST(digits AS DOUBLE) / len >= 0.3)
+        |        OR regexp_matches(para, '^\s*$'))
+        |ORDER BY doc_id""".stripMargin,
     "text_normalize" ->
       """WITH noisy AS (
         |  SELECT doc_id, '( ' || substr(text, 1, 80) || ' ) end ... |' AS t
@@ -714,7 +977,69 @@ object SparkEntry {
         |      FROM s)
         |SELECT query_id, vec_id, round(sim, 6) AS sim, CAST(rnk AS BIGINT) AS nn_rank
         |FROM r WHERE rnk <= 10 ORDER BY query_id, nn_rank""".stripMargin,
+    "dedup_minhash" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text || ' near dup suffix' FROM documents WHERE doc_id % 17 = 0
+        |  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 23 = 0),
+        |arr AS (SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS a FROM planted),
+        |arrf AS (SELECT doc_id, list_filter(a, x -> x <> '') AS a FROM arr),
+        |sh0 AS (SELECT doc_id, a, unnest(range(1, len(a) - 1)) AS i
+        |        FROM arrf WHERE len(a) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS shingle
+        |       FROM sh0),
+        |sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |       round(inter / CAST(sa.set_size + sb.set_size - inter AS DOUBLE), 6) AS jaccard
+        |FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE inter / CAST(sa.set_size + sb.set_size - inter AS DOUBLE) >= 0.7
+        |ORDER BY id_a, id_b""".stripMargin,
     "ann_neardup" ->
+      """WITH c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+        |       + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+        |       + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+        |       + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
+        |       + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END) AS bucket
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(a.e, b.e), 6) AS sim
+        |FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.e, b.e) >= 0.40
+        |ORDER BY id_a, id_b""".stripMargin,
+    "ann_lsh_axis_topk" ->
+      """WITH c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+        |       + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+        |       + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+        |       + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
+        |       + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END) AS bucket
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, e AS qe, bucket AS qb FROM c WHERE vec_id < 5),
+        |probes AS (
+        |  SELECT query_id, qe, qb AS bucket FROM q
+        |  UNION ALL
+        |  SELECT query_id, qe, xor(qb, (1 << CAST(i AS INT))) AS bucket
+        |  FROM q, range(6) t(i)),
+        |scored AS (
+        |  SELECT p.query_id, c.vec_id, max(list_cosine_similarity(c.e, p.qe)) AS sim
+        |  FROM probes p JOIN c ON c.bucket = p.bucket
+        |  WHERE c.vec_id <> p.query_id
+        |  GROUP BY 1, 2),
+        |r AS (SELECT query_id, vec_id, sim,
+        |             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+        |      FROM scored)
+        |SELECT query_id, vec_id, round(sim, 6) AS sim, CAST(rnk AS BIGINT) AS nn_rank
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, nn_rank""".stripMargin,
+    "ann_neardup_exact" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |             CAST(b.embedding AS DOUBLE[])), 6) AS sim

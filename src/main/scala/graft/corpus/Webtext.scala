@@ -166,10 +166,25 @@ object Webtext {
 
     val url = f"https://example.org/$lang/topic${Math.floorMod(i, 20L)}/$i%08d"
     val ts = new java.sql.Timestamp(Epoch + i * 137000L)
+    // Q5 date fixtures: ~1/3 of docs carry a bookmark `date` (2019..2021);
+    // half carry a series range; odd non-date docs have neither (the
+    // never-matches branch of the reference's date OR-filter)
+    val bookmark: Map[String, String] =
+      if (Math.floorMod(i, 3L) == 0L)
+        Map("date" -> java.time.LocalDate.of(2019, 1, 1)
+          .plusDays(Math.floorMod(i, 1000L)).toString)
+      else Map.empty[String, String]
+    val series: Map[String, String] =
+      if (Math.floorMod(i, 2L) == 0L) {
+        val st = java.time.LocalDate.of(2018, 6, 1).plusDays(Math.floorMod(i, 700L))
+        Map("series_start_date" -> st.toString,
+          "series_end_date" -> st.plusDays(400).toString)
+      } else Map.empty[String, String]
+    val dateMeta: Map[String, String] = bookmark ++ series
     val meta = Map(
       "category" -> (if (Math.floorMod(i, 3L) == 0L) "Granth" else "Pravachan"),
       "Author" -> s"author${Math.floorMod(i, 7L)}",
-      "Anuyog" -> s"anuyog${Math.floorMod(i, 4L)}")
+      "Anuyog" -> s"anuyog${Math.floorMod(i, 4L)}") ++ dateMeta
     WebDoc(i, url, ts, htmlFor(i, text), text, lang, meta)
   }
 
@@ -215,6 +230,25 @@ object Webtext {
         lit("</p></body></html>")).cast("binary").as("html"),
       col("text"),
       col("lang"),
-      col("source"))
+      col("source"),
+      // metadata map incl. deterministic Q5 date fixtures (doc_id % 3 == 0 →
+      // bookmark date over 2019-2020; doc_id % 2 == 0 → 300-day series range
+      // starting mid-2019) — the DuckDB oracles reproduce the same arithmetic
+      map_concat(
+        map(lit("source"), col("source")),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          map(lit("date"), date_format(
+            date_add(to_date(lit("2019-01-01")), pmod(col("doc_id"), lit(730)).cast("int")),
+            "yyyy-MM-dd")))
+          .otherwise(map().cast("map<string,string>")),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          map(
+            lit("series_start_date"), date_format(
+              date_add(to_date(lit("2019-06-01")), pmod(col("doc_id"), lit(400)).cast("int")),
+              "yyyy-MM-dd"),
+            lit("series_end_date"), date_format(
+              date_add(to_date(lit("2019-06-01")), pmod(col("doc_id"), lit(400)).cast("int") + 300),
+              "yyyy-MM-dd")))
+          .otherwise(map().cast("map<string,string>"))).as("meta"))
   }
 }

@@ -64,7 +64,7 @@ case class ManifestRow(chunk: Int, status: String, docs: Long, tokens: Long,
   * per-segment parallel, so segments never need a global merge; salting keeps
   * the range-partitioned runs ~uniform; AQE handles residual skew.
   */
-object IndexBuild {
+object IndexBuild extends Serializable {
 
   val DefaultBuckets = 64
 
@@ -78,7 +78,9 @@ object IndexBuild {
       d = d.withColumn("text", graft.functions.GraftFunctions.extract_text(col("html")))
     if (!d.columns.contains("docId"))
       d = if (d.columns.contains("doc_id")) d.withColumnRenamed("doc_id", "docId")
-          else d.withColumn("docId", xxhash64(col("url")))
+          // mask to non-negative: posting codecs require docId >= 0 (deltas
+          // from prevLastDoc = 0), and xxhash64 is negative for half of inputs
+          else d.withColumn("docId", xxhash64(col("url")).bitwiseAND(lit(Long.MaxValue)))
     if (!d.columns.contains("meta")) {
       d = if (d.columns.contains("source"))
         d.withColumn("meta", map(lit("source"), col("source")))
@@ -103,14 +105,57 @@ object IndexBuild {
     import spark.implicits._
     val fs = new java.io.File(outDir)
     fs.mkdirs()
-    val done = Manifest.doneChunks(outDir)
     val webtext = normalizeInput(input)
+    // Resume validation: a manifest row is only trusted when its recorded
+    // input signature (docs + xor of per-row content hashes) matches the
+    // CURRENT input for that chunk — rebuilding into an existing outDir after
+    // the input changed rebuilds the stale chunks instead of silently reusing
+    // them. One agg job over the input, only paid when a manifest exists.
+    val done: Set[Int] = {
+      val recorded = Manifest.doneChunks(outDir)
+      if (recorded.isEmpty) Set.empty
+      else {
+        val current = Manifest.inputSignatures(webtext, numChunks)
+        val byChunk = Manifest.rows(outDir).groupBy(_.chunk).map { case (c, rs) => c -> rs.last }
+        recorded.filter { c =>
+          byChunk.get(c).exists(r =>
+            r.inputChecksum == current.getOrElse(c, "v2:0:0"))
+        }
+      }
+    }
     // the term exchange needs MANY more partitions than cores: each partition
     // is sorted in memory, so size them to ~100-200k token rows, not to the
     // core count (a cores-sized exchange spills and kills scaling)
     val parts = if (shufflePartitions > 0) shufflePartitions
                 else spark.sparkContext.defaultParallelism * 8
 
+    for (k <- 0 until numChunks) {
+      if (done.contains(k)) {
+        // resume: skip without recomputation (reference checksum-skip analog)
+      } else {
+        val chunkDf = webtext.filter(pmod(col("docId"), lit(numChunks)) === k)
+        Manifest.append(outDir, buildChunk(spark, chunkDf, outDir, k, saltTargetPostings, parts))
+        if (k >= failAfterChunk)
+          throw new RuntimeException(s"injected failure after chunk $k (test hook)")
+      }
+    }
+    finalizeStats(spark, outDir)
+  }
+
+  /** Build ONE chunk's docstore + segments + facets from its (already
+    * normalized) input slice. The unit of both the initial build loop and the
+    * Q12 delete/reindex partition overwrite.
+    */
+  private[graft] def buildChunk(
+      spark: SparkSession,
+      chunkDf: DataFrame,
+      outDir: String,
+      k: Int,
+      saltTargetPostings: Int,
+      shufflePartitions: Int = 0): ManifestRow = {
+    import spark.implicits._
+    val parts = if (shufflePartitions > 0) shufflePartitions
+                else spark.sparkContext.defaultParallelism * 8
     val verbose = sys.env.get("GRAFT_BUILD_VERBOSE").contains("1")
     def phase[T](name: String)(f: => T): T = {
       val p0 = System.nanoTime()
@@ -118,13 +163,9 @@ object IndexBuild {
       if (verbose) println(f"[build] $name: ${(System.nanoTime() - p0) / 1e9}%.1f s")
       r
     }
-
-    for (k <- 0 until numChunks) {
-      if (done.contains(k)) {
-        // resume: skip without recomputation (reference checksum-skip analog)
-      } else {
+    locally {
+      {
         val t0 = System.nanoTime()
-        val chunkDf = webtext.filter(pmod(col("docId"), lit(numChunks)) === k)
 
         // ---- one-pass tokenize: docstore row + per-doc postings together ----
         val tokenized = chunkDf
@@ -155,12 +196,17 @@ object IndexBuild {
           tokenized
             .select($"docId", $"url", $"warc_ts", $"text", $"lang", $"meta", $"dl",
               year($"warc_ts").as("year"))
+            // docId-sorted row groups → parquet min/max stats prune point
+            // fetches (top-k payload reads touch ~1 row group per file
+            // instead of scanning the whole docstore); shuffle-free
+            .sortWithinPartitions($"docId")
             .write.mode(SaveMode.Overwrite).parquet(s"$outDir/docstore/chunk=$k")
         }
 
-        val (nDocs, nTokens) = phase(s"stats agg c$k") {
-          val r = tokenized.agg(count(lit(1)), coalesce(sum($"dl"), lit(0L))).collect()(0)
-          (r.getLong(0), r.getLong(1))
+        val (nDocs, nTokens, inputSig) = phase(s"stats agg c$k") {
+          val r = tokenized.agg(count(lit(1)), coalesce(sum($"dl"), lit(0L)),
+            coalesce(expr("bit_xor(xxhash64(docId, url, text, map_entries(meta)))"), lit(0L))).collect()(0)
+          (r.getLong(0), r.getLong(1), s"v2:${r.getLong(0)}:${r.getLong(2)}")
         }
 
         // ---- term-doc postings input ----
@@ -171,12 +217,24 @@ object IndexBuild {
           .as[TermDoc]
 
         // ---- head-term detection for salting (per-chunk df agg) ----
+        // Bounded driver memory: take only the TOP-N heaviest head terms
+        // (TakeOrderedAndProject — per-partition top-N, never a full collect).
+        // At web scale the df > saltTarget set is itself huge (long Zipf
+        // tail); terms beyond the cap stay unsalted — their runs are bigger
+        // but bounded by the chunk doc count, while the true skew bombs (the
+        // cap-N heaviest) are always salted.
+        val headCap = sys.env.getOrElse("GRAFT_HEAD_CAP", "100000").toInt
         val heads: Map[(String, String), Int] = phase(s"head df agg c$k") {
-          termDocs
+          val rows = termDocs
             .groupBy($"lang", $"term").agg(count(lit(1)).as("df"))
             .filter($"df" > saltTargetPostings)
+            .orderBy($"df".desc)
+            .limit(headCap)
             .collect()
-            .map(r => (r.getString(0), r.getString(1)) ->
+          if (rows.length == headCap)
+            println(s"[build] WARN chunk $k: head-term set hit cap $headCap; " +
+              "terms below the cap-th df stay unsalted")
+          rows.map(r => (r.getString(0), r.getString(1)) ->
               math.min(1024, math.ceil(r.getLong(2).toDouble / saltTargetPostings).toInt))
             .toMap
         }
@@ -260,6 +318,11 @@ object IndexBuild {
         val metaPairs = tokenized.select($"lang", $"docId", explode($"meta").as(Seq("key", "value")))
           .union(tokenized.select($"lang", $"docId",
             lit("year").as("key"), year($"warc_ts").cast("string").as("value")))
+          // Q5 date OR-filter needs the "no bookmark date" complement as a
+          // positive list (bitmap complements need the universe); meta `date`
+          // and `series_*_date` values index via the explode branch above
+          .union(tokenized.select($"lang", $"docId", lit("has_date").as("key"),
+            when(element_at($"meta", "date").isNotNull, "1").otherwise("0").as("value")))
         metaPairs
           .as[(String, Long, String, String)]
           .groupByKey(t => (t._1, t._3, t._4))
@@ -280,12 +343,62 @@ object IndexBuild {
 
         tokenized.unpersist()
         val wallMs = (System.nanoTime() - t0) / 1000000
-        Manifest.append(outDir, ManifestRow(k, "done", nDocs, nTokens,
-          nTerms.value, f"docs:$nDocs%d", wallMs))
-
-        if (k >= failAfterChunk)
-          throw new RuntimeException(s"injected failure after chunk $k (test hook)")
+        ManifestRow(k, "done", nDocs, nTokens, nTerms.value, inputSig, wallMs)
       }
+    }
+  }
+
+  /** Q12 delete-by-query — the engine's `delete_by_query` analog
+    * (reference backend/common/opensearch.py:304-339, term-match delete of a
+    * whole file's documents): a PARTITION OVERWRITE keyed by the predicate.
+    * Only the chunks containing matching docs are rewritten — docstore rows
+    * are filtered, that chunk's segments + facets rebuilt from the remainder,
+    * and a fresh manifest row (with the new input signature) appended. All
+    * other chunks are untouched.
+    */
+  def deleteByQuery(spark: SparkSession, outDir: String, pred: org.apache.spark.sql.Column,
+      saltTargetPostings: Int = 8192): Unit = {
+    import spark.implicits._
+    val store = spark.read.parquet(s"$outDir/docstore")
+    val affected = store.where(pred).select($"chunk").distinct().as[Int].collect().sorted
+    affected.foreach { k =>
+      // materialize the remainder OUTSIDE the dir being overwritten (a lazy
+      // self-overwriting read would corrupt the chunk)
+      val tmp = s"$outDir/tmp_rewrite_chunk_$k"
+      store.where($"chunk" === k && !pred)
+        .select($"docId", $"url", $"warc_ts", $"text", $"lang", $"meta")
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+      val remaining = spark.read.parquet(tmp)
+      Manifest.append(outDir,
+        buildChunk(spark, remaining, outDir, k, saltTargetPostings))
+      scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+    finalizeStats(spark, outDir)
+  }
+
+  /** Q12 reindex (MERGE): delete every doc whose docId appears in `docs`,
+    * then add the new versions — the reference's "delete by filename, index
+    * the regenerated pages" flow (opensearch.py:304-339 + index_generator).
+    * One partition overwrite per affected chunk.
+    */
+  def reindexDocs(spark: SparkSession, outDir: String, docs: DataFrame,
+      numChunks: Int, saltTargetPostings: Int = 8192): Unit = {
+    import spark.implicits._
+    val incoming = normalizeInput(docs)
+      .withColumn("chunk", pmod(col("docId"), lit(numChunks)).cast("int"))
+    val store = spark.read.parquet(s"$outDir/docstore")
+    val affected = incoming.select($"chunk").distinct().as[Int].collect().sorted
+    affected.foreach { k =>
+      val tmp = s"$outDir/tmp_rewrite_chunk_$k"
+      val incomingK = incoming.where($"chunk" === k).drop("chunk")
+      val keep = store.where($"chunk" === k)
+        .select($"docId", $"url", $"warc_ts", $"text", $"lang", $"meta")
+        .join(incomingK.select($"docId"), Seq("docId"), "left_anti")
+      keep.union(incomingK).write.mode(SaveMode.Overwrite).parquet(tmp)
+      val merged = spark.read.parquet(tmp)
+      Manifest.append(outDir,
+        buildChunk(spark, merged, outDir, k, saltTargetPostings))
+      scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
     }
     finalizeStats(spark, outDir)
   }
@@ -370,7 +483,24 @@ object Manifest {
     }
   }
 
-  /** Chunks already built — the anti-join side of resume (J5 in SURVEY §2.4). */
+  /** Chunks already built — the anti-join side of resume (J5 in SURVEY §2.4).
+    * Latest row per chunk wins (a rebuilt chunk appends a new row).
+    */
   def doneChunks(outDir: String): Set[Int] =
-    rows(outDir).filter(_.status == "done").map(_.chunk).toSet
+    rows(outDir).groupBy(_.chunk).collect {
+      case (c, rs) if rs.last.status == "done" => c
+    }.toSet
+
+  /** Current input signature per chunk: "v2:<docCount>:<xor of row hashes>".
+    * One agg job over the input; used to validate manifest rows on resume.
+    */
+  def inputSignatures(webtext: DataFrame, numChunks: Int): Map[Int, String] = {
+    webtext
+      .groupBy(pmod(col("docId"), lit(numChunks)).cast("int").as("chunk"))
+      .agg(count(lit(1)).as("docs"),
+        expr("bit_xor(xxhash64(docId, url, text, map_entries(meta)))").as("sig"))
+      .collect()
+      .map(r => r.getInt(0) -> s"v2:${r.getLong(1)}:${r.getLong(2)}")
+      .toMap
+  }
 }

@@ -1,0 +1,136 @@
+package graft.langtools
+
+/** Transliteration variant generation + the 3-phase best-match flow —
+  * reference `backend/langtools/transliterate.py`.
+  *
+  * The reference generates candidate Devanagari/Gujarati spellings of a
+  * romanized word by calling an external transliteration API
+  * (transliterate.py:33-99) — a model-dependent service. Here variant
+  * generation is a deterministic rule engine: the romanized word is parsed
+  * into consonant/vowel units (longest match first) and each unit expands to
+  * its ranked alternative renderings; candidates are enumerated in cost order
+  * (sum of alternative ranks — "most standard spelling first"), exactly top-k.
+  *
+  * The 3-phase lookup flow (transliterate.py:207-323) is faithful:
+  *   Phase 1 — query the index for the top-5 variants; return hits if any.
+  *   Phase 2 — expand to top-10, query only the 5 NEW variants.
+  *   Phase 3 — run the spelling suggester over every top-10 variant, collect
+  *             suggested terms, query those.
+  * Results are (variant, frequency) with frequency > 0, sorted by frequency
+  * descending (ties: variant asc, for determinism).
+  */
+object Transliterate {
+
+  /** One romanization unit: the latin key and its ranked renderings. */
+  private type Rules = Seq[(String, Seq[String])]
+
+  // --- Devanagari (hi) -----------------------------------------------------
+  // consonants (longest keys first at parse time)
+  private val hiCons: Rules = Seq(
+    "chh" -> Seq("छ"), "kh" -> Seq("ख"), "gh" -> Seq("घ"), "ch" -> Seq("च"),
+    "jh" -> Seq("झ"), "th" -> Seq("थ", "ठ"), "dh" -> Seq("ध", "ढ"),
+    "ph" -> Seq("फ"), "bh" -> Seq("भ"), "sh" -> Seq("श", "ष"),
+    "k" -> Seq("क"), "g" -> Seq("ग"), "j" -> Seq("ज"), "t" -> Seq("त", "ट"),
+    "d" -> Seq("द", "ड"), "n" -> Seq("न", "ण"), "p" -> Seq("प"),
+    "b" -> Seq("ब"), "m" -> Seq("म"), "y" -> Seq("य"), "r" -> Seq("र"),
+    "l" -> Seq("ल"), "v" -> Seq("व"), "w" -> Seq("व"), "s" -> Seq("स"),
+    "h" -> Seq("ह"))
+  // vowel matras after a consonant ("" = inherent a)
+  private val hiMatras: Rules = Seq(
+    "aa" -> Seq("ा"), "ai" -> Seq("ै"), "au" -> Seq("ौ"), "ee" -> Seq("ी"),
+    "oo" -> Seq("ू"), "a" -> Seq("", "ा"), "i" -> Seq("ि", "ी"),
+    "u" -> Seq("ु", "ू"), "e" -> Seq("े"), "o" -> Seq("ो"))
+  // independent vowels at word start
+  private val hiVowels: Rules = Seq(
+    "aa" -> Seq("आ"), "ai" -> Seq("ऐ"), "au" -> Seq("औ"), "ee" -> Seq("ई"),
+    "oo" -> Seq("ऊ"), "a" -> Seq("अ"), "i" -> Seq("इ"), "u" -> Seq("उ"),
+    "e" -> Seq("ए"), "o" -> Seq("ओ"))
+
+  // --- Gujarati (gu) -------------------------------------------------------
+  private val guCons: Rules = Seq(
+    "chh" -> Seq("છ"), "kh" -> Seq("ખ"), "gh" -> Seq("ઘ"), "ch" -> Seq("ચ"),
+    "jh" -> Seq("ઝ"), "th" -> Seq("થ", "ઠ"), "dh" -> Seq("ધ", "ઢ"),
+    "ph" -> Seq("ફ"), "bh" -> Seq("ભ"), "sh" -> Seq("શ", "ષ"),
+    "k" -> Seq("ક"), "g" -> Seq("ગ"), "j" -> Seq("જ"), "t" -> Seq("ત", "ટ"),
+    "d" -> Seq("દ", "ડ"), "n" -> Seq("ન", "ણ"), "p" -> Seq("પ"),
+    "b" -> Seq("બ"), "m" -> Seq("મ"), "y" -> Seq("ય"), "r" -> Seq("ર"),
+    "l" -> Seq("લ"), "v" -> Seq("વ"), "w" -> Seq("વ"), "s" -> Seq("સ"),
+    "h" -> Seq("હ"))
+  private val guMatras: Rules = Seq(
+    "aa" -> Seq("ા"), "ai" -> Seq("ૈ"), "au" -> Seq("ૌ"), "ee" -> Seq("ી"),
+    "oo" -> Seq("ૂ"), "a" -> Seq("", "ા"), "i" -> Seq("િ", "ી"),
+    "u" -> Seq("ુ", "ૂ"), "e" -> Seq("ે"), "o" -> Seq("ો"))
+  private val guVowels: Rules = Seq(
+    "aa" -> Seq("આ"), "ai" -> Seq("ઐ"), "au" -> Seq("ઔ"), "ee" -> Seq("ઈ"),
+    "oo" -> Seq("ઊ"), "a" -> Seq("અ"), "i" -> Seq("ઇ"), "u" -> Seq("ઉ"),
+    "e" -> Seq("એ"), "o" -> Seq("ઓ"))
+
+  // --- "latin" ambiguity mode: vowel-length alternatives over ASCII --------
+  // (used where the corpus itself is romanized — lets an external SQL oracle
+  // replicate the downstream phase flow with inlined variant literals)
+  private val latinVowels: Rules = Seq(
+    "aa" -> Seq("aa", "a"), "ee" -> Seq("ee", "i"), "oo" -> Seq("oo", "u"),
+    "ii" -> Seq("ii", "i"), "uu" -> Seq("uu", "u"),
+    "a" -> Seq("a", "aa"), "i" -> Seq("i", "ee"), "u" -> Seq("u", "oo"),
+    "e" -> Seq("e"), "o" -> Seq("o"))
+
+  private def isVowel(c: Char): Boolean = "aeiou".indexOf(c) >= 0
+
+  /** Parse into units and expand: returns candidates ranked by total
+    * alternative cost (then lexicographic), truncated to topk, deduped.
+    */
+  def variants(word: String, lang: String, topk: Int): Seq[String] = {
+    val w = word.toLowerCase
+    if (w.isEmpty) return Nil
+    val (cons, matras, vowels) = lang match {
+      case "hi" => (hiCons, hiMatras, hiVowels)
+      case "gu" => (guCons, guMatras, guVowels)
+      case _    => (Seq.empty: Rules, latinVowels, latinVowels)
+    }
+    // enumerate (candidate, cost) by recursive descent with longest-match
+    def expand(pos: Int, atStart: Boolean): Seq[(String, Int)] = {
+      if (pos >= w.length) return Seq(("", 0))
+      val table: Rules =
+        if (isVowel(w.charAt(pos))) { if (atStart) vowels else matras }
+        else cons
+      val hit = table.find { case (k, _) => w.startsWith(k, pos) }
+      hit match {
+        case Some((k, alts)) =>
+          val rest = expand(pos + k.length, atStart = false)
+          for {
+            (alt, ai) <- alts.zipWithIndex
+            (tail, c) <- rest
+          } yield (alt + tail, ai + c)
+        case None =>
+          // unknown char: pass through verbatim (lang != latin keeps it —
+          // matches how a human would leave unmapped characters)
+          expand(pos + 1, atStart = false).map { case (t, c) => (w.charAt(pos) + t, c) }
+      }
+    }
+    expand(0, atStart = true)
+      .sortBy { case (v, c) => (c, v) }
+      .map(_._1)
+      .distinct
+      .take(topk)
+  }
+
+  /** The 3-phase flow (transliterate.py:207-323), engine-agnostic: `dfOf`
+    * returns a term's corpus frequency (hit count of match operator:and ==
+    * doc frequency); `suggestFn` is the spelling suggester (min_score 0.5,
+    * 3 suggestions — reference call at :288-294).
+    */
+  def findBestMatches(word: String, lang: String,
+      dfOf: String => Long, suggestFn: String => Seq[String]): Seq[(String, Long)] = {
+    def query(vs: Seq[String]): Seq[(String, Long)] =
+      vs.map(v => (v, dfOf(v))).filter(_._2 > 0L)
+        .sortBy { case (v, f) => (-f, v) }
+    val top10 = variants(word, lang, 10)
+    val p1 = query(top10.take(5))
+    if (p1.nonEmpty) return p1
+    val p2 = query(top10.drop(5))
+    if (p2.nonEmpty) return p2
+    val suggested = top10.flatMap(suggestFn).flatMap(_.split("\\s+"))
+      .filter(_.nonEmpty).distinct
+    query(suggested)
+  }
+}

@@ -134,6 +134,45 @@ object Dedup {
       .filter(col("est_jaccard") >= estThreshold)
   }
 
+  /** Exact word-n-gram Jaccard of two texts (distinct shingles). */
+  def exactJaccard(ta: String, tb: String, n: Int): Double = {
+    def set(t: String): Set[String] = {
+      val w = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      if (w.length < n) Set.empty[String]
+      else w.sliding(n).map(_.mkString(" ")).toSet
+    }
+    val a = set(ta); val b = set(tb)
+    val inter = a.intersect(b).size
+    val union = a.size + b.size - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  /** Production near-dup path, ORACLE-VERIFIABLE end to end: MinHash+LSH
+    * banding generates candidates (the scale step — one equi-join on
+    * (band, bucket), no pairwise blowup), then candidates are VERIFIED with
+    * the exact n-gram Jaccard, so the output is a deterministic function of
+    * the texts alone (an external SQL engine recomputes it without knowing
+    * our hashes). Band geometry is chosen so candidate-generation recall at
+    * `threshold` is ~1: with rows = numHashes/bands = 2, a pair at j = 0.7
+    * collides in ≥1 of 32 bands with prob 1 − (1 − 0.49)^32 ≈ 1 − 4e-10.
+    */
+  def minhashNearDupPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 64,
+      bands: Int = 32, threshold: Double = 0.7): DataFrame = {
+    // loose estimated-jaccard prefilter: est ~ Binomial(numHashes, j)/numHashes,
+    // so est ≥ threshold−0.3 is ≥5σ below the mean for true pairs — prunes
+    // bucket-collision noise without endangering recall
+    val cands = minhashLshCandidates(docs, n, numHashes, bands,
+      estThreshold = math.max(0.0, threshold - 0.3))
+    val ng = n
+    val jUdf = udf((ta: String, tb: String) => exactJaccard(ta, tb, ng))
+    cands
+      .join(docs.select(col("doc_id").as("id_a"), col("text").as("text_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("text").as("text_b")), "id_b")
+      .withColumn("jaccard", jUdf(col("text_a"), col("text_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** 64-bit SimHash over terms weighted by tf. */
   def simhash64(text: String): Long = {
     val w = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)

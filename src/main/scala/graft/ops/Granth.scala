@@ -35,6 +35,44 @@ object Granth {
     }.toDF()
   }
 
+  /** Deterministic markdown source for granth g — same content as
+    * [[synthesize]], expressed as the reference's input format so the real
+    * parser (S7, [[graft.crawler.MarkdownGranth]]) produces it.
+    */
+  def markdownFor(g: Int): String = {
+    val sb = new StringBuilder
+    (1 to 3 + g % 4).foreach { v =>
+      val vtype = if (v % 2 == 0) "Shlok" else "Gatha"
+      sb.append(s"# adhikar${v % 2}\n\n")
+      sb.append(s"## $vtype $v\n\n")
+      sb.append(s"verse text $g-$v\n\n")
+      sb.append(s"### Translation\n\n")
+      sb.append(s"translation $g-$v\n\n")
+      sb.append(s"### Teeka\n\n")
+      sb.append(s"teeka $g-$v-1\n\nteeka $g-$v-2\n\n")
+      sb.append(s"### Page Number - ${v * 2}\n\n")
+    }
+    sb.toString
+  }
+
+  /** The synthesize() corpus built THROUGH the markdown parser: each granth's
+    * markdown is parsed (H1 adhikar, H2 verse headers, H3 sections) and the
+    * parsed verses re-nested — granth_flatten runs over parser output, gated
+    * by the same DuckDB oracle.
+    */
+  def fromMarkdown(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    (0 until n).map { g =>
+      val (verseRows, _) = graft.crawler.MarkdownGranth.parse(markdownFor(g))
+      val verses = verseRows.map { v =>
+        Verse(v.seqNum, v.verse, v.vtype, v.translation, v.teeka,
+          v.pageNum.getOrElse(-1), v.adhikar.getOrElse(""))
+      }
+      GranthDoc(g.toLong, s"granth$g", s"author${g % 3}",
+        f"${2000 + g % 5}%04d-01-01", f"${2000 + g % 5}%04d-12-31", verses)
+    }.toDF()
+  }
+
   /** Flatten nested verses (and their nested teeka) to index rows — the
     * reference's chunk-building flattening (granth_index.py:215-332).
     */

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** F4 header/footer rejection — reference
+  * `paragraph_generator/base.py:205-232` (`_is_header_footer`):
+  *
+  *   1. strip the FIRST occurrence of each configured header-prefix regex;
+  *   2. reject paragraph #0 when, after stripping, it is short (< 35 chars)
+  *      and carries more than 2 digits (ASCII or Devanagari);
+  *   3. reject any short paragraph (0 < len < 20) whose digit ratio ≥ 0.3
+  *      (page numbers, dates, folio marks);
+  *   4. reject anything matching a configured header regex.
+  *
+  * Pure Column expressions (whole-stage codegen; no UDF): at 100 TB this
+  * predicate runs inside the scan stage of the paragraph pipeline, before the
+  * T1 combine shuffle, so rejected headers/footers never enter the exchange.
+  */
+object HeaderFooter {
+
+  private val DigitClass = "[0-9०-९]"
+
+  /** Count of ASCII + Devanagari digits. */
+  def digitCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, DigitClass, ""))
+
+  /** Strip the first occurrence of `pattern` (regex), then trim — the Column
+    * equivalent of `re.sub(pattern, '', para, count=1)`. The matched text is
+    * located with instr on the extracted match, so patterns should be written
+    * to make their first literal occurrence the regex match (anchored `^...`
+    * prefixes, the common case for headers, always are).
+    */
+  def stripFirst(c: Column, pattern: String): Column = {
+    val m = regexp_extract(c, pattern, 0)
+    val pos = instr(c, m)
+    trim(when(length(m) === 0 || pos === 0, c).otherwise(
+      concat(c.substr(lit(1), pos - 1),
+        c.substr(pos + length(m), length(c)))))
+  }
+
+  /** Apply every configured prefix strip in order. Anchored patterns (`^...`,
+    * the normal shape for headers) take the single-regexp fast path: an
+    * anchored regex matches at most once, so replace-all ≡ replace-first and
+    * the expression stays small enough for whole-stage codegen (the
+    * instr-based general path triples the regex ops per prefix, and the
+    * optimizer's projection collapse then multiplies that into every
+    * downstream predicate reference).
+    */
+  def stripPrefixes(c: Column, prefixes: Seq[String]): Column =
+    trim(prefixes.foldLeft(c) { (acc, p) =>
+      if (p.startsWith("^")) regexp_replace(acc, p, "")
+      else stripFirst(acc, p)
+    })
+
+  /** The rejection predicate over the ALREADY-STRIPPED paragraph text. */
+  def isHeaderFooter(paraNum: Column, stripped: Column,
+      headerRegexes: Seq[String] = Nil): Column = {
+    val p = stripped
+    val digits = digitCount(p)
+    val para0Reject = paraNum === 0 && length(p) < 35 && digits > 2
+    val digitRatioReject = length(p) > 0 && length(p) < 20 &&
+      digits.cast("double") / length(p).cast("double") >= 0.3
+    val regexReject = headerRegexes.map(r => p.rlike(r))
+      .foldLeft(lit(false))(_ || _)
+    para0Reject || digitRatioReject || regexReject
+  }
+
+  /** Filter a paragraph table (textCol + paraNumCol) down to content rows,
+    * replacing the text with its prefix-stripped form — the F4 step feeding
+    * the T1 paragraph combiner.
+    */
+  def cleanParagraphs(df: DataFrame, textCol: String, paraNumCol: String,
+      prefixes: Seq[String] = Nil, headerRegexes: Seq[String] = Nil): DataFrame = {
+    val stripped = stripPrefixes(col(textCol), prefixes)
+    df.withColumn(textCol, stripped)
+      .where(!isHeaderFooter(col(paraNumCol), col(textCol), headerRegexes))
+  }
+}

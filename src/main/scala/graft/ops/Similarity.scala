@@ -101,6 +101,66 @@ object Similarity {
       .select("query_id", "vec_id", "sim", "rank")
   }
 
+  /** Axis-aligned sign code: bit i = sign of dimension i. A degenerate but
+    * valid cosine-LSH family (hyperplanes = coordinate axes) whose buckets an
+    * external SQL oracle can recompute exactly — the correctness gate for the
+    * bucketed join SHAPE, while [[lshCode]] (random hyperplanes) remains the
+    * production hash (better-spread buckets).
+    */
+  def axisCode(v: Seq[Float], bits: Int): Long = {
+    var code = 0L
+    var i = 0
+    val n = math.min(bits, v.length)
+    while (i < n) {
+      if (v(i) >= 0) code |= (1L << i)
+      i += 1
+    }
+    code
+  }
+
+  /** [[lshTopK]] with the oracle-reproducible axis-sign hash. */
+  def lshTopKAxis(corpus: DataFrame, queries: DataFrame, k: Int,
+      bits: Int = 6, probeHamming: Int = 1): DataFrame = {
+    val b = bits
+    val ph = probeHamming
+    val codeUdf = udf((v: Seq[Float]) => axisCode(v, b))
+    val probesUdf = udf { (v: Seq[Float]) =>
+      val c = axisCode(v, b)
+      var codes = Set(c)
+      for (_ <- 1 to ph) codes = codes ++ codes.flatMap(x => (0 until b).map(i => x ^ (1L << i)))
+      codes.toSeq.sorted
+    }
+    val bucketed = corpus.withColumn("bucket", codeUdf(col("embedding")))
+    val qProbes = queries.withColumnRenamed("vec_id", "query_id")
+      .withColumnRenamed("embedding", "q_embedding")
+      .withColumn("bucket", explode(probesUdf(col("q_embedding"))))
+    val scored = bucketed.join(broadcast(qProbes), "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineUdf(col("embedding"), col("q_embedding")).as("sim"))
+      .groupBy("query_id", "vec_id").agg(max("sim").as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "vec_id", "sim", "rank")
+  }
+
+  /** Bucketed near-dup pairs with the oracle-reproducible axis-sign hash —
+    * same equi-join shape as [[embeddingNearDupPairs]], fully verifiable by
+    * an external SQL engine (bucket, join, cosine, threshold all recomputable).
+    */
+  def embeddingNearDupPairsAxis(corpus: DataFrame, threshold: Double,
+      bits: Int = 6): DataFrame = {
+    val b = bits
+    val codeUdf = udf((v: Seq[Float]) => axisCode(v, b))
+    val bucketed = corpus.select(col("vec_id"), col("embedding"),
+      codeUdf(col("embedding")).as("bucket"))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        cosineUdf(col("a.embedding"), col("b.embedding")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold (bucketed the
     * same way to avoid the n² cross join at scale).
     */

@@ -17,6 +17,11 @@ case class QuerySpec(
     excludeWords: Seq[String] = Nil,
     metaFilters: Map[String, Seq[String]] = Map.empty,
     yearRange: Option[(Int, Int)] = None,
+    // Full reference date semantics (index_searcher.py:64-150), start/end
+    // years each optional: (doc HAS a bookmark `date` ∧ date ∈ [start-01-01,
+    // end-12-31]) ∨ (doc has NO date ∧ series_start ≤ end ∧ series_end ≥
+    // start). Distinct from `yearRange`, which facets on year(warc_ts).
+    dateRange: Option[(Option[Int], Option[Int])] = None,
     pageSize: Int = 20,
     from: Int = 0,
     trackTotalHits: Long = 1000L)
@@ -101,17 +106,8 @@ object Bm25Query {
       .where(col("lang") === q.lang && col("term").isin(allTerms.toSeq: _*))
       .select(col("chunk"), col("term"), col("df"), col("blob"), posCol)
 
-    // facet rows for filters (terms filter Q4 + year range Q5)
-    val facetRows: DataFrame =
-      if (ctx.facetSel.isEmpty) null
-      else {
-        val cond = ctx.facetSel.map { case (k, vs) =>
-          col("key") === k && col("value").isin(vs: _*)
-        }.reduce(_ || _)
-        spark.read.parquet(idx.facetsPath)
-          .where(col("lang") === q.lang && cond)
-          .select(col("chunk"), col("key"), col("df"), col("docIds"))
-      }
+    // facet rows for filters (terms filter Q4 + year/date range Q5)
+    val facetRows: DataFrame = facetReadDf(spark, idx, q.lang, ctx)
 
     // global df per term across segments (for idf + execution-path choice)
     import spark.implicits._
@@ -173,6 +169,223 @@ object Bm25Query {
     SearchResult(hits, total, relation, sugg)
   }
 
+  /** Index-backed DISTRIBUTED scoring: every (chunk, term) posting row is
+    * decoded inside an executor task into (docId, per-term BM25 contribution);
+    * one groupBy(docId) shuffle sums them. Returns ALL matching docs as a
+    * DataFrame (docId, score) — the scale path for full-result consumers
+    * (hybrid fusion, analytics joins) where `search` returns only a page.
+    * Nothing but the per-term df map (|query terms| rows) ever reaches the
+    * driver. Supports mode/exclude/meta/year filters; phrase verification
+    * needs positions → use [[matchedDocsDf]].
+    */
+  def scoreDf(spark: SparkSession, idx: IndexHandle, q: QuerySpec): DataFrame = {
+    import spark.implicits._
+    require(!q.phrase, "scoreDf has no positions; use matchedDocsDf for phrase")
+    val n = idx.numDocs(q.lang)
+    val avgdl = idx.avgdl(q.lang)
+    val terms = queryTerms(q).map(_._1)
+    if (terms.isEmpty)
+      return spark.emptyDataset[(Long, Double)].toDF("docId", "score")
+    val rows = spark.read.parquet(idx.segmentsPath)
+      .where(col("lang") === q.lang && col("term").isin(terms.toSeq: _*))
+      .select(col("term"), col("df"), col("blob"))
+    val dfMap = rows.groupBy("term").agg(sum("df").as("df"))
+      .as[(String, Long)].collect().toMap // |query terms| rows — bounded
+    val idfB = spark.sparkContext.broadcast(
+      terms.map(t => t -> Bm25.idf(n, dfMap.getOrElse(t, 0L))).toMap)
+    val perTerm = rows.select(col("term"), col("blob"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (term, blob) =>
+        val idfV = idfB.value(term)
+        val it = new PostingListReader(blob, null).iterator()
+        it.start()
+        new Iterator[(Long, Double)] {
+          def hasNext: Boolean = !it.exhausted
+          def next(): (Long, Double) = {
+            val r = (it.docId, Bm25.score(it.tf, it.dl, avgdl, idfV))
+            it.next()
+            r
+          }
+        }
+      }
+      .toDF("docId", "s")
+    val agg = perTerm.groupBy("docId")
+      .agg(sum("s").as("score"), count(lit(1)).as("matched"))
+    val afterMode =
+      if (q.mode == "all") agg.where(col("matched") === terms.length)
+      else agg
+    val afterExclude = {
+      val exTerms = q.excludeWords.flatMap(w => Analyzer.terms(w, q.lang)).distinct
+      if (exTerms.isEmpty) afterMode
+      else afterMode.join(postingDocIds(spark, idx, q.lang, exTerms),
+        Seq("docId"), "left_anti")
+    }
+    val facetSel: Seq[(String, Seq[String])] =
+      q.metaFilters.toSeq ++ q.yearRange.map { case (a, b) =>
+        "year" -> (a to b).map(_.toString)
+      }.toSeq
+    val afterFacets =
+      if (facetSel.isEmpty) afterExclude
+      else afterExclude.join(facetDocIds(spark, idx, q.lang, facetSel), Seq("docId"))
+    val dateSel = q.dateRange.collect { case (s, e) if s.isDefined || e.isDefined =>
+      (s.map(y => f"$y%04d-01-01"), e.map(y => f"$y%04d-12-31"))
+    }
+    val afterDate = dateSel match {
+      case None => afterFacets
+      case Some(sel) => afterFacets.join(dateDocIds(spark, idx, q.lang, sel), Seq("docId"))
+    }
+    afterDate.select(col("docId"), col("score"))
+  }
+
+  /** DocIds passing the Q5 date OR-filter, fully distributed (chunk doc sets
+    * are disjoint, so the set algebra is global): (date ∈ range) ∪
+    * (no date ∩ series_start ≤ end ∩ series_end ≥ start).
+    */
+  private def dateDocIds(spark: SparkSession, idx: IndexHandle, lang: String,
+      sel: (Option[String], Option[String])): DataFrame = {
+    import spark.implicits._
+    val (sOpt, eOpt) = sel
+    val base = spark.read.parquet(idx.facetsPath).where(col("lang") === lang)
+    def ids(d: DataFrame): DataFrame = d
+      .select(col("df"), col("docIds")).as[(Long, Array[Byte])]
+      .flatMap { case (df, blob) => SortedIds.decode(blob, df.toInt) }
+      .toDF("docId")
+    var dateCond = col("key") === "date"
+    sOpt.foreach(s0 => dateCond = dateCond && col("value") >= s0)
+    eOpt.foreach(e0 => dateCond = dateCond && col("value") <= e0)
+    val inRange = ids(base.where(dateCond))
+    var noDate = ids(base.where(col("key") === "has_date" && col("value") === "0"))
+    eOpt.foreach { e0 =>
+      noDate = noDate.join(
+        ids(base.where(col("key") === "series_start_date" && col("value") <= e0)), Seq("docId"))
+    }
+    sOpt.foreach { s0 =>
+      noDate = noDate.join(
+        ids(base.where(col("key") === "series_end_date" && col("value") >= s0)), Seq("docId"))
+    }
+    inRange.union(noDate).distinct()
+  }
+
+  /** Facet rows a query's filters need, with the Q5 date-filter rows
+    * RELABELED to the [[QueryCore.DateKeys]] synthetic keys (value predicates
+    * — range on `date`, equality on `has_date`, bound checks on the series
+    * dates — are pushed into the parquet scan; the kernel then only unions /
+    * intersects pre-selected docId lists). Returns null when the query has no
+    * filters at all.
+    */
+  private[query] def facetReadDf(spark: SparkSession, idx: IndexHandle,
+      lang: String, ctx: QueryCore.Ctx): DataFrame = {
+    if (ctx.facetSel.isEmpty && ctx.dateSel.isEmpty) return null
+    val base = spark.read.parquet(idx.facetsPath).where(col("lang") === lang)
+    val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    if (ctx.facetSel.nonEmpty) {
+      val cond = ctx.facetSel.map { case (k, vs) =>
+        col("key") === k && col("value").isin(vs: _*)
+      }.reduce(_ || _)
+      parts += base.where(cond).select(col("chunk"), col("key"), col("df"), col("docIds"))
+    }
+    ctx.dateSel.foreach { case (sOpt, eOpt) =>
+      var dateCond = col("key") === "date"
+      sOpt.foreach(s0 => dateCond = dateCond && col("value") >= s0)
+      eOpt.foreach(e0 => dateCond = dateCond && col("value") <= e0)
+      parts += base.where(dateCond)
+        .select(col("chunk"), lit(QueryCore.DateInKey).as("key"), col("df"), col("docIds"))
+      parts += base.where(col("key") === "has_date" && col("value") === "0")
+        .select(col("chunk"), lit(QueryCore.NoDateKey).as("key"), col("df"), col("docIds"))
+      eOpt.foreach { e0 =>
+        parts += base.where(col("key") === "series_start_date" && col("value") <= e0)
+          .select(col("chunk"), lit(QueryCore.SeriesStartOkKey).as("key"), col("df"), col("docIds"))
+      }
+      sOpt.foreach { s0 =>
+        parts += base.where(col("key") === "series_end_date" && col("value") >= s0)
+          .select(col("chunk"), lit(QueryCore.SeriesEndOkKey).as("key"), col("df"), col("docIds"))
+      }
+    }
+    parts.reduce(_ union _)
+  }
+
+  /** DocIds carrying any of `terms`, decoded in executors. */
+  private def postingDocIds(spark: SparkSession, idx: IndexHandle, lang: String,
+      terms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(idx.segmentsPath)
+      .where(col("lang") === lang && col("term").isin(terms: _*))
+      .select(col("blob")).as[Array[Byte]]
+      .flatMap { blob =>
+        val it = new PostingListReader(blob, null).iterator()
+        it.start()
+        new Iterator[Long] {
+          def hasNext: Boolean = !it.exhausted
+          def next(): Long = { val d = it.docId; it.next(); d }
+        }
+      }
+      .distinct()
+      .toDF("docId")
+  }
+
+  /** DocIds passing ALL facet selections (values within a key OR'd, keys
+    * AND'd) — decoded per (chunk, key, value) row in executors, intersected
+    * with a count == nKeys aggregation (chunk doc sets are disjoint, and a
+    * docId appears at most once per key across its chunk's values).
+    */
+  private def facetDocIds(spark: SparkSession, idx: IndexHandle, lang: String,
+      facetSel: Seq[(String, Seq[String])]): DataFrame = {
+    import spark.implicits._
+    val nKeys = facetSel.map(_._1).distinct.size
+    val cond = facetSel.map { case (k, vs) =>
+      col("key") === k && col("value").isin(vs: _*)
+    }.reduce(_ || _)
+    spark.read.parquet(idx.facetsPath)
+      .where(col("lang") === lang && cond)
+      .select(col("key"), col("df"), col("docIds"))
+      .as[(String, Long, Array[Byte])]
+      .flatMap { case (key, df, blob) =>
+        SortedIds.decode(blob, df.toInt).iterator.map(id => (id, key))
+      }
+      .toDF("docId", "key")
+      .groupBy("docId")
+      .agg(countDistinct("key").as("nk"))
+      .where(col("nk") === nKeys)
+      .select("docId")
+  }
+
+  /** ALL kernel matches (AND/phrase/exclude/filters) as a Dataset — the
+    * per-segment kernels run in executor tasks with an unbounded heap, so the
+    * full match set never funnels through the driver. Used by full-result
+    * consumers of position-dependent queries (phrase scans).
+    */
+  def matchedDocsDf(spark: SparkSession, idx: IndexHandle, q: QuerySpec): DataFrame = {
+    import spark.implicits._
+    val qAll = q.copy(pageSize = Int.MaxValue - 1, from = 0,
+      trackTotalHits = Long.MaxValue)
+    val n = idx.numDocs(qAll.lang)
+    val avgdl = idx.avgdl(qAll.lang)
+    val ctxOpt = QueryCore.context(qAll, n, avgdl)
+    if (ctxOpt.isEmpty) return spark.emptyDataset[ScoredDoc].toDF()
+    val ctx = ctxOpt.get
+    val allTerms = (ctx.terms.map(_._1) ++ ctx.excludeTerms).distinct
+    val posCol = if (ctx.phrase) col("posBlob") else lit(null).cast("binary").as("posBlob")
+    val rows = spark.read.parquet(idx.segmentsPath)
+      .where(col("lang") === qAll.lang && col("term").isin(allTerms.toSeq: _*))
+      .select(col("chunk"), col("term"), col("df"), col("blob"), posCol)
+    val dfMap: Map[String, Long] = rows.groupBy("term").agg(sum("df").as("df"))
+      .as[(String, Long)].collect().toMap
+    if (ctx.mode == "all" && ctx.terms.exists(t => dfMap.getOrElse(t._1, 0L) == 0L))
+      return spark.emptyDataset[ScoredDoc].toDF()
+    val info = QueryCore.termInfo(ctx, t => dfMap.getOrElse(t, 0L))
+    val facetRead = facetReadDf(spark, idx, qAll.lang, ctx)
+    val facetRowsDs =
+      if (facetRead == null) spark.emptyDataset[QueryCore.FacetRow]
+      else facetRead.as[QueryCore.FacetRow]
+    rows.as[QueryCore.PostRow]
+      .groupByKey(_._1)
+      .cogroup(facetRowsDs.groupByKey(_._1)) { (_: Int, posts, facets) =>
+        QueryCore.segmentKernel(ctx, info, posts.toArray, facets.toArray)
+          .flatMap(_.top.iterator)
+      }
+      .toDF()
+  }
+
   /** Whole-field highlighter: wrap every query-term occurrence in <em> tags
     * (reference: unified highlighter, number_of_fragments: 0, <em> tags —
     * index_searcher.py:194-204).
@@ -203,27 +416,34 @@ object Bm25Query {
     import spark.implicits._
     val qTerms = Analyzer.terms(query, lang).filter(_.length >= 3)
     if (qTerms.isEmpty) return Nil
+    // Fully distributed candidate scoring: the term dictionary is never
+    // collected (a single first-letter prefix is millions of terms at web
+    // scale). Cheap codegen'd prefilters (prefix pushdown + built-in
+    // levenshtein bound) run first; exact Damerau-Levenshtein (OSA, what the
+    // reference's Lucene suggester uses) refines via UDF; orderBy().limit()
+    // brings only the top-`size` winners to the driver.
+    // Prefilter soundness: lev(a,b) <= 2*osa(a,b), and score >= minScore
+    // requires osa <= (1-minScore)*maxLen, so lev <= 2*(1-minScore)*maxLen
+    // admits every OSA-valid candidate.
+    val osaUdf = udf((a: String, b: String) => damerauLevenshtein(a, b))
     val dict = spark.read.parquet(idx.segmentsPath)
       .where(col("lang") === lang)
       .groupBy("term").agg(sum("df").as("df"))
       .where(length(col("term")) >= 3)
     qTerms.toSeq.flatMap { w =>
-      val prefix = w.substring(0, 1)
-      val wB = w
-      val cands = dict
-        .where(col("term").startsWith(prefix) && col("term") =!= wB)
-        .as[(String, Long)]
-        .collect()
-      cands.iterator
-        .map { case (t, dfv) =>
-          val d = damerauLevenshtein(wB, t)
-          (t, dfv, 1.0 - d.toDouble / math.max(wB.length, t.length))
-        }
-        .filter(_._3 >= minScore)
+      val maxLen = greatest(length(col("term")), lit(w.length)).cast("double")
+      dict
+        .where(col("term").startsWith(w.substring(0, 1)) && col("term") =!= w)
+        .where(levenshtein(lit(w), col("term")) <=
+          floor(lit(2.0 * (1.0 - minScore)) * maxLen))
+        .withColumn("score", lit(1.0) - osaUdf(lit(w), col("term")) / maxLen)
+        .where(col("score") >= minScore)
+        .orderBy(col("score").desc, col("df").desc, col("term"))
+        .limit(size)
+        .select("term")
+        .as[String]
+        .collect() // exactly `size` rows
         .toSeq
-        .sortBy { case (t, dfv, s) => (-s, -dfv, t) }
-        .take(size)
-        .map(_._1)
     }.distinct
   }
 

@@ -43,7 +43,7 @@ final class InMemoryIndex(
         (0, t, df, blob, if (ctx.phrase) posBlob else null)
       }
     }
-    val facetList: Array[QueryCore.FacetRow] = ctx.facetSel.flatMap { case (key, vs) =>
+    val metaFacetList: Array[QueryCore.FacetRow] = ctx.facetSel.flatMap { case (key, vs) =>
       vs.flatMap { v =>
         facets.get((q.lang, key, v)).map { ids =>
           // re-encode-free path: wrap as a pre-decoded facet row
@@ -51,6 +51,31 @@ final class InMemoryIndex(
         }
       }
     }.toArray
+    // Q5 date-filter rows: relabel matching (key, value) lists with the
+    // synthetic keys the kernel's OR-filter consumes (same as the Spark read
+    // layer, Bm25Query.facetReadDf)
+    val dateFacetList: Array[QueryCore.FacetRow] = ctx.dateSel match {
+      case None => Array.empty
+      case Some((sOpt, eOpt)) =>
+        val rows = scala.collection.mutable.ArrayBuffer[QueryCore.FacetRow]()
+        facets.foreach { case ((lang, key, value), ids) =>
+          if (lang == q.lang) {
+            val label: Option[String] = key match {
+              case "date" if sOpt.forall(value >= _) && eOpt.forall(value <= _) =>
+                Some(QueryCore.DateInKey)
+              case "has_date" if value == "0" => Some(QueryCore.NoDateKey)
+              case "series_start_date" if eOpt.exists(value <= _) =>
+                Some(QueryCore.SeriesStartOkKey)
+              case "series_end_date" if sOpt.exists(value >= _) =>
+                Some(QueryCore.SeriesEndOkKey)
+              case _ => None
+            }
+            label.foreach(l => rows += ((0, l, ids.length.toLong, encodeIds(ids))))
+          }
+        }
+        rows.toArray
+    }
+    val facetList = metaFacetList ++ dateFacetList
 
     val segResults = QueryCore.segmentKernel(ctx, info, postList, facetList).toArray
     val (page, total, relation) = QueryCore.merge(q, segResults)

@@ -101,6 +101,23 @@ object NaiveBm25 {
     q.yearRange.foreach { case (a, z) =>
       d = d.where(year(col("warc_ts")).between(a, z))
     }
+    // Q5 reference date semantics from doc metadata (index_searcher.py:64-150)
+    q.dateRange.foreach { case (sOpt, eOpt) =>
+      if (sOpt.isDefined || eOpt.isDefined) {
+        val s0 = sOpt.map(y => f"$y%04d-01-01")
+        val e0 = eOpt.map(y => f"$y%04d-12-31")
+        val dateCol = element_at(col("meta"), "date")
+        val ssCol = element_at(col("meta"), "series_start_date")
+        val seCol = element_at(col("meta"), "series_end_date")
+        var inRange = dateCol.isNotNull
+        s0.foreach(s => inRange = inRange && dateCol >= s)
+        e0.foreach(e => inRange = inRange && dateCol <= e)
+        var series = dateCol.isNull
+        e0.foreach(e => series = series && ssCol.isNotNull && ssCol <= e)
+        s0.foreach(s => series = series && seCol.isNotNull && seCol >= s)
+        d = d.where(inRange || series)
+      }
+    }
     d
   }
 

@@ -15,6 +15,17 @@ object QueryCore {
   /** One facet row: (chunk, key, df, docIdsBlob). */
   type FacetRow = (Int, String, Long, Array[Byte])
 
+  /** Synthetic facet keys carrying the Q5 date-filter components — the read
+    * layers relabel matching facet rows with these before the kernel runs:
+    * docs whose `date` is in range; docs with NO date; docs whose
+    * series_start ≤ search end; docs whose series_end ≥ search start.
+    */
+  val DateInKey = "__date_in"
+  val NoDateKey = "__no_date"
+  val SeriesStartOkKey = "__ss_ok"
+  val SeriesEndOkKey = "__se_ok"
+  val DateKeys: Set[String] = Set(DateInKey, NoDateKey, SeriesStartOkKey, SeriesEndOkKey)
+
   /** Query-wide immutable context derived from the QuerySpec + corpus stats. */
   case class Ctx(
       terms: Array[(String, Int)], // distinct (term, first qPos)
@@ -26,7 +37,9 @@ object QueryCore {
       mode: String,
       phrase: Boolean,
       k: Int,
-      cap: Long) {
+      cap: Long,
+      // (start date, end date) as "yyyy-MM-dd" strings, either bound open
+      dateSel: Option[(Option[String], Option[String])] = None) {
     val exSet: Set[String] = excludeTerms.toSet
     val nFilters: Int = facetSel.map(_._1).distinct.size
   }
@@ -45,8 +58,14 @@ object QueryCore {
       q.metaFilters.toSeq ++ q.yearRange.map { case (a, b) =>
         "year" -> (a to b).map(_.toString)
       }.toSeq
+    // match_phrase is conjunctive (reference slop-0 phrase): phrase + "any"
+    // would silently skip verification in the WAND path, so force "all"
+    val mode = if (q.phrase) "all" else q.mode
+    val dateSel = q.dateRange.collect { case (s, e) if s.isDefined || e.isDefined =>
+      (s.map(y => f"$y%04d-01-01"), e.map(y => f"$y%04d-12-31"))
+    }
     Some(Ctx(terms, phrasePlan, excludeTerms, facetSel, n, avgdl,
-      q.mode, q.phrase, q.from + q.pageSize, q.trackTotalHits))
+      mode, q.phrase, q.from + q.pageSize, q.trackTotalHits, dateSel))
   }
 
   /** termInfo = (term, qPos, idf from GLOBAL df). */
@@ -56,18 +75,38 @@ object QueryCore {
   /** One segment's kernel over its posting/facet rows. */
   def segmentKernel(ctx: Ctx, info: Array[(String, Int, Double)],
       postList: Array[PostRow], facetList: Array[FacetRow]): Iterator[SegmentResult] = {
-    val allowed: Option[SortedIdSet] =
+    val (dateRows, metaRows) = facetList.partition(r => DateKeys.contains(r._2))
+    val metaAllowed: Option[Array[Long]] =
       if (ctx.nFilters == 0) None
       else {
-        val byKey = facetList.groupBy(_._2)
-        if (byKey.size < ctx.nFilters) Some(new SortedIdSet(Array.empty))
+        val byKey = metaRows.groupBy(_._2)
+        if (byKey.size < ctx.nFilters) Some(Array.emptyLongArray)
         else {
           val lists = byKey.values.map { rowsOfKey =>
             SortedIds.unionAll(rowsOfKey.map(r => SortedIds.decode(r._4, r._3.toInt)).toSeq)
           }.toArray
-          Some(new SortedIdSet(SortedIds.intersectAll(lists)))
+          Some(SortedIds.intersectAll(lists))
         }
       }
+    // Q5 date OR-filter: (date exists ∧ in range) ∨ (no date ∧ series overlap)
+    val dateAllowed: Option[Array[Long]] = ctx.dateSel.map { case (sOpt, eOpt) =>
+      val byKey = dateRows.groupBy(_._2)
+      def u(k: String): Array[Long] = SortedIds.unionAll(
+        byKey.getOrElse(k, Array.empty[FacetRow]).map(r => SortedIds.decode(r._4, r._3.toInt)).toSeq)
+      val inRange = u(DateInKey)
+      var noDate = u(NoDateKey)
+      // docs missing a series bound fail the corresponding range condition
+      // (OpenSearch range on a missing field never matches)
+      if (eOpt.isDefined) noDate = SortedIds.intersectAll(Array(noDate, u(SeriesStartOkKey)))
+      if (sOpt.isDefined) noDate = SortedIds.intersectAll(Array(noDate, u(SeriesEndOkKey)))
+      SortedIds.unionAll(Seq(inRange, noDate))
+    }
+    val allowed: Option[SortedIdSet] = (metaAllowed, dateAllowed) match {
+      case (None, None)       => None
+      case (Some(m), None)    => Some(new SortedIdSet(m))
+      case (None, Some(d))    => Some(new SortedIdSet(d))
+      case (Some(m), Some(d)) => Some(new SortedIdSet(SortedIds.intersectAll(Array(m, d))))
+    }
     val exIts = postList.filter(r => ctx.exSet.contains(r._2)).map { r =>
       val it = new PostingListReader(r._4, null).iterator()
       it.start(); it
@@ -92,8 +131,13 @@ object QueryCore {
     val page = merged.toArray
       .sortBy(s => (-s.score, s.docId))
       .slice(q.from, q.from + q.pageSize)
-    val total = math.min(segResults.map(_.hitCount).sum, q.trackTotalHits)
-    val relation = if (segResults.exists(_.capped)) "gte" else "eq"
+    val rawTotal = segResults.map(_.hitCount).sum
+    val total = math.min(rawTotal, q.trackTotalHits)
+    // "gte" when any single segment capped OR the cross-segment sum exceeds
+    // the cap (each segment's count is exact up to the cap, but their sum can
+    // pass it with no individual segment capping)
+    val relation =
+      if (segResults.exists(_.capped) || rawTotal > q.trackTotalHits) "gte" else "eq"
     (page, total, relation)
   }
 }

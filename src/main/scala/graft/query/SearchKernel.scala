@@ -40,7 +40,9 @@ final class TermState(val term: String, val it: PostingIterator,
   * higher score wins; equal score → LOWER docId wins (Lucene doc-order ties).
   */
 final class TopK(k: Int) {
-  private val heap = new java.util.PriorityQueue[ScoredDoc](math.max(k, 1),
+  // initial capacity capped: k may be "unbounded" (return-all consumers);
+  // the queue grows dynamically past 4096 if needed
+  private val heap = new java.util.PriorityQueue[ScoredDoc](math.min(math.max(k, 1), 4096),
     (a: ScoredDoc, b: ScoredDoc) => {
       val c = java.lang.Double.compare(a.score, b.score)
       if (c != 0) c else java.lang.Long.compare(b.docId, a.docId) // min-heap: "worst" first
@@ -237,6 +239,11 @@ object SearchKernel {
       else {
         val pivotDoc = ts(p).it.docId
         if (ts(0).it.docId == pivotDoc) {
+          // extend the pivot over docId ties: iterators beyond p sitting on
+          // pivotDoc contribute to the doc's true score, so the shallow bound
+          // must include their block maxima too (standard BMW pivot widening;
+          // without it a doc can be wrongly pruned once hits >= cap)
+          while (p + 1 < ts.length && ts(p + 1).it.docId == pivotDoc) p += 1
           // block-max shallow check over iterators at pivotDoc
           var bm = 0.0
           var j = 0
@@ -264,10 +271,15 @@ object SearchKernel {
           }
           sortByDoc()
         } else {
-          // advance the largest-maxScore iterator before the pivot
+          // advance the largest-maxScore iterator sitting STRICTLY BEFORE
+          // pivotDoc (a docId tie can straddle the pivot index: an iterator
+          // already at pivotDoc must not be the advance candidate — its
+          // advance(pivotDoc) is a no-op and the loop would never progress)
+          var end = 0
+          while (end < ts.length && ts(end).it.docId < pivotDoc) end += 1
           var best = 0
           var j = 1
-          while (j < p) {
+          while (j < end) {
             if (ts(j).maxScore > ts(best).maxScore) best = j
             j += 1
           }

@@ -75,7 +75,8 @@ class WebtextSpec extends AnyFunSuite {
 
   test("fromDocuments derives the input_hint shape deterministically") {
     val df = Webtext.fromDocuments(spark, "/root/testdata/sf0.001")
-    assert(df.columns.toSeq == Seq("doc_id", "url", "warc_ts", "html", "text", "lang", "source"))
+    assert(df.columns.toSeq ==
+      Seq("doc_id", "url", "warc_ts", "html", "text", "lang", "source", "meta"))
     val row = df.orderBy("doc_id").limit(1).collect()(0)
     assert(row.getAs[String]("url") == "https://example.org/es/src0/00000000")
     assert(row.getAs[java.sql.Timestamp]("warc_ts").toInstant ==

@@ -78,6 +78,80 @@ class IndexBuildSpec extends AnyFunSuite {
     assert(rows.forall(r => r.docs > 0 && r.tokens > 0 && r.terms > 0 && r.wallMs >= 0))
   }
 
+  test("fallback docId (no doc_id column) is hash-derived, non-negative, and builds") {
+    import spark.implicits._
+    val corpus = Webtext.synthesize(spark, 300, partitions = 3).toDF()
+      .drop("docId") // force the xxhash64(url) fallback path
+    rm("/tmp/gidx-nofid")
+    IndexBuild.build(spark, corpus, "/tmp/gidx-nofid", numChunks = 2)
+    val ids = spark.read.parquet("/tmp/gidx-nofid/docstore")
+      .select("docId").as[Long].collect()
+    assert(ids.length == 300)
+    assert(ids.forall(_ >= 0L), "hash-derived docIds must be non-negative")
+    assert(ids.distinct.length == 300, "urls are unique → ids must be unique")
+  }
+
+  test("resume invalidation: changed input rebuilds stale chunks (checksum mismatch)") {
+    val corpusA = Webtext.synthesize(spark, 400, seed = 42L, partitions = 4).toDF()
+    val corpusB = Webtext.synthesize(spark, 400, seed = 43L, partitions = 4).toDF()
+    rm("/tmp/gidx-stale"); rm("/tmp/gidx-fresh")
+    IndexBuild.build(spark, corpusA, "/tmp/gidx-stale", numChunks = 2)
+    // same outDir, DIFFERENT input: the manifest says chunks 0-1 are done, but
+    // the recorded signatures no longer match → both chunks must rebuild
+    IndexBuild.build(spark, corpusB, "/tmp/gidx-stale", numChunks = 2)
+    IndexBuild.build(spark, corpusB, "/tmp/gidx-fresh", numChunks = 2)
+    val stale = postingsFingerprint("/tmp/gidx-stale", compacted = false)
+    val fresh = postingsFingerprint("/tmp/gidx-fresh", compacted = false)
+    assert(stale == fresh, "rebuild into the changed-input dir must serve the NEW input")
+    // and unchanged input still resumes as a no-op
+    val seg0 = new java.io.File("/tmp/gidx-stale/segments/chunk=0")
+    val before = seg0.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    Thread.sleep(1100)
+    IndexBuild.build(spark, corpusB, "/tmp/gidx-stale", numChunks = 2)
+    val after = seg0.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    assert(after == before, "unchanged input must not recompute")
+  }
+
+  test("Q12 delete-by-query: partition overwrite == fresh build of the remainder") {
+    import org.apache.spark.sql.functions._
+    val corpus = Webtext.synthesize(spark, 600, partitions = 4).toDF()
+    rm("/tmp/gidx-del"); rm("/tmp/gidx-del-fresh")
+    IndexBuild.build(spark, corpus, "/tmp/gidx-del", numChunks = 3)
+    // predicate hits docs only in chunk 0 (docId % 3 == 0) → chunks 1-2 untouched
+    val seg1 = new java.io.File("/tmp/gidx-del/segments/chunk=1")
+    val before = seg1.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    Thread.sleep(1100)
+    IndexBuild.deleteByQuery(spark, "/tmp/gidx-del",
+      pmod(col("docId"), lit(3)) === 0 && col("docId") < 300)
+    val after = seg1.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    assert(after == before, "unaffected chunk was rewritten")
+    IndexBuild.build(spark,
+      corpus.filter(!(pmod(col("docId"), lit(3)) === 0 && col("docId") < 300)),
+      "/tmp/gidx-del-fresh", numChunks = 3)
+    assert(postingsFingerprint("/tmp/gidx-del", compacted = false) ==
+      postingsFingerprint("/tmp/gidx-del-fresh", compacted = false))
+  }
+
+  test("Q12 reindex (MERGE): delete + add == fresh build of the modified corpus") {
+    import org.apache.spark.sql.functions._
+    val corpus = Webtext.synthesize(spark, 500, partitions = 4).toDF()
+    rm("/tmp/gidx-re"); rm("/tmp/gidx-re-fresh")
+    IndexBuild.build(spark, corpus, "/tmp/gidx-re", numChunks = 2)
+    val regen = corpus.where(pmod(col("docId"), lit(5)) === 0)
+      .withColumn("text", concat(col("text"), lit(" regenerated")))
+    IndexBuild.reindexDocs(spark, "/tmp/gidx-re", regen, numChunks = 2)
+    val modified = corpus.withColumn("text",
+      when(pmod(col("docId"), lit(5)) === 0, concat(col("text"), lit(" regenerated")))
+        .otherwise(col("text")))
+    IndexBuild.build(spark, modified, "/tmp/gidx-re-fresh", numChunks = 2)
+    assert(postingsFingerprint("/tmp/gidx-re", compacted = false) ==
+      postingsFingerprint("/tmp/gidx-re-fresh", compacted = false))
+    // stats reflect the merged corpus
+    val h = graft.query.IndexHandle.load("/tmp/gidx-re")
+    val hf = graft.query.IndexHandle.load("/tmp/gidx-re-fresh")
+    assert(h.stats == hf.stats)
+  }
+
   test("compact folds per-chunk segments into one, content-identical") {
     val corpus = Webtext.synthesize(spark, 800, partitions = 4).toDF()
     rm("/tmp/gidx-c")

@@ -1,0 +1,51 @@
+package graft.langtools
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Goldens for the rule-based variant generator and the 3-phase flow
+  * (reference transliterate.py:113-167, 207-323).
+  */
+class TransliterateSpec extends AnyFunSuite {
+
+  test("hi variants: standard spellings first, ambiguity expanded") {
+    val vs = Transliterate.variants("rama", "hi", 10)
+    assert(vs.head == "रम", s"cheapest spelling first: $vs")
+    assert(vs.contains("राम"), s"long-a alternative present: $vs")
+    // sh ambiguity (श/ष)
+    val sh = Transliterate.variants("shanti", "hi", 10)
+    assert(sh.exists(_.startsWith("श")) && sh.exists(_.startsWith("ष")), s"$sh")
+    // word-initial vowel uses the independent form
+    assert(Transliterate.variants("aman", "hi", 5).head.startsWith("अ"))
+  }
+
+  test("gu variants mirror hi structure") {
+    val vs = Transliterate.variants("rama", "gu", 10)
+    assert(vs.head == "રમ" && vs.contains("રામ"), s"$vs")
+  }
+
+  test("latin ambiguity goldens (inlined into the oracle SQL)") {
+    assert(Transliterate.variants("duup", "latin", 10) == Seq("duup", "dup"))
+    assert(Transliterate.variants("spakr", "latin", 10) == Seq("spakr", "spaakr"))
+    assert(Transliterate.variants("meerge", "latin", 10) == Seq("meerge", "mirge"))
+  }
+
+  test("deterministic and bounded") {
+    val a = Transliterate.variants("dhashti", "hi", 10)
+    val b = Transliterate.variants("dhashti", "hi", 10)
+    assert(a == b && a.length <= 10 && a.distinct == a)
+  }
+
+  test("3-phase flow: phase selection and ordering") {
+    val df1 = Map("dup" -> 7L)
+    // phase 1: top-5 variant found
+    assert(Transliterate.findBestMatches("duup", "latin", df1.getOrElse(_, 0L), _ => Nil)
+      == Seq(("dup", 7L)))
+    // phase 3: nothing in variants → suggester terms queried, sorted by freq
+    val corpus = Map("spark" -> 9L, "spare" -> 3L)
+    val res = Transliterate.findBestMatches("spakr", "latin",
+      corpus.getOrElse(_, 0L), v => Seq("spark", "spare"))
+    assert(res == Seq(("spark", 9L), ("spare", 3L)))
+    // nothing anywhere → empty
+    assert(Transliterate.findBestMatches("zzz", "latin", _ => 0L, _ => Nil).isEmpty)
+  }
+}

@@ -83,6 +83,37 @@ class OpsSpec extends AnyFunSuite {
     assert(bucketed.subsetOf(exact))
   }
 
+  test("minhash verified near-dup == exact ngram-jaccard pair set (oracled scale path)") {
+    val planted = Dedup.withPlantedDups(docs, dupEvery = 17, exactEvery = 23)
+    val exact = Dedup.ngramJaccardPairs(planted, n = 3, threshold = 0.7, maxShingleDf = Long.MaxValue)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val viaMinhash = Dedup.minhashNearDupPairs(planted, n = 3, numHashes = 64,
+      bands = 32, threshold = 0.7).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(viaMinhash == exact,
+      s"missed=${(exact -- viaMinhash).take(5)} extra=${(viaMinhash -- exact).take(5)}")
+  }
+
+  test("axis-sign bucketed near-dup: ⊆ exact; planted duplicates always found") {
+    val exact = Similarity.embeddingNearDupPairsExact(emb, 0.40)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val bucketed = Similarity.embeddingNearDupPairsAxis(emb, 0.40, bits = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // precision 1.0 by construction (verification is exact cosine)
+    assert(bucketed.subsetOf(exact) && bucketed.nonEmpty)
+    // recall gate on what bucketing GUARANTEES: identical vectors share the
+    // bucket, so planted duplicate vectors must all be found
+    val planted = emb.filter($"vec_id" % 10 === 0)
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    val withDups = emb.select("vec_id", "embedding").union(planted)
+    val found = Similarity.embeddingNearDupPairsAxis(withDups, 0.9999, bits = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = emb.filter($"vec_id" % 10 === 0).select("vec_id").as[Long].collect()
+      .map(id => (id, id + 100000L)).toSet
+    assert(expected.forall(found.contains),
+      s"missing planted pairs: ${(expected -- found).take(5)}")
+  }
+
   test("text analysis columns: ranges and determinism") {
     val out = TextAnalysis.analyzeDocs(docs).collect()
     out.foreach { r =>

@@ -83,6 +83,18 @@ class RankParitySpec extends AnyFunSuite {
     assertParity(QuerySpec("hi", hiPhrase, yearRange = Some((2020, 2020))))
   }
 
+  test("Q5 full date-range: (date in range) OR (no date AND series overlap)") {
+    // fixtures: i%3==0 docs carry `date` (2019-01-01 + i%1000 d); i%2==0 docs
+    // carry a 400-day series; odd non-date docs have neither → excluded
+    assertParity(QuerySpec("hi", hiPhrase, dateRange = Some((Some(2019), Some(2019)))))
+    assertParity(QuerySpec("hi", hiPhrase, dateRange = Some((None, Some(2019))))) // open start
+    assertParity(QuerySpec("hi", hiPhrase, dateRange = Some((Some(2021), None)))) // open end
+    // stacked with a meta terms-filter (Pravachan = docs WITHOUT a date —
+    // exercises the series-overlap branch under intersection)
+    assertParity(QuerySpec("hi", hiPhrase, dateRange = Some((Some(2019), Some(2020))),
+      metaFilters = Map("category" -> Seq("Pravachan"))))
+  }
+
   test("G8: pagination page 2 (from = pageSize)") {
     assertParity(QuerySpec("hi", Webtext.word("hi", 5), from = 20, pageSize = 20))
   }
@@ -148,6 +160,8 @@ class RankParitySpec extends AnyFunSuite {
       QuerySpec("hi", hiPhrase, excludeWords = Seq(Webtext.word("hi", 30))),
       QuerySpec("hi", hiPhrase, metaFilters = Map("category" -> Seq("Granth"))),
       QuerySpec("hi", hiPhrase, yearRange = Some((2020, 2020))),
+      QuerySpec("hi", hiPhrase, dateRange = Some((Some(2019), Some(2019)))),
+      QuerySpec("hi", hiPhrase, dateRange = Some((None, Some(2019)))),
       QuerySpec("hi", Webtext.word("hi", 0), trackTotalHits = 50),
       QuerySpec("hi", "और की")) // stopword-only
     queries.foreach { q =>
@@ -182,6 +196,67 @@ class RankParitySpec extends AnyFunSuite {
     if (got.totalHits == 0) {
       assert(got.suggestions.contains(real), s"expected $real in ${got.suggestions}")
     }
+  }
+
+  test("BMW pivot ties: multi-term any-mode with pruning engaged (cap exceeded)") {
+    // head terms co-occur on many docs → iterators tie on docIds constantly;
+    // a tight cap engages block-max pruning early. Without pivot widening over
+    // docId ties the shallow bound omits tied lists and wrongly drops docs.
+    val heads = s"${Webtext.word("hi", 0)} ${Webtext.word("hi", 1)} ${Webtext.word("hi", 2)}"
+    val q = QuerySpec("hi", heads, mode = "any", trackTotalHits = 10)
+    val got = Bm25Query.search(spark, idx, q)
+    val (oracle, _) = NaiveBm25.search(spark, docstore, q)
+    assert(got.hits.map(_.docId) == oracle.map(_.docId),
+      s"got=${got.hits.map(_.docId).toSeq} exp=${oracle.map(_.docId)}")
+    // wider term mix (head + designated head + tail), still capped
+    val mix = (Seq(0, 1).map(Webtext.word("hi", _)) :+ "hihead0" :+ Webtext.word("hi", 4000)).mkString(" ")
+    val q2 = QuerySpec("hi", mix, mode = "any", trackTotalHits = 5)
+    val got2 = Bm25Query.search(spark, idx, q2)
+    val (oracle2, _) = NaiveBm25.search(spark, docstore, q2)
+    assert(got2.hits.map(_.docId) == oracle2.map(_.docId))
+  }
+
+  test("phrase + any-mode is forced conjunctive (reference match_phrase)") {
+    val a = Bm25Query.search(spark, idx, QuerySpec("hi", hiPhrase, phrase = true, mode = "any"))
+    val b = Bm25Query.search(spark, idx, QuerySpec("hi", hiPhrase, phrase = true))
+    assert(a.hits.map(h => (h.docId, h.score)) == b.hits.map(h => (h.docId, h.score)))
+    assert(a.totalHits == b.totalHits)
+  }
+
+  test("merge reports gte when the cross-segment sum exceeds the cap (no single segment capped)") {
+    val s1 = SegmentResult(Array.empty, 600L, capped = false)
+    val s2 = SegmentResult(Array.empty, 600L, capped = false)
+    val (_, total, rel) = QueryCore.merge(QuerySpec("hi", "x", trackTotalHits = 1000L), Array(s1, s2))
+    assert(total == 1000L && rel == "gte")
+    val (_, t2, r2) = QueryCore.merge(QuerySpec("hi", "x", trackTotalHits = 2000L), Array(s1, s2))
+    assert(t2 == 1200L && r2 == "eq")
+  }
+
+  test("scoreDf: index-backed distributed full scoring == naive oracle") {
+    def check(q: QuerySpec): Unit = {
+      val got = Bm25Query.scoreDf(spark, idx, q).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val exp = NaiveBm25.scoreAll(spark, docstore, q).select("docId", "score").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got.keySet == exp.keySet, s"$q: got ${got.size} exp ${exp.size}")
+      got.foreach { case (id, s) =>
+        assert(math.abs(s - exp(id)) <= 1e-9 * math.max(1.0, math.abs(exp(id))), s"$q doc $id")
+      }
+      assert(got.nonEmpty, s"empty fixture for $q")
+    }
+    check(QuerySpec("hi", hiPhrase))
+    check(QuerySpec("hi", hiPhrase, mode = "any"))
+    check(QuerySpec("hi", hiPhrase, excludeWords = Seq(Webtext.word("hi", 30))))
+    check(QuerySpec("hi", hiPhrase,
+      metaFilters = Map("category" -> Seq("Granth")), yearRange = Some((2020, 2020))))
+    check(QuerySpec("hi", hiPhrase, dateRange = Some((Some(2019), Some(2019)))))
+  }
+
+  test("matchedDocsDf: distributed full phrase-match set == naive oracle") {
+    val q = QuerySpec("hi", hiPhrase, phrase = true)
+    val got = Bm25Query.matchedDocsDf(spark, idx, q).collect().map(_.getLong(0)).toSet
+    val exp = NaiveBm25.scoreAll(spark, docstore, q).select("docId").collect().map(_.getLong(0)).toSet
+    assert(got == exp && got.nonEmpty)
   }
 
   test("highlights wrap every query term occurrence in <em>") {

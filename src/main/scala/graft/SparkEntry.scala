@@ -325,6 +325,26 @@ object SparkEntry {
         .orderBy("day", "event_type")
     }),
 
+    // ---- Q10 get-by-id: docstore point fetch (docId-sorted row groups →
+    // min/max pruned read) ----
+    "doc_by_id" -> ((s, dir) => {
+      val idx = index(s, dir)
+      s.read.parquet(s"${idx.dir}/docstore")
+        .where(col("docId").isin(3L, 57L, 110L, 999999993L)) // incl. a miss
+        .select(col("docId").as("doc_id"), col("url"), col("lang"),
+          col("dl").cast("long").as("dl"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- A3 metadata regroup: per-language {key: sorted distinct values}
+    // (the reference /metadata endpoint shape) ----
+    "metadata_regroup" -> ((s, dir) =>
+      Webtext.fromDocuments(s, dir)
+        .select(col("lang"), explode(col("meta")).as(Seq("key", "value")))
+        .groupBy("lang", "key")
+        .agg(array_join(sort_array(collect_set("value")), ",").as("vals"))
+        .orderBy("lang", "key")),
+
     // ---- facets / metadata (A1) ----
     "facet_values" -> ((s, dir) =>
       documents(s, dir).select("lang", "source").distinct().orderBy("lang", "source")),
@@ -814,6 +834,28 @@ object SparkEntry {
       """SELECT date_trunc('day', ts) AS day, event_type,
         |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "doc_by_id" ->
+      s"""WITH $WebtextCte,
+         |${tokensCte("")},
+         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tokens GROUP BY doc_id)
+         |SELECT w.doc_id, w.url, w.lang, CAST(coalesce(dl.dl, 0) AS BIGINT) AS dl
+         |FROM webtext w LEFT JOIN dl USING (doc_id)
+         |WHERE w.doc_id IN (3, 57, 110, 999999993)
+         |ORDER BY w.doc_id""".stripMargin,
+    "metadata_regroup" ->
+      """WITH m AS (
+        |  SELECT lang, 'source' AS key, source AS value FROM documents
+        |  UNION ALL
+        |  SELECT lang, 'date', strftime(DATE '2019-01-01' + CAST(doc_id % 730 AS INT), '%Y-%m-%d')
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT lang, 'series_start_date', strftime(DATE '2019-06-01' + CAST(doc_id % 400 AS INT), '%Y-%m-%d')
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT lang, 'series_end_date', strftime(DATE '2019-06-01' + CAST(doc_id % 400 AS INT) + 300, '%Y-%m-%d')
+        |  FROM documents WHERE doc_id % 2 = 0)
+        |SELECT lang, key, array_to_string(list_sort(list(DISTINCT value)), ',') AS vals
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "facet_values" ->
       "SELECT DISTINCT lang, source FROM documents ORDER BY lang, source",
     "reindex_doc" ->

@@ -403,6 +403,41 @@ object IndexBuild extends Serializable {
     finalizeStats(spark, outDir)
   }
 
+  /** J6 GC anti-join: chunk partitions present on disk but NOT marked done in
+    * the manifest (crashed builds leave partial chunk dirs; a manifest
+    * rollback orphans completed ones). Returns the orphan chunk ids found and,
+    * when `delete`, removes their dirs across docstore/segments/facets.
+    */
+  def gcOrphanChunks(outDir: String, delete: Boolean = false): Seq[Int] = {
+    val done = Manifest.doneChunks(outDir)
+    val onDisk = Seq("docstore", "segments", "facets").flatMap { sub =>
+      val d = new java.io.File(s"$outDir/$sub")
+      if (!d.exists()) Nil
+      else d.listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("chunk="))
+        .map(f => f.getName.stripPrefix("chunk=").toInt)
+    }.distinct.sorted
+    val orphans = onDisk.filterNot(done.contains)
+    if (delete) orphans.foreach { k =>
+      Seq("docstore", "segments", "facets").foreach { sub =>
+        val d = new java.io.File(s"$outDir/$sub/chunk=$k")
+        if (d.exists()) scala.reflect.io.Directory(d).deleteRecursively()
+      }
+    }
+    orphans
+  }
+
+  /** S11 debug text sink — the reference dumps per-page OCR text files for
+    * debugging (its `--debug` crawl path). One line per doc:
+    * docId \t url \t text (newlines escaped), written as plain text.
+    */
+  def debugTextSink(spark: SparkSession, outDir: String, debugDir: String): Unit = {
+    spark.read.parquet(s"$outDir/docstore")
+      .select(concat_ws("\t", col("docId"), col("url"),
+        regexp_replace(col("text"), "\n", "\\\\n")).as("value"))
+      .write.mode(SaveMode.Overwrite).text(debugDir)
+  }
+
   /** Corpus stats (N, avgdl per lang) from manifest-covered docstore chunks. */
   def finalizeStats(spark: SparkSession, outDir: String): Unit = {
     import spark.implicits._

@@ -122,13 +122,35 @@ final class InMemoryIndex(
 
 object InMemoryIndex {
 
-  /** Load (and per-term merge) all segments of an index into memory.
-    * @param withDocs also load (url, text) payloads for highlighting
+  /** Term-shard id of a term — must match the `bucket` column written at
+    * build time (IndexBuild.toSegment).
     */
-  def load(spark: SparkSession, idx: IndexHandle, withDocs: Boolean = true): InMemoryIndex = {
+  def bucketOf(term: String): Int =
+    Math.floorMod(term.hashCode, graft.index.IndexBuild.DefaultBuckets)
+
+  /** Load (and per-term merge) segments of an index into memory.
+    *
+    * MEMORY BOUND / SHARDING: a resident node's footprint is the posting
+    * bytes of the buckets it loads (plus facets + optional doc payloads).
+    * Pass `buckets` to load only an assigned TERM-shard subset — the
+    * serving-fleet model at scale: terms are hash-sharded by `bucket`, a
+    * query routes to the node(s) owning its terms' buckets, and a
+    * bucket-subset node returns results identical to a full node for any
+    * query whose terms fall inside its shards (gated by RankParitySpec).
+    *
+    * @param withDocs also load (url, text) payloads for highlighting
+    * @param buckets  term-shard subset to load; None = all buckets
+    */
+  def load(spark: SparkSession, idx: IndexHandle, withDocs: Boolean = true,
+      buckets: Option[Set[Int]] = None): InMemoryIndex = {
     import spark.implicits._
     val postings = new java.util.HashMap[(String, String), (Long, Array[Byte], Array[Byte])]()
-    spark.read.parquet(idx.segmentsPath)
+    val segRead = spark.read.parquet(idx.segmentsPath)
+    val segSel = buckets match {
+      case Some(bs) => segRead.where(col("bucket").isin(bs.toSeq: _*))
+      case None     => segRead
+    }
+    segSel
       .select("lang", "term", "blob", "posBlob")
       .as[(String, String, Array[Byte], Array[Byte])]
       .collect()

@@ -152,6 +152,31 @@ class IndexBuildSpec extends AnyFunSuite {
     assert(h.stats == hf.stats)
   }
 
+  test("J6 GC: orphan chunk dirs (not in manifest) are found and deleted") {
+    val corpus = Webtext.synthesize(spark, 300, partitions = 2).toDF()
+    rm("/tmp/gidx-gc")
+    IndexBuild.build(spark, corpus, "/tmp/gidx-gc", numChunks = 2)
+    // plant a stray chunk dir (crashed build residue)
+    val stray = new java.io.File("/tmp/gidx-gc/segments/chunk=9")
+    stray.mkdirs()
+    java.nio.file.Files.writeString(stray.toPath.resolve("junk.parquet"), "x")
+    assert(IndexBuild.gcOrphanChunks("/tmp/gidx-gc") == Seq(9))
+    assert(IndexBuild.gcOrphanChunks("/tmp/gidx-gc", delete = true) == Seq(9))
+    assert(!stray.exists())
+    assert(IndexBuild.gcOrphanChunks("/tmp/gidx-gc").isEmpty)
+    // live chunks untouched
+    assert(new java.io.File("/tmp/gidx-gc/segments/chunk=0").exists())
+  }
+
+  test("S11 debug text sink dumps one line per doc") {
+    val corpus = Webtext.synthesize(spark, 120, partitions = 2).toDF()
+    rm("/tmp/gidx-dbg"); rm("/tmp/gidx-dbg-out")
+    IndexBuild.build(spark, corpus, "/tmp/gidx-dbg", numChunks = 1)
+    IndexBuild.debugTextSink(spark, "/tmp/gidx-dbg", "/tmp/gidx-dbg-out")
+    val lines = spark.read.text("/tmp/gidx-dbg-out").count()
+    assert(lines == 120)
+  }
+
   test("compact folds per-chunk segments into one, content-identical") {
     val corpus = Webtext.synthesize(spark, 800, partitions = 4).toDF()
     rm("/tmp/gidx-c")

@@ -177,6 +177,28 @@ class RankParitySpec extends AnyFunSuite {
     assert(mem.suggest("hi", missp) == Bm25Query.suggest(spark, idx, "hi", missp))
   }
 
+  test("shardable serving: bucket-subset load == full load for in-shard queries") {
+    val full = InMemoryIndex.load(spark, idx)
+    val queries = Seq(
+      QuerySpec("hi", hiPhrase),
+      QuerySpec("hi", hiPhrase, phrase = true),
+      QuerySpec("hi", hiPhrase, mode = "any",
+        excludeWords = Seq(Webtext.word("hi", 30)),
+        metaFilters = Map("category" -> Seq("Pravachan"))))
+    queries.foreach { q =>
+      val terms = (Bm25Query.queryTerms(q).map(_._1) ++
+        q.excludeWords.flatMap(w => graft.analysis.Analyzer.terms(w, q.lang))).distinct
+      val shardSet = terms.map(InMemoryIndex.bucketOf).toSet
+      assert(shardSet.size < graft.index.IndexBuild.DefaultBuckets,
+        "fixture query must not span every bucket")
+      val shard = InMemoryIndex.load(spark, idx, buckets = Some(shardSet))
+      val a = shard.search(q)
+      val b = full.search(q)
+      assert(a.hits.map(h => (h.docId, h.score)) == b.hits.map(h => (h.docId, h.score)), s"$q")
+      assert(a.totalHits == b.totalHits && a.totalRelation == b.totalRelation, s"$q")
+    }
+  }
+
   test("WAND any-mode (disjunctive top-k) parity with oracle") {
     assertParity(QuerySpec("hi", hiPhrase, mode = "any"))
     assertParity(QuerySpec("hi", s"${Webtext.word("hi", 3)} ${Webtext.word("hi", 4000)}", mode = "any"))

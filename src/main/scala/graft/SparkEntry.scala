@@ -291,6 +291,14 @@ object SparkEntry {
       // "spakr" → variants [spakr, spaakr], none indexed → phases 1-2 empty →
       // phase 3 suggester terms (min_score 0.5, 3 per variant) → df lookup
       transliterateFlow(s, dir, "spakr")),
+    // ---- W2 rerank (reranker.py:19-55): top-40 candidates rescored with the
+    // deterministic lexical cross-scorer (model swap point documented) ----
+    "rerank_topk" -> ((s, dir) => {
+      val hits = engineTopK(s, dir,
+        QuerySpec("en", QTerms.mkString(" "), pageSize = graft.ops.Rerank.Depth))
+      val withText = hits.join(documents(s, dir).select(col("doc_id"), col("text")), "doc_id")
+      graft.ops.Rerank.rerank(withText, QTerms.mkString(" "), "en", k = 10)
+    }),
     "topk_payload_join" -> ((s, dir) => {
       // J7: winners semi-joined back to the doc store for payloads
       val hits = engineTopK(s, dir, QuerySpec("en", QTerms.mkString(" "), pageSize = 10))
@@ -531,6 +539,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- §2.8 map/json scalar plane: to_json/from_json roundtrip over the
+    // metadata map, then field extraction (incl. get_json_object) ----
+    "json_ops" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{MapType, StringType}
+      val roundtrip = from_json(to_json(col("meta")), MapType(StringType, StringType))
+      Webtext.fromDocuments(s, dir)
+        .select(col("doc_id"), col("meta"), roundtrip.as("m"))
+        .select(col("doc_id"),
+          element_at(col("m"), "source").as("src"),
+          element_at(col("m"), "date").as("date"),
+          element_at(col("m"), "series_start_date").as("series_start"),
+          get_json_object(to_json(col("meta")), "$.series_end_date").as("series_end"))
+        .orderBy("doc_id")
+    }),
+
     // ---- dedup family ----
     "dedup_exact" -> ((s, dir) => {
       Dedup.exactDuplicates(Dedup.withPlantedDups(documents(s, dir)))
@@ -566,6 +589,17 @@ object SparkEntry {
     "ann_cosine_topk" -> ((s, dir) => {
       val emb = embeddings(s, dir)
       Similarity.cosineTopK(emb, emb.where(col("vec_id") < 5), k = 10)
+        .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"),
+          col("rank").cast("long").as("nn_rank"))
+        .orderBy("query_id", "nn_rank")
+    }),
+    "ann_filtered_topk" -> ((s, dir) => {
+      // Q9 filtered kNN: the metadata predicate is pushed INTO the candidate
+      // scan (knn.filter analog) — returns k MATCHING neighbors, not a
+      // post-filtered page
+      val emb = embeddings(s, dir)
+      Similarity.cosineTopK(emb.where(pmod(col("label"), lit(2)) === 0),
+          emb.where(col("vec_id") < 5), k = 10)
         .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"),
           col("rank").cast("long").as("nn_rank"))
         .orderBy("query_id", "nn_rank")
@@ -809,6 +843,25 @@ object SparkEntry {
          |p3 AS (SELECT s.term AS variant, d.df FROM suggested s JOIN dict d USING (term))
          |SELECT variant, df FROM p3 ORDER BY df DESC, variant""".stripMargin
     },
+    "rerank_topk" -> {
+      val inner = bm25Oracle(QTerms, requireAll = true, "", graft.ops.Rerank.Depth)
+      val qlist = QTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH hits AS ($inner),
+         |toks AS (
+         |  SELECT doc_id,
+         |         list_distinct(list_filter(
+         |           regexp_split_to_array(lower(substr(text, 1, 1000)), '[^a-z0-9]+'),
+         |           x -> x <> '')) AS ts
+         |  FROM documents),
+         |scored AS (
+         |  SELECT h.doc_id, h.score,
+         |         round(CAST(len(list_filter(t.ts, x -> x IN ($qlist))) AS DOUBLE) /
+         |               (${QTerms.size} + len(t.ts) -
+         |                len(list_filter(t.ts, x -> x IN ($qlist)))), 6) AS rerank_score
+         |  FROM hits h JOIN toks t USING (doc_id))
+         |SELECT doc_id, rerank_score, score FROM scored
+         |ORDER BY rerank_score DESC, score DESC, doc_id LIMIT 10""".stripMargin
+    },
     "topk_payload_join" -> {
       val inner = bm25Oracle(QTerms, requireAll = true, "", 10)
       s"""WITH hits AS ($inner)
@@ -973,6 +1026,15 @@ object SparkEntry {
         |       make_date(2021, 1, 1) AS year_start,
         |       make_date(2021, 12, 31) AS year_end
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "json_ops" ->
+      """SELECT doc_id, source AS src,
+        |  CASE WHEN doc_id % 3 = 0
+        |       THEN strftime(DATE '2019-01-01' + CAST(doc_id % 730 AS INT), '%Y-%m-%d') END AS date,
+        |  CASE WHEN doc_id % 2 = 0
+        |       THEN strftime(DATE '2019-06-01' + CAST(doc_id % 400 AS INT), '%Y-%m-%d') END AS series_start,
+        |  CASE WHEN doc_id % 2 = 0
+        |       THEN strftime(DATE '2019-06-01' + CAST(doc_id % 400 AS INT) + 300, '%Y-%m-%d') END AS series_end
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """WITH planted AS (
         |  SELECT doc_id, text FROM documents
@@ -1014,6 +1076,19 @@ object SparkEntry {
         |s AS (SELECT q.query_id, e.vec_id,
         |             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS sim
         |      FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, vec_id, sim,
+        |             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+        |      FROM s)
+        |SELECT query_id, vec_id, round(sim, 6) AS sim, CAST(rnk AS BIGINT) AS nn_rank
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, nn_rank""".stripMargin,
+    "ann_filtered_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |      FROM embeddings WHERE label % 2 = 0),
+        |s AS (SELECT q.query_id, c.vec_id,
+        |             list_cosine_similarity(c.e, q.qe) AS sim
+        |      FROM c, q WHERE c.vec_id <> q.query_id),
         |r AS (SELECT query_id, vec_id, sim,
         |             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
         |      FROM s)

@@ -34,6 +34,31 @@ object ExplainCli {
       .groupBy("term").agg(sum("df").as("df"))
       .where(length(col("term")) >= 3)
       .explain("formatted")
+
+    import graft.query.{Bm25Query, IndexHandle, QuerySpec}
+    val idx = IndexHandle.load(idxDir)
+    println("=== distributed SUGGEST plan (no collect before TakeOrderedAndProject: " +
+      "prefix pushdown → levenshtein prefilter → OSA UDF → top-n) ===")
+    // rebuild suggest's plan shape explicitly for inspection (suggest()
+    // itself returns collected winners)
+    val w = "abc"
+    val osaUdf = udf((a: String, b: String) => Bm25Query.damerauLevenshtein(a, b))
+    val maxLen = greatest(length(col("term")), lit(w.length)).cast("double")
+    spark.read.parquet(idx.segmentsPath)
+      .where(col("lang") === "hi")
+      .groupBy("term").agg(sum("df").as("df"))
+      .where(length(col("term")) >= 3)
+      .where(col("term").startsWith(w.substring(0, 1)) && col("term") =!= w)
+      .where(levenshtein(lit(w), col("term")) <= floor(lit(1.0) * maxLen))
+      .withColumn("score", lit(1.0) - osaUdf(lit(w), col("term")) / maxLen)
+      .where(col("score") >= 0.6)
+      .orderBy(col("score").desc, col("df").desc, col("term"))
+      .limit(5)
+      .explain("formatted")
+
+    println("=== index-backed distributed FULL scoring (scoreDf — hybrid_rank's " +
+      "lexical side; expect scan → flatMap decode → one hash aggregate, no collect) ===")
+    Bm25Query.scoreDf(spark, idx, QuerySpec("hi", "a b")).explain("formatted")
     spark.stop()
   }
 }

@@ -59,38 +59,47 @@ object ScalingBench {
     }
     val attempts = sys.env.getOrElse("GRAFT_ATTEMPTS", "3").toInt
 
-    def run(cpus: Int): (Double, Double, Double, Double, Double) = {
-      var best = (Double.MaxValue, 0.0, 0.0, 0.0, 0.0) // wall, thr, lat, stealPct, probe
-      for (a <- 1 to attempts) {
-        val probe = CpuProbe.efficiency(cpus) // machine capacity RIGHT NOW
-        val s = session(cpus)
-        val dir = s"/dev/shm/graft_scale_$cpus"
-        rm(dir)
-        val (tot0, st0) = cpuStat()
-        val t0 = System.nanoTime()
-        IndexBuild.build(s, Webtext.synthesize(s, docs, partitions = cpus * 4).toDF(),
-          dir, numChunks = chunks)
-        val tBuild = (System.nanoTime() - t0) / 1e9
-        val (tot1, st1) = cpuStat()
-        val stealPct = if (tot1 == tot0) 0.0 else 100.0 * (st1 - st0) / (tot1 - tot0)
-        // warm query latency at this parallelism
-        val idx = IndexHandle.load(dir)
-        val q = QuerySpec("hi", Webtext.GoldenPhrase("hi").mkString(" "))
+    def runOnce(cpus: Int, a: Int): (Double, Double, Double, Double, Double) = {
+      val probe = CpuProbe.efficiency(cpus) // machine capacity RIGHT NOW
+      val s = session(cpus)
+      val dir = s"/dev/shm/graft_scale_$cpus"
+      rm(dir)
+      val (tot0, st0) = cpuStat()
+      val t0 = System.nanoTime()
+      IndexBuild.build(s, Webtext.synthesize(s, docs, partitions = cpus * 4).toDF(),
+        dir, numChunks = chunks)
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      val (tot1, st1) = cpuStat()
+      val stealPct = if (tot1 == tot0) 0.0 else 100.0 * (st1 - st0) / (tot1 - tot0)
+      // warm query latency at this parallelism
+      val idx = IndexHandle.load(dir)
+      val q = QuerySpec("hi", Webtext.GoldenPhrase("hi").mkString(" "))
+      Bm25Query.search(s, idx, q)
+      val lat = (1 to 5).map { _ =>
+        val q0 = System.nanoTime()
         Bm25Query.search(s, idx, q)
-        val lat = (1 to 5).map { _ =>
-          val q0 = System.nanoTime()
-          Bm25Query.search(s, idx, q)
-          (System.nanoTime() - q0) / 1e9
-        }.sorted.apply(2)
-        s.stop()
-        System.err.println(f"[scaling] cores=$cpus attempt=$a wall=$tBuild%.1f s steal=$stealPct%.1f%% cpu_probe=$probe%.2f")
-        if (tBuild < best._1) best = (tBuild, docs / tBuild, lat, stealPct, probe)
-      }
-      best
+        (System.nanoTime() - q0) / 1e9
+      }.sorted.apply(2)
+      s.stop()
+      System.err.println(f"[scaling] cores=$cpus attempt=$a wall=$tBuild%.1f s steal=$stealPct%.1f%% cpu_probe=$probe%.2f")
+      (tBuild, docs / tBuild, lat, stealPct, probe)
     }
 
-    val (tLo, thrLo, latLo, stLo, prLo) = run(lo)
-    val (tHi, thrHi, latHi, stHi, prHi) = run(hi)
+    // INTERLEAVED attempts (lo, hi, lo, hi, ...): this host's capacity drifts
+    // on a minutes scale, so running all-lo then all-hi lets the two levels
+    // sample different machines — the ratio then measures the host, not the
+    // engine. Interleaving puts each lo attempt next to a hi attempt in time;
+    // fastest-of-N per level is kept as before.
+    var bestLo = (Double.MaxValue, 0.0, 0.0, 0.0, 0.0)
+    var bestHi = (Double.MaxValue, 0.0, 0.0, 0.0, 0.0)
+    for (a <- 1 to attempts) {
+      val rLo = runOnce(lo, a)
+      if (rLo._1 < bestLo._1) bestLo = rLo
+      val rHi = runOnce(hi, a)
+      if (rHi._1 < bestHi._1) bestHi = rHi
+    }
+    val (tLo, thrLo, latLo, stLo, prLo) = bestLo
+    val (tHi, thrHi, latHi, stHi, prHi) = bestHi
     val eff = (tLo * lo) / (tHi * hi)
     // efficiency against the cores the machine actually DELIVERED at each
     // level (probe-measured): on a real cluster probe≈1.0 at both levels and

@@ -71,8 +71,19 @@ object Bench {
     IndexBuild.build(spark, Webtext.synthesize(spark, 5000).toDF(),
       "/dev/shm/graft_bench_warm", numChunks = 1)
     val idxDir = s"/dev/shm/graft_bench_idx_$benchDocs"
+    // Early exit: once an attempt lands under `goodEnough` (defaults to ~2x
+    // the clean-window record, scaled to the doc count) further attempts just
+    // burn the driver's budget; conversely a run of bad attempts stops at
+    // `budget` seconds total rather than looping on a degraded host.
+    val goodEnough = sys.env.getOrElse("GRAFT_BENCH_GOOD_ENOUGH_SEC",
+      (28.0 * benchDocs / 200000.0).toString).toDouble
+    val budget = sys.env.getOrElse("GRAFT_BENCH_BUDGET_SEC", "600").toDouble
     // (wall, stealPct, probeEff) per attempt
-    val buildAttempts = (1 to attempts).map { a =>
+    val buildAttempts = scala.collection.mutable.ArrayBuffer[(Double, Double, Double)]()
+    var spent = 0.0
+    var a = 1
+    while (a <= attempts && (buildAttempts.isEmpty ||
+        (buildAttempts.map(_._1).min > goodEnough && spent < budget))) {
       val probe = graft.tools.CpuProbe.efficiency(cpus.toInt)
       rm(idxDir)
       val (tot0, st0) = cpuStat()
@@ -84,7 +95,9 @@ object Bench {
       val (tot1, st1) = cpuStat()
       val stealPct = if (tot1 == tot0) 0.0 else 100.0 * (st1 - st0) / (tot1 - tot0)
       System.err.println(f"[bench] index_build attempt=$a wall=$wall%.1f s steal=$stealPct%.1f%% cpu_probe=$probe%.2f")
-      (wall, stealPct, probe)
+      buildAttempts += ((wall, stealPct, probe))
+      spent += wall
+      a += 1
     }
     val best = buildAttempts.minBy(_._1)
     results("index_build") = best._1

@@ -281,6 +281,32 @@ class RankParitySpec extends AnyFunSuite {
     assert(got == exp && got.nonEmpty)
   }
 
+  test("randomized parity sweep: 25 seeded query shapes vs naive oracle") {
+    // deterministic-seeded sweep over term mixes (head/mid/tail ranks),
+    // modes, caps, pagination, excludes, meta/year/date filters, phrase —
+    // the corner-case net that caught the BMW tie bug class
+    val rnd = new scala.util.Random(20260816L)
+    (1 to 25).foreach { i =>
+      val nTerms = 1 + rnd.nextInt(4)
+      val terms = Seq.fill(nTerms)(Webtext.word("hi", rnd.nextInt(5000)))
+      val mode = if (rnd.nextBoolean()) "all" else "any"
+      val phrase = mode == "all" && rnd.nextInt(5) == 0
+      val cap = Seq(10L, 50L, 1000L)(rnd.nextInt(3))
+      val from = if (rnd.nextInt(3) == 0) 10 else 0
+      val ex = if (rnd.nextInt(4) == 0) Seq(Webtext.word("hi", rnd.nextInt(100))) else Nil
+      val mf: Map[String, Seq[String]] =
+        if (rnd.nextInt(4) == 0) Map("category" -> Seq("Pravachan")) else Map.empty
+      val yr = if (rnd.nextInt(5) == 0) Some((2020, 2020)) else None
+      val dr = if (rnd.nextInt(4) == 0)
+        Some((Some(2019 + rnd.nextInt(2)): Option[Int], Some(2020 + rnd.nextInt(2)): Option[Int]))
+      else None
+      val q = QuerySpec("hi", terms.mkString(" "), mode = mode, phrase = phrase,
+        excludeWords = ex, metaFilters = mf, yearRange = yr, dateRange = dr,
+        trackTotalHits = cap, from = from, pageSize = 20)
+      assertParity(q, expectNonEmpty = false)
+    }
+  }
+
   test("highlights wrap every query term occurrence in <em>") {
     val got = Bm25Query.search(spark, idx, QuerySpec("hi", hiPhrase, phrase = true))
     assert(got.hits.nonEmpty)

@@ -356,9 +356,20 @@ object IndexBuild extends Serializable {
     * and a fresh manifest row (with the new input signature) appended. All
     * other chunks are untouched.
     */
+  /** Compacted copies are rebuildable caches; any mutation invalidates them
+    * (IndexHandle prefers *_compact when present — serving a stale compact
+    * after a delete/reindex would resurrect deleted docs).
+    */
+  private def dropCompacted(outDir: String): Unit =
+    Seq("segments_compact", "facets_compact").foreach { sub =>
+      val d = new java.io.File(s"$outDir/$sub")
+      if (d.exists()) scala.reflect.io.Directory(d).deleteRecursively()
+    }
+
   def deleteByQuery(spark: SparkSession, outDir: String, pred: org.apache.spark.sql.Column,
       saltTargetPostings: Int = 8192): Unit = {
     import spark.implicits._
+    dropCompacted(outDir)
     val store = spark.read.parquet(s"$outDir/docstore")
     val affected = store.where(pred).select($"chunk").distinct().as[Int].collect().sorted
     affected.foreach { k =>
@@ -384,6 +395,7 @@ object IndexBuild extends Serializable {
   def reindexDocs(spark: SparkSession, outDir: String, docs: DataFrame,
       numChunks: Int, saltTargetPostings: Int = 8192): Unit = {
     import spark.implicits._
+    dropCompacted(outDir)
     val incoming = normalizeInput(docs)
       .withColumn("chunk", pmod(col("docId"), lit(numChunks)).cast("int"))
     val store = spark.read.parquet(s"$outDir/docstore")

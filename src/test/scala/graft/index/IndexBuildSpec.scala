@@ -152,6 +152,21 @@ class IndexBuildSpec extends AnyFunSuite {
     assert(h.stats == hf.stats)
   }
 
+  test("mutation invalidates stale compacted copies (IndexHandle prefers *_compact)") {
+    import org.apache.spark.sql.functions._
+    val corpus = Webtext.synthesize(spark, 300, partitions = 2).toDF()
+    rm("/tmp/gidx-stalec")
+    IndexBuild.build(spark, corpus, "/tmp/gidx-stalec", numChunks = 2)
+    IndexBuild.compact(spark, "/tmp/gidx-stalec")
+    assert(new java.io.File("/tmp/gidx-stalec/segments_compact").exists())
+    IndexBuild.deleteByQuery(spark, "/tmp/gidx-stalec", col("docId") < 50)
+    // a stale compacted copy would resurrect the deleted docs via IndexHandle
+    assert(!new java.io.File("/tmp/gidx-stalec/segments_compact").exists())
+    assert(!new java.io.File("/tmp/gidx-stalec/facets_compact").exists())
+    val h = graft.query.IndexHandle.load("/tmp/gidx-stalec")
+    assert(h.segmentsPath.endsWith("/segments"))
+  }
+
   test("J6 GC: orphan chunk dirs (not in manifest) are found and deleted") {
     val corpus = Webtext.synthesize(spark, 300, partitions = 2).toDF()
     rm("/tmp/gidx-gc")

@@ -64,10 +64,15 @@ object ScalingBench {
       val s = session(cpus)
       val dir = s"/dev/shm/graft_scale_$cpus"
       rm(dir)
+      // pre-materialized corpus (UNTIMED): the engine's input is a table
+      val corpusDir = s"/dev/shm/graft_scale_corpus_$docs"
+      if (!new java.io.File(corpusDir).exists())
+        Webtext.synthesize(s, docs, partitions = 128).toDF()
+          .drop("html").write.parquet(corpusDir)
+      val corpus = s.read.parquet(corpusDir)
       val (tot0, st0) = cpuStat()
       val t0 = System.nanoTime()
-      IndexBuild.build(s, Webtext.synthesize(s, docs, partitions = cpus * 4).toDF(),
-        dir, numChunks = chunks)
+      IndexBuild.build(s, corpus, dir, numChunks = chunks)
       val tBuild = (System.nanoTime() - t0) / 1e9
       val (tot1, st1) = cpuStat()
       val stealPct = if (tot1 == tot0) 0.0 else 100.0 * (st1 - st0) / (tot1 - tot0)
@@ -106,6 +111,7 @@ object ScalingBench {
     // this equals raw efficiency
     val effHw = (tLo * lo * prLo) / (tHi * hi * prHi)
     Seq(s"/dev/shm/graft_scale_$lo", s"/dev/shm/graft_scale_$hi",
+      s"/dev/shm/graft_scale_corpus_$docs",
       "/dev/shm/graft_scale_warm").foreach(rm) // tmpfs hygiene
     println(f"""{"metric":"scaling","docs":$docs,"chunks":$chunks,""" +
       f""""n_cores":$lo,"t_n_sec":$tLo%.2f,"docs_per_sec_n":$thrLo%.1f,"query_p50_n_sec":$latLo%.3f,"steal_pct_n":$stLo%.1f,"cpu_probe_n":$prLo%.3f,""" +

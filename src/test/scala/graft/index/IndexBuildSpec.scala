@@ -152,6 +152,25 @@ class IndexBuildSpec extends AnyFunSuite {
     assert(h.stats == hf.stats)
   }
 
+  test("Q12 delete-by-query that empties a whole chunk leaves a valid index") {
+    import org.apache.spark.sql.functions._
+    val corpus = Webtext.synthesize(spark, 300, partitions = 2).toDF()
+    rm("/tmp/gidx-empty")
+    IndexBuild.build(spark, corpus, "/tmp/gidx-empty", numChunks = 3)
+    // delete EVERY doc of chunk 1 (docId % 3 == 1)
+    IndexBuild.deleteByQuery(spark, "/tmp/gidx-empty", pmod(col("docId"), lit(3)) === 1)
+    val store = spark.read.parquet("/tmp/gidx-empty/docstore")
+    assert(store.where(pmod(col("docId"), lit(3)) === 1).count() == 0)
+    assert(store.count() == 200)
+    // index still serves queries (stats + segments consistent)
+    val idx = graft.query.IndexHandle.load("/tmp/gidx-empty")
+    // gu: phrase plants land on gu-language ids within 300 docs
+    val res = graft.query.Bm25Query.search(spark, idx,
+      graft.query.QuerySpec("gu", Webtext.GoldenPhrase("gu").mkString(" ")))
+    assert(res.hits.nonEmpty)
+    assert(res.hits.forall(h => h.docId % 3 != 1))
+  }
+
   test("mutation invalidates stale compacted copies (IndexHandle prefers *_compact)") {
     import org.apache.spark.sql.functions._
     val corpus = Webtext.synthesize(spark, 300, partitions = 2).toDF()

@@ -100,7 +100,11 @@ object IndexBuild extends Serializable {
       numChunks: Int = 4,
       saltTargetPostings: Int = 8192,
       shufflePartitions: Int = 0,
-      failAfterChunk: Int = Int.MaxValue // test hook: simulate a kill
+      failAfterChunk: Int = Int.MaxValue, // test hook: simulate a kill
+      // positions are ~half the index bytes AND the term exchange's payload;
+      // deployments that never serve match_phrase can drop them (a phrase
+      // query against a positions-free index fails fast with a clear error)
+      storePositions: Boolean = true
   ): Unit = {
     import spark.implicits._
     val fs = new java.io.File(outDir)
@@ -134,7 +138,8 @@ object IndexBuild extends Serializable {
         // resume: skip without recomputation (reference checksum-skip analog)
       } else {
         val chunkDf = webtext.filter(pmod(col("docId"), lit(numChunks)) === k)
-        Manifest.append(outDir, buildChunk(spark, chunkDf, outDir, k, saltTargetPostings, parts))
+        Manifest.append(outDir,
+          buildChunk(spark, chunkDf, outDir, k, saltTargetPostings, parts, storePositions))
         if (k >= failAfterChunk)
           throw new RuntimeException(s"injected failure after chunk $k (test hook)")
       }
@@ -152,7 +157,8 @@ object IndexBuild extends Serializable {
       outDir: String,
       k: Int,
       saltTargetPostings: Int,
-      shufflePartitions: Int = 0): ManifestRow = {
+      shufflePartitions: Int = 0,
+      storePositions: Boolean = true): ManifestRow = {
     import spark.implicits._
     val parts = if (shufflePartitions > 0) shufflePartitions
                 else spark.sparkContext.defaultParallelism * 8
@@ -183,7 +189,8 @@ object IndexBuild extends Serializable {
             val it = m.entrySet().iterator()
             while (it.hasNext) {
               val e = it.next()
-              entries(i) = (e.getKey, e.getValue.length, e.getValue.toArray)
+              entries(i) = (e.getKey, e.getValue.length,
+                if (storePositions) e.getValue.toArray else Array.emptyIntArray)
               i += 1
             }
             (docId, url, ts, text, lang, meta, toks.length, entries)
@@ -262,7 +269,7 @@ object IndexBuild extends Serializable {
                 val (lang, term, _, _, _, _, salt) = cur
                 val w = new PostingListWriter
                 while (hasCur && cur._1 == lang && cur._2 == term && cur._7 == salt) {
-                  w.add(cur._3, cur._4, cur._6, cur._5)
+                  w.add(cur._3, cur._4, cur._6, if (cur._5.isEmpty) null else cur._5)
                   pull()
                 }
                 val (blob, posBlob, _, _) = w.finish()

@@ -323,7 +323,11 @@ object PostingListMerger {
       val r = new PostingListReader(b, p)
       return (b, p, r.df, r.cf)
     }
-    val its = runs.map { case (b, p) => new PostingIterator(new PostingListReader(b, p), withPositions = true) }
+    // positions-free runs (storePositions = false builds) have EMPTY posBlobs:
+    // decoding positions from them would misread; merge without positions and
+    // emit an equally positions-free result
+    val withPos = runs.forall { case (_, p) => p != null && p.nonEmpty }
+    val its = runs.map { case (b, p) => new PostingIterator(new PostingListReader(b, p), withPositions = withPos) }
       .filter(_.start())
       .toArray
     val heap = new java.util.PriorityQueue[PostingIterator](

@@ -113,6 +113,10 @@ object QueryCore {
     }
     val tsArr = info.flatMap { case (t, qp, idfV) =>
       postList.find(r => r._2 == t && !ctx.exSet.contains(t)).map { r =>
+        if (ctx.phrase && (r._5 == null || r._5.isEmpty))
+          throw new IllegalStateException(
+            s"phrase query requires a positions-enabled index (term '$t' was " +
+              "built with storePositions = false)")
         val reader = new PostingListReader(r._4, r._5)
         val it = reader.iterator(withPositions = ctx.phrase)
         it.start()

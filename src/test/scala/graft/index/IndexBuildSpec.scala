@@ -186,6 +186,41 @@ class IndexBuildSpec extends AnyFunSuite {
     assert(h.segmentsPath.endsWith("/segments"))
   }
 
+  test("positions-free build: smaller index, identical non-phrase results, phrase fails fast") {
+    import org.apache.spark.sql.functions._
+    val corpus = Webtext.synthesize(spark, 600, partitions = 3).toDF()
+    rm("/tmp/gidx-pos"); rm("/tmp/gidx-nopos")
+    IndexBuild.build(spark, corpus, "/tmp/gidx-pos", numChunks = 2, saltTargetPostings = 64)
+    IndexBuild.build(spark, corpus, "/tmp/gidx-nopos", numChunks = 2,
+      saltTargetPostings = 64, storePositions = false)
+    def bytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum else f.length()
+      walk(new java.io.File(s"$p/segments"))
+    }
+    assert(bytes("/tmp/gidx-nopos") < bytes("/tmp/gidx-pos"),
+      s"positions-free segments must be smaller: ${bytes("/tmp/gidx-nopos")} vs ${bytes("/tmp/gidx-pos")}")
+    // identical non-phrase results (AND, any, filters)
+    val a = graft.query.IndexHandle.load("/tmp/gidx-pos")
+    val b = graft.query.IndexHandle.load("/tmp/gidx-nopos")
+    val phrase = Webtext.GoldenPhrase("hi").mkString(" ")
+    Seq(
+      graft.query.QuerySpec("hi", phrase),
+      graft.query.QuerySpec("hi", phrase, mode = "any"),
+      graft.query.QuerySpec("hi", phrase, yearRange = Some((2020, 2020)))).foreach { q =>
+      val ra = graft.query.Bm25Query.search(spark, a, q)
+      val rb = graft.query.Bm25Query.search(spark, b, q)
+      assert(ra.hits.map(h => (h.docId, h.score)) == rb.hits.map(h => (h.docId, h.score)), s"$q")
+      assert(ra.totalHits == rb.totalHits)
+    }
+    // phrase against the positions-free index fails fast with a clear error
+    val e = intercept[Exception] {
+      graft.query.Bm25Query.search(spark, b,
+        graft.query.QuerySpec("hi", phrase, phrase = true))
+    }
+    assert(e.getMessage != null && e.getMessage.contains("positions"), s"got: ${e.getMessage}")
+  }
+
   test("J6 GC: orphan chunk dirs (not in manifest) are found and deleted") {
     val corpus = Webtext.synthesize(spark, 300, partitions = 2).toDF()
     rm("/tmp/gidx-gc")

@@ -674,8 +674,8 @@ object SparkEntry {
         .select(col("embedding").as("q_embedding"))
       val vec = emb.crossJoin(broadcast(q0))
         .select(col("vec_id").as("doc_id"),
-          udf((a: Seq[Float], b: Seq[Float]) => Similarity.cosine(a, b))
-            .apply(col("embedding"), col("q_embedding")).as("score"))
+          graft.functions.CosineSimExpr.cosineSim(col("embedding"), col("q_embedding"))
+            .as("score"))
       HybridRank.fuse(lex, vec, k = 20)
     }),
 

@@ -33,7 +33,10 @@ object Similarity {
     if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  private val cosineUdf = udf((a: Seq[Float], b: Seq[Float]) => cosine(a, b))
+  // codegen'd native expression (graft.functions.CosineSimExpr) — identical
+  // arithmetic to `cosine` above, but stays inside whole-stage codegen
+  private def cosineUdf(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    graft.functions.CosineSimExpr.cosineSim(a, b)
 
   /** Exact top-k nearest neighbors for each query vector.
     * @param corpus  (vec_id, embedding)

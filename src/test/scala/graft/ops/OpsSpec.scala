@@ -54,6 +54,25 @@ class OpsSpec extends AnyFunSuite {
     pairs.foreach(r => assert(r.getAs[Number]("hamming").intValue <= 6))
   }
 
+  test("native cosine expression == Scala reference, bit-identical") {
+    import graft.functions.CosineSimExpr
+    val rows = emb.as("a").crossJoin(emb.limit(5).withColumnRenamed("vec_id", "qid")
+        .withColumnRenamed("embedding", "qe").as("q"))
+      .select($"vec_id", $"qid", $"embedding", $"qe",
+        CosineSimExpr.cosineSim($"embedding", $"qe").as("sim"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val expect = Similarity.cosine(r.getSeq[Float](2), r.getSeq[Float](3))
+      assert(r.getDouble(4) == expect, s"${r.getLong(0)} vs ${r.getLong(1)}")
+    }
+    // null input → null out
+    val n = spark.sql("SELECT 1").select(
+      CosineSimExpr.cosineSim(lit(null).cast("array<float>"), lit(null).cast("array<float>")))
+      .collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("brute-force cosine topk: deterministic, self-excluded, ordered") {
     val queries = emb.filter($"vec_id" < 3)
     val top = Similarity.cosineTopK(emb, queries, k = 5).collect()

@@ -41,6 +41,15 @@ case class LangStats(lang: String, docs: Long, totalTokens: Long) {
 case class ManifestRow(chunk: Int, status: String, docs: Long, tokens: Long,
     terms: Long, inputChecksum: String, wallMs: Long)
 
+/** Index-level build properties persisted at build time (`props.json`).
+  * Mutations (delete-by-query / reindex / streaming MERGE) rebuild chunks with
+  * the RECORDED mode, never the API default — a positions-free index stays
+  * positions-free through any number of partial rewrites (a mixed index would
+  * silently lose the size/exchange savings and serve phrase queries
+  * inconsistently per chunk).
+  */
+case class IndexProps(storePositions: Boolean, numChunks: Int, saltTargetPostings: Int)
+
 /** Inverted-index builder: a typed Dataset pipeline (no RDDs).
   *
   * Reference behavior replaced: the OpenSearch bulk-indexing path
@@ -111,22 +120,26 @@ object IndexBuild extends Serializable {
     fs.mkdirs()
     val webtext = normalizeInput(input)
     // Resume validation: a manifest row is only trusted when its recorded
-    // input signature (docs + xor of per-row content hashes) matches the
-    // CURRENT input for that chunk — rebuilding into an existing outDir after
-    // the input changed rebuilds the stale chunks instead of silently reusing
-    // them. One agg job over the input, only paid when a manifest exists.
+    // input signature (positions mode + docs + xor of per-row content hashes,
+    // warc_ts included) matches the CURRENT input for that chunk — rebuilding
+    // into an existing outDir after the input changed (even timestamp-only
+    // changes: year facets and docstore timestamps derive from warc_ts), or
+    // with a different positions mode, rebuilds the stale chunks instead of
+    // silently reusing them. One agg job over the input, only paid when a
+    // manifest exists.
     val done: Set[Int] = {
       val recorded = Manifest.doneChunks(outDir)
       if (recorded.isEmpty) Set.empty
       else {
-        val current = Manifest.inputSignatures(webtext, numChunks)
+        val current = Manifest.inputSignatures(webtext, numChunks, storePositions)
         val byChunk = Manifest.rows(outDir).groupBy(_.chunk).map { case (c, rs) => c -> rs.last }
         recorded.filter { c =>
           byChunk.get(c).exists(r =>
-            r.inputChecksum == current.getOrElse(c, "v2:0:0"))
+            r.inputChecksum == current.getOrElse(c, Manifest.emptySig(storePositions)))
         }
       }
     }
+    IndexBuild.writeProps(outDir, IndexProps(storePositions, numChunks, saltTargetPostings))
     // the term exchange needs MANY more partitions than cores: each partition
     // is sorted in memory, so size them to ~100-200k token rows, not to the
     // core count (a cores-sized exchange spills and kills scaling)
@@ -212,8 +225,9 @@ object IndexBuild extends Serializable {
 
         val (nDocs, nTokens, inputSig) = phase(s"stats agg c$k") {
           val r = tokenized.agg(count(lit(1)), coalesce(sum($"dl"), lit(0L)),
-            coalesce(expr("bit_xor(xxhash64(docId, url, text, map_entries(meta)))"), lit(0L))).collect()(0)
-          (r.getLong(0), r.getLong(1), s"v2:${r.getLong(0)}:${r.getLong(2)}")
+            coalesce(expr(Manifest.RowHashExpr), lit(0L))).collect()(0)
+          (r.getLong(0), r.getLong(1),
+            Manifest.sig(storePositions, r.getLong(0), r.getLong(2)))
         }
 
         // ---- term-doc postings input ----
@@ -374,9 +388,13 @@ object IndexBuild extends Serializable {
     }
 
   def deleteByQuery(spark: SparkSession, outDir: String, pred: org.apache.spark.sql.Column,
-      saltTargetPostings: Int = 8192): Unit = {
+      saltTargetPostings: Int = -1): Unit = {
     import spark.implicits._
     dropCompacted(outDir)
+    // rebuild with the RECORDED build mode, not API defaults (a mixed
+    // positions/no-positions index would be silently wrong)
+    val props = readProps(outDir)
+    val salt = if (saltTargetPostings > 0) saltTargetPostings else props.saltTargetPostings
     val store = spark.read.parquet(s"$outDir/docstore")
     val affected = store.where(pred).select($"chunk").distinct().as[Int].collect().sorted
     affected.foreach { k =>
@@ -388,7 +406,8 @@ object IndexBuild extends Serializable {
         .write.mode(SaveMode.Overwrite).parquet(tmp)
       val remaining = spark.read.parquet(tmp)
       Manifest.append(outDir,
-        buildChunk(spark, remaining, outDir, k, saltTargetPostings))
+        buildChunk(spark, remaining, outDir, k, salt,
+          storePositions = props.storePositions))
       scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
     }
     finalizeStats(spark, outDir)
@@ -400,11 +419,14 @@ object IndexBuild extends Serializable {
     * One partition overwrite per affected chunk.
     */
   def reindexDocs(spark: SparkSession, outDir: String, docs: DataFrame,
-      numChunks: Int, saltTargetPostings: Int = 8192): Unit = {
+      numChunks: Int = -1, saltTargetPostings: Int = -1): Unit = {
     import spark.implicits._
     dropCompacted(outDir)
+    val props = readProps(outDir)
+    val salt = if (saltTargetPostings > 0) saltTargetPostings else props.saltTargetPostings
+    val chunks = if (numChunks > 0) numChunks else props.numChunks
     val incoming = normalizeInput(docs)
-      .withColumn("chunk", pmod(col("docId"), lit(numChunks)).cast("int"))
+      .withColumn("chunk", pmod(col("docId"), lit(chunks)).cast("int"))
     val store = spark.read.parquet(s"$outDir/docstore")
     val affected = incoming.select($"chunk").distinct().as[Int].collect().sorted
     affected.foreach { k =>
@@ -416,10 +438,32 @@ object IndexBuild extends Serializable {
       keep.union(incomingK).write.mode(SaveMode.Overwrite).parquet(tmp)
       val merged = spark.read.parquet(tmp)
       Manifest.append(outDir,
-        buildChunk(spark, merged, outDir, k, saltTargetPostings))
+        buildChunk(spark, merged, outDir, k, salt,
+          storePositions = props.storePositions))
       scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
     }
     finalizeStats(spark, outDir)
+  }
+
+  /** Persist / recover index-level build properties (`props.json`). Indexes
+    * from before the props file default to the original build defaults.
+    */
+  def writeProps(outDir: String, p: IndexProps): Unit = {
+    val json = s"""{"storePositions": ${p.storePositions}, "numChunks": ${p.numChunks}, """ +
+      s""""saltTargetPostings": ${p.saltTargetPostings}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/props.json"), json)
+  }
+
+  def readProps(outDir: String): IndexProps = {
+    val p = java.nio.file.Paths.get(s"$outDir/props.json")
+    if (!java.nio.file.Files.exists(p)) return IndexProps(storePositions = true, 4, 8192)
+    val txt = java.nio.file.Files.readString(p)
+    def grab(k: String): String = {
+      val m = java.util.regex.Pattern.compile("\"" + k + "\":\\s*([^,}\\s]+)").matcher(txt)
+      if (m.find()) m.group(1) else ""
+    }
+    IndexProps(grab("storePositions").toBoolean, grab("numChunks").toInt,
+      grab("saltTargetPostings").toInt)
   }
 
   /** J6 GC anti-join: chunk partitions present on disk but NOT marked done in
@@ -545,16 +589,30 @@ object Manifest {
       case (c, rs) if rs.last.status == "done" => c
     }.toSet
 
-  /** Current input signature per chunk: "v2:<docCount>:<xor of row hashes>".
-    * One agg job over the input; used to validate manifest rows on resume.
+  /** Per-row content hash used in input signatures. warc_ts IS included:
+    * year facets, Q5 date behavior and docstore timestamps all derive from it,
+    * so a timestamp-only input change must invalidate the chunk (v3 bump).
     */
-  def inputSignatures(webtext: DataFrame, numChunks: Int): Map[Int, String] = {
+  val RowHashExpr = "bit_xor(xxhash64(docId, url, warc_ts, text, map_entries(meta)))"
+
+  /** Signature format "v3:<p|n>:<docCount>:<xor of row hashes>" — the
+    * positions-mode prefix makes a mode flip rebuild every chunk.
+    */
+  def sig(storePositions: Boolean, docs: Long, xor: Long): String =
+    s"v3:${if (storePositions) "p" else "n"}:$docs:$xor"
+
+  def emptySig(storePositions: Boolean): String = sig(storePositions, 0L, 0L)
+
+  /** Current input signature per chunk. One agg job over the input; used to
+    * validate manifest rows on resume.
+    */
+  def inputSignatures(webtext: DataFrame, numChunks: Int,
+      storePositions: Boolean = true): Map[Int, String] = {
     webtext
       .groupBy(pmod(col("docId"), lit(numChunks)).cast("int").as("chunk"))
-      .agg(count(lit(1)).as("docs"),
-        expr("bit_xor(xxhash64(docId, url, text, map_entries(meta)))").as("sig"))
+      .agg(count(lit(1)).as("docs"), expr(RowHashExpr).as("sig"))
       .collect()
-      .map(r => r.getInt(0) -> s"v2:${r.getLong(1)}:${r.getLong(2)}")
+      .map(r => r.getInt(0) -> sig(storePositions, r.getLong(1), r.getLong(2)))
       .toMap
   }
 }

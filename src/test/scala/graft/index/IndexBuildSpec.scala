@@ -221,6 +221,59 @@ class IndexBuildSpec extends AnyFunSuite {
     assert(e.getMessage != null && e.getMessage.contains("positions"), s"got: ${e.getMessage}")
   }
 
+  test("positions mode survives mutations: reindex/delete into a nopos index stays nopos") {
+    import org.apache.spark.sql.functions._
+    val corpus = Webtext.synthesize(spark, 400, partitions = 3).toDF()
+    rm("/tmp/gidx-noposmut"); rm("/tmp/gidx-noposmut-fresh")
+    IndexBuild.build(spark, corpus, "/tmp/gidx-noposmut", numChunks = 2, storePositions = false)
+    // mutate: regenerate a fifth of the docs (rewrites both chunks)
+    val regen = corpus.where(pmod(col("docId"), lit(5)) === 0)
+      .withColumn("text", concat(col("text"), lit(" regenerated")))
+    IndexBuild.reindexDocs(spark, "/tmp/gidx-noposmut", regen)
+    IndexBuild.deleteByQuery(spark, "/tmp/gidx-noposmut", col("docId") < 20)
+    // every chunk (including the rewritten ones) must still be positions-free
+    import spark.implicits._
+    val posBytes = spark.read.parquet("/tmp/gidx-noposmut/segments")
+      .select(coalesce(length(col("posBlob")), lit(0)).cast("long")).as[Long].collect().sum
+    assert(posBytes == 0L, s"mutated chunks re-acquired positions ($posBytes bytes)")
+    // and content equals a fresh nopos build of the merged corpus
+    val modified = corpus.withColumn("text",
+      when(pmod(col("docId"), lit(5)) === 0, concat(col("text"), lit(" regenerated")))
+        .otherwise(col("text")))
+      .where(col("docId") >= 20)
+    IndexBuild.build(spark, modified, "/tmp/gidx-noposmut-fresh", numChunks = 2,
+      storePositions = false)
+    assert(postingsFingerprint("/tmp/gidx-noposmut", compacted = false) ==
+      postingsFingerprint("/tmp/gidx-noposmut-fresh", compacted = false))
+    // phrase still fails fast after the mutations (gu plants — docIds 106,
+    // 207, 308 — survive the docId < 20 delete, so the kernel must reach for
+    // positions and find none)
+    val h = graft.query.IndexHandle.load("/tmp/gidx-noposmut")
+    val e = intercept[Exception] {
+      graft.query.Bm25Query.search(spark, h,
+        graft.query.QuerySpec("gu", Webtext.GoldenPhrase("gu").mkString(" "), phrase = true))
+    }
+    assert(e.getMessage != null && e.getMessage.contains("positions"))
+  }
+
+  test("resume invalidation: a warc_ts-only change rebuilds the chunk (year facets fresh)") {
+    import org.apache.spark.sql.functions._
+    val corpus = Webtext.synthesize(spark, 300, partitions = 2).toDF()
+    rm("/tmp/gidx-ts")
+    IndexBuild.build(spark, corpus, "/tmp/gidx-ts", numChunks = 2)
+    import spark.implicits._
+    def years(): Set[String] = spark.read.parquet("/tmp/gidx-ts/facets")
+      .where(col("key") === "year").select("value").as[String].collect().toSet
+    val before = years()
+    // shift every timestamp by 10 years; text/meta/url unchanged
+    val shifted = corpus.withColumn("warc_ts",
+      col("warc_ts") + expr("INTERVAL 3653 DAYS"))
+    IndexBuild.build(spark, shifted, "/tmp/gidx-ts", numChunks = 2)
+    val after = years()
+    assert(before != after, "timestamp-only change was skipped on resume (stale year facets)")
+    assert(after.exists(_.startsWith("203")), s"shifted years missing: $after")
+  }
+
   test("J6 GC: orphan chunk dirs (not in manifest) are found and deleted") {
     val corpus = Webtext.synthesize(spark, 300, partitions = 2).toDF()
     rm("/tmp/gidx-gc")

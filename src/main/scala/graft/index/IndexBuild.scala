@@ -116,8 +116,7 @@ object IndexBuild extends Serializable {
       storePositions: Boolean = true
   ): Unit = {
     import spark.implicits._
-    val fs = new java.io.File(outDir)
-    fs.mkdirs()
+    TableIO.mkdirs(outDir)
     val webtext = normalizeInput(input)
     // Resume validation: a manifest row is only trusted when its recorded
     // input signature (positions mode + docs + xor of per-row content hashes,
@@ -383,8 +382,7 @@ object IndexBuild extends Serializable {
     */
   private def dropCompacted(outDir: String): Unit =
     Seq("segments_compact", "facets_compact").foreach { sub =>
-      val d = new java.io.File(s"$outDir/$sub")
-      if (d.exists()) scala.reflect.io.Directory(d).deleteRecursively()
+      TableIO.deleteRecursive(s"$outDir/$sub")
     }
 
   def deleteByQuery(spark: SparkSession, outDir: String, pred: org.apache.spark.sql.Column,
@@ -408,7 +406,7 @@ object IndexBuild extends Serializable {
       Manifest.append(outDir,
         buildChunk(spark, remaining, outDir, k, salt,
           storePositions = props.storePositions))
-      scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
+      TableIO.deleteRecursive(tmp)
     }
     finalizeStats(spark, outDir)
   }
@@ -440,7 +438,7 @@ object IndexBuild extends Serializable {
       Manifest.append(outDir,
         buildChunk(spark, merged, outDir, k, salt,
           storePositions = props.storePositions))
-      scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
+      TableIO.deleteRecursive(tmp)
     }
     finalizeStats(spark, outDir)
   }
@@ -451,13 +449,13 @@ object IndexBuild extends Serializable {
   def writeProps(outDir: String, p: IndexProps): Unit = {
     val json = s"""{"storePositions": ${p.storePositions}, "numChunks": ${p.numChunks}, """ +
       s""""saltTargetPostings": ${p.saltTargetPostings}}"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/props.json"), json)
+    TableIO.writeStringAtomic(s"$outDir/props.json", json)
   }
 
   def readProps(outDir: String): IndexProps = {
-    val p = java.nio.file.Paths.get(s"$outDir/props.json")
-    if (!java.nio.file.Files.exists(p)) return IndexProps(storePositions = true, 4, 8192)
-    val txt = java.nio.file.Files.readString(p)
+    val txtOpt = TableIO.readString(s"$outDir/props.json")
+    if (txtOpt.isEmpty) return IndexProps(storePositions = true, 4, 8192)
+    val txt = txtOpt.get
     def grab(k: String): String = {
       val m = java.util.regex.Pattern.compile("\"" + k + "\":\\s*([^,}\\s]+)").matcher(txt)
       if (m.find()) m.group(1) else ""
@@ -473,18 +471,12 @@ object IndexBuild extends Serializable {
     */
   def gcOrphanChunks(outDir: String, delete: Boolean = false): Seq[Int] = {
     val done = Manifest.doneChunks(outDir)
-    val onDisk = Seq("docstore", "segments", "facets").flatMap { sub =>
-      val d = new java.io.File(s"$outDir/$sub")
-      if (!d.exists()) Nil
-      else d.listFiles().toSeq
-        .filter(f => f.isDirectory && f.getName.startsWith("chunk="))
-        .map(f => f.getName.stripPrefix("chunk=").toInt)
-    }.distinct.sorted
+    val onDisk = Seq("docstore", "segments", "facets")
+      .flatMap(sub => TableIO.listChunkIds(s"$outDir/$sub")).distinct.sorted
     val orphans = onDisk.filterNot(done.contains)
     if (delete) orphans.foreach { k =>
       Seq("docstore", "segments", "facets").foreach { sub =>
-        val d = new java.io.File(s"$outDir/$sub/chunk=$k")
-        if (d.exists()) scala.reflect.io.Directory(d).deleteRecursively()
+        TableIO.deleteRecursive(s"$outDir/$sub/chunk=$k")
       }
     }
     orphans
@@ -510,7 +502,7 @@ object IndexBuild extends Serializable {
     val json = stats.sortBy(_.lang).map { s =>
       s"""  "${s.lang}": {"docs": ${s.docs}, "totalTokens": ${s.totalTokens}}"""
     }.mkString("{\n", ",\n", "\n}")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/stats.json"), json)
+    TableIO.writeStringAtomic(s"$outDir/stats.json", json)
   }
 
   /** Optional compaction: fold all chunk segments into a single segment
@@ -558,20 +550,17 @@ object IndexBuild extends Serializable {
   * Iceberg snapshot commit in production).
   */
 object Manifest {
-  private def path(outDir: String) = java.nio.file.Paths.get(s"$outDir/manifest.jsonl")
+  private def path(outDir: String) = s"$outDir/manifest.jsonl"
 
   def append(outDir: String, row: ManifestRow): Unit = {
     val line = s"""{"chunk":${row.chunk},"status":"${row.status}","docs":${row.docs},""" +
       s""""tokens":${row.tokens},"terms":${row.terms},"inputChecksum":"${row.inputChecksum}","wallMs":${row.wallMs}}""" + "\n"
-    java.nio.file.Files.writeString(path(outDir), line,
-      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    TableIO.appendLine(path(outDir), line)
   }
 
   def rows(outDir: String): Seq[ManifestRow] = {
-    val p = path(outDir)
-    if (!java.nio.file.Files.exists(p)) return Seq.empty
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty).map { l =>
+    val txt = TableIO.readString(path(outDir)).getOrElse(return Seq.empty)
+    txt.split("\n").toSeq.filter(_.nonEmpty).map { l =>
       def grab(k: String): String = {
         val m = java.util.regex.Pattern.compile("\"" + k + "\":\"?([^,}\"]*)\"?").matcher(l)
         if (m.find()) m.group(1) else ""

@@ -1,0 +1,93 @@
+package graft.index
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Filesystem abstraction for every non-Spark index artifact (manifest,
+  * props, stats, chunk-dir listing/GC, tmp rewrite dirs).
+  *
+  * All paths route through Hadoop's `FileSystem`/`FileContext`, so the index
+  * layout works unchanged on HDFS/S3A/GCS where a 100-TB index actually
+  * lives — `java.io.File` would silently confine mutations (delete-by-query,
+  * reindex, GC, compaction) to local disk. Small control files are written
+  * via tmp + atomic rename (HDFS/local rename is atomic; object stores make
+  * it copy+delete, still safe for the single-writer manifest documented in
+  * [[Manifest]] — multi-writer deployments would swap this object for an
+  * Iceberg-style conditional commit, which is exactly why it is one object).
+  */
+object TableIO {
+
+  private def conf(): Configuration =
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  private def fsOf(p: Path): FileSystem = p.getFileSystem(conf())
+
+  def exists(path: String): Boolean = {
+    val p = new Path(path)
+    fsOf(p).exists(p)
+  }
+
+  def mkdirs(path: String): Unit = {
+    val p = new Path(path)
+    fsOf(p).mkdirs(p)
+  }
+
+  /** Recursive delete; no-op when absent. */
+  def deleteRecursive(path: String): Unit = {
+    val p = new Path(path)
+    val fs = fsOf(p)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** Full content of a small control file, None when absent. */
+  def readString(path: String): Option[String] = {
+    val p = new Path(path)
+    val fs = fsOf(p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+      } finally in.close()
+    }
+  }
+
+  /** Write a small control file atomically (tmp + overwrite-rename). */
+  def writeStringAtomic(path: String, content: String): Unit = {
+    val p = new Path(path)
+    val fs = fsOf(p)
+    if (p.getParent != null) fs.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = FileContext.getFileContext(p.toUri, conf())
+    fc.rename(tmp, p, Options.Rename.OVERWRITE)
+  }
+
+  /** Append one line to a control file. Implemented as read + rewrite-rename
+    * (FileSystem.append is unsupported on checksummed local FS and object
+    * stores); atomic for the single writer the manifest documents.
+    */
+  def appendLine(path: String, line: String): Unit = {
+    val prior = readString(path).getOrElse("")
+    writeStringAtomic(path, prior + line)
+  }
+
+  /** Chunk ids present as `chunk=K` partition dirs under `dir`. */
+  def listChunkIds(dir: String): Seq[Int] = {
+    val p = new Path(dir)
+    val fs = fsOf(p)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("chunk="))
+      .map(_.getPath.getName.stripPrefix("chunk=").toInt)
+  }
+}

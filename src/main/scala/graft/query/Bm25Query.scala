@@ -39,16 +39,17 @@ case class IndexHandle(dir: String, stats: Map[String, (Long, Long)]) {
   def avgdl(lang: String): Double =
     stats.get(lang).map { case (d, t) => if (d == 0) 0.0 else t.toDouble / d }.getOrElse(0.0)
   def segmentsPath: String =
-    if (new java.io.File(s"$dir/segments_compact").exists()) s"$dir/segments_compact"
+    if (graft.index.TableIO.exists(s"$dir/segments_compact")) s"$dir/segments_compact"
     else s"$dir/segments"
   def facetsPath: String =
-    if (new java.io.File(s"$dir/facets_compact").exists()) s"$dir/facets_compact"
+    if (graft.index.TableIO.exists(s"$dir/facets_compact")) s"$dir/facets_compact"
     else s"$dir/facets"
 }
 
 object IndexHandle {
   def load(dir: String): IndexHandle = {
-    val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/stats.json"))
+    val txt = graft.index.TableIO.readString(s"$dir/stats.json")
+      .getOrElse(sys.error(s"no stats.json under $dir — index not finalized"))
     val m = java.util.regex.Pattern
       .compile("\"(\\w+)\":\\s*\\{\"docs\":\\s*(\\d+),\\s*\"totalTokens\":\\s*(\\d+)\\}")
       .matcher(txt)

@@ -52,11 +52,12 @@ object SparkEntry {
   private def transliterateFlow(s: SparkSession, dir: String, word: String): DataFrame = {
     import s.implicits._
     val idx = index(s, dir)
+    // batched df lookups against the MATERIALIZED termdict (one pruned scan
+    // per phase — never a per-query dictionary aggregation)
     def dfMap(terms: Seq[String]): Map[String, Long] =
       if (terms.isEmpty) Map.empty
-      else s.read.parquet(idx.segmentsPath)
-        .where(col("lang") === "en" && col("term").isin(terms: _*))
-        .groupBy("term").agg(sum("df").as("df"))
+      else Bm25Query.termDictDf(s, idx, "en")
+        .where(col("term").isin(terms: _*))
         .as[(String, Long)].collect().toMap
     def query(vs: Seq[String]): Seq[(String, Long)] = {
       val m = dfMap(vs.distinct)
@@ -266,13 +267,14 @@ object SparkEntry {
         .orderBy("term")
     }),
     "phrase_combos" -> ((s, dir) => {
-      // W7 (transliterate.py:417-497): per-word variant lists from the term
-      // dictionary (edit distance ≤ 2, shared first char), Cartesian product
-      // of variants, combo score = Σ per-word corpus frequency, top-k
-      val dict = documents(s, dir)
-        .select(explode(GraftFunctions.analyze_terms(col("text"), col("lang"))).as("term"),
-          col("doc_id"))
-        .groupBy("term").agg(countDistinct("doc_id").as("df"))
+      // W7 (transliterate.py:417-497): per-word variant lists from the
+      // MATERIALIZED term dictionary (edit distance ≤ 2, shared first char),
+      // Cartesian product of variants, combo score = Σ per-word corpus
+      // frequency, top-k. df summed across langs (langs partition the docs)
+      // to match the whole-corpus oracle.
+      val idx0 = index(s, dir)
+      val dict = s.read.parquet(idx0.termdictPath.get)
+        .groupBy("term").agg(sum("df").as("df"))
       def variants(seed: String, w: String, d: String) = dict
         .where(col("term").startsWith(seed.substring(0, 1)) &&
           levenshtein(lit(seed), col("term")) <= 2)

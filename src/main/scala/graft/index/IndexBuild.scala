@@ -493,7 +493,9 @@ object IndexBuild extends Serializable {
       .write.mode(SaveMode.Overwrite).text(debugDir)
   }
 
-  /** Corpus stats (N, avgdl per lang) from manifest-covered docstore chunks. */
+  /** Corpus stats (N, avgdl per lang) from manifest-covered docstore chunks,
+    * plus the materialized term dictionary.
+    */
   def finalizeStats(spark: SparkSession, outDir: String): Unit = {
     import spark.implicits._
     val stats = spark.read.parquet(s"$outDir/docstore")
@@ -503,6 +505,33 @@ object IndexBuild extends Serializable {
       s"""  "${s.lang}": {"docs": ${s.docs}, "totalTokens": ${s.totalTokens}}"""
     }.mkString("{\n", ",\n", "\n}")
     TableIO.writeStringAtomic(s"$outDir/stats.json", json)
+    writeTermDict(spark, outDir)
+  }
+
+  /** A5/Q8/W7 artifact: the term dictionary (lang, term, df, cf, bucket) as
+    * its own small table — the analog of Lucene's terms dictionary. Suggest /
+    * transliterate / df-lookup consumers scan THIS instead of re-aggregating
+    * the segment table per query (at web scale that re-aggregation is a
+    * full-dictionary shuffle on every misspelled query). Chunk doc sets are
+    * disjoint, so per-chunk df/cf sum to corpus df/cf; column pruning keeps
+    * the posting blobs out of this scan. Rewritten by every finalizeStats
+    * call, so mutations keep it fresh.
+    */
+  private def writeTermDict(spark: SparkSession, outDir: String): Unit = {
+    import spark.implicits._
+    val tmp = s"$outDir/termdict_tmp"
+    spark.read.parquet(s"$outDir/segments")
+      .groupBy($"lang", $"term")
+      .agg(sum($"df").as("df"), sum($"cf").as("cf"), first($"bucket").as("bucket"))
+      .repartition(math.max(spark.sparkContext.defaultParallelism / 4, 1), $"term")
+      .sortWithinPartitions($"lang", $"term") // row-group stats → term pushdown
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    // swap in atomically-enough (readers hold the old listing; single writer)
+    TableIO.deleteRecursive(s"$outDir/termdict")
+    if (!new org.apache.hadoop.fs.Path(tmp).getFileSystem(
+        spark.sessionState.newHadoopConf())
+        .rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(s"$outDir/termdict")))
+      throw new java.io.IOException(s"rename $tmp -> $outDir/termdict failed")
   }
 
   /** Optional compaction: fold all chunk segments into a single segment

@@ -44,6 +44,9 @@ case class IndexHandle(dir: String, stats: Map[String, (Long, Long)]) {
   def facetsPath: String =
     if (graft.index.TableIO.exists(s"$dir/facets_compact")) s"$dir/facets_compact"
     else s"$dir/facets"
+  /** Materialized term dictionary (absent only on pre-termdict indexes). */
+  def termdictPath: Option[String] =
+    if (graft.index.TableIO.exists(s"$dir/termdict")) Some(s"$dir/termdict") else None
 }
 
 object IndexHandle {
@@ -427,9 +430,10 @@ object Bm25Query {
     // requires osa <= (1-minScore)*maxLen, so lev <= 2*(1-minScore)*maxLen
     // admits every OSA-valid candidate.
     val osaUdf = udf((a: String, b: String) => damerauLevenshtein(a, b))
-    val dict = spark.read.parquet(idx.segmentsPath)
-      .where(col("lang") === lang)
-      .groupBy("term").agg(sum("df").as("df"))
+    // dictionary source: the materialized termdict table (one pruned scan —
+    // no per-query segment aggregation); segments agg only as a fallback for
+    // pre-termdict indexes
+    val dict = termDictDf(spark, idx, lang)
       .where(length(col("term")) >= 3)
     qTerms.toSeq.flatMap { w =>
       val maxLen = greatest(length(col("term")), lit(w.length)).cast("double")
@@ -447,6 +451,19 @@ object Bm25Query {
         .toSeq
     }.distinct
   }
+
+  /** (term, df) rows of a language's dictionary — termdict scan when the
+    * artifact exists, per-query segments aggregation otherwise.
+    */
+  def termDictDf(spark: SparkSession, idx: IndexHandle, lang: String): DataFrame =
+    idx.termdictPath match {
+      case Some(p) =>
+        spark.read.parquet(p).where(col("lang") === lang).select(col("term"), col("df"))
+      case None =>
+        spark.read.parquet(idx.segmentsPath)
+          .where(col("lang") === lang)
+          .groupBy("term").agg(sum("df").as("df"))
+    }
 
   /** Optimal-string-alignment Damerau-Levenshtein (the variant Lucene's
     * suggester uses).

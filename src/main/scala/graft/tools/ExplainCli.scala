@@ -28,25 +28,20 @@ object ExplainCli {
       .select("docId", "url", "lang", "text")
       .explain("formatted")
 
-    println("=== suggest dictionary scan (expect ReadSchema only term/df) ===")
-    spark.read.parquet(s"$idxDir/segments")
-      .where(col("lang") === "hi")
-      .groupBy("term").agg(sum("df").as("df"))
-      .where(length(col("term")) >= 3)
-      .explain("formatted")
-
     import graft.query.{Bm25Query, IndexHandle, QuerySpec}
     val idx = IndexHandle.load(idxDir)
+    println("=== suggest dictionary source (expect a TERMDICT scan — no segments " +
+      "aggregation — with lang pushdown, ReadSchema only term/df) ===")
+    Bm25Query.termDictDf(spark, idx, "hi").explain("formatted")
+
     println("=== distributed SUGGEST plan (no collect before TakeOrderedAndProject: " +
-      "prefix pushdown → levenshtein prefilter → OSA UDF → top-n) ===")
+      "termdict scan → prefix pushdown → levenshtein prefilter → OSA UDF → top-n) ===")
     // rebuild suggest's plan shape explicitly for inspection (suggest()
     // itself returns collected winners)
     val w = "abc"
     val osaUdf = udf((a: String, b: String) => Bm25Query.damerauLevenshtein(a, b))
     val maxLen = greatest(length(col("term")), lit(w.length)).cast("double")
-    spark.read.parquet(idx.segmentsPath)
-      .where(col("lang") === "hi")
-      .groupBy("term").agg(sum("df").as("df"))
+    Bm25Query.termDictDf(spark, idx, "hi")
       .where(length(col("term")) >= 3)
       .where(col("term").startsWith(w.substring(0, 1)) && col("term") =!= w)
       .where(levenshtein(lit(w), col("term")) <= floor(lit(1.0) * maxLen))

@@ -274,6 +274,36 @@ class IndexBuildSpec extends AnyFunSuite {
     assert(after.exists(_.startsWith("203")), s"shifted years missing: $after")
   }
 
+  test("termdict artifact: matches segment aggregation and refreshes on mutation") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val corpus = Webtext.synthesize(spark, 400, partitions = 3).toDF()
+    rm("/tmp/gidx-td")
+    IndexBuild.build(spark, corpus, "/tmp/gidx-td", numChunks = 2, saltTargetPostings = 64)
+    def tdMap(): Map[(String, String), (Long, Long)] =
+      spark.read.parquet("/tmp/gidx-td/termdict")
+        .select("lang", "term", "df", "cf")
+        .as[(String, String, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    def segMap(): Map[(String, String), (Long, Long)] =
+      spark.read.parquet("/tmp/gidx-td/segments")
+        .groupBy("lang", "term").agg(sum("df").as("df"), sum("cf").as("cf"))
+        .as[(String, String, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(tdMap() == segMap())
+    // suggest routes through the termdict scan and stays consistent
+    val idx = graft.query.IndexHandle.load("/tmp/gidx-td")
+    assert(idx.termdictPath.isDefined)
+    // mutation refreshes the dictionary
+    IndexBuild.deleteByQuery(spark, "/tmp/gidx-td", col("docId") < 100)
+    assert(tdMap() == segMap(), "termdict stale after delete-by-query")
+    // bucket column matches the serving shard function
+    val badBucket = spark.read.parquet("/tmp/gidx-td/termdict")
+      .select("term", "bucket").as[(String, Int)].collect()
+      .count { case (t, b) => b != graft.query.InMemoryIndex.bucketOf(t) }
+    assert(badBucket == 0)
+  }
+
   test("J6 GC: orphan chunk dirs (not in manifest) are found and deleted") {
     val corpus = Webtext.synthesize(spark, 300, partitions = 2).toDF()
     rm("/tmp/gidx-gc")

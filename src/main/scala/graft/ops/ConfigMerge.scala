@@ -21,9 +21,14 @@ import org.apache.spark.sql.expressions.Window
   *
   * Config rows: (cfg_dir, scope, kind, key, ord, value)
   *   scope = "default" | a file stem (the reference's file-specific layer —
-  *   applied only from the DEEPEST config dir on the doc's path, matching the
-  *   reference quirk that `scan_config_data` holds the last file read);
-  *   kind  = "list" | "scalar"; ord = position within one config file's list.
+  *   applied only from the DEEPEST config dir on the doc's path that contains
+  *   a config file AT ALL, matching the reference quirk that
+  *   `scan_config_data` holds the last file read regardless of whether it has
+  *   a "default" section);
+  *   kind  = "list" | "scalar" | "sentinel" (a sentinel row marks a config
+  *   file that contributes no table keys — e.g. empty, or only sections for
+  *   other files' stems — so it still claims the deepest-file slot);
+  *   ord = position within one config file's list.
   */
 object ConfigMerge {
 
@@ -45,12 +50,16 @@ object ConfigMerge {
     // depth = prefix length (longer prefix = deeper dir = higher precedence)
     val withDepth = joined.withColumn("depth", length(col("cfg_dir")))
     // the file-specific layer only applies from the deepest config dir on the
-    // path that defines ANY row (reference: the last scan_config.json read)
+    // path that contains a config file at all — max over ALL rows (default,
+    // stem-scoped and sentinel alike), because the reference keeps
+    // `scan_config_data` from the LAST scan_config.json read even when that
+    // file has no "default" section (scan_config.py:75-82,113)
     val maxDepth = Window.partitionBy("doc_id")
     val scoped = withDepth
-      .withColumn("max_depth", max(when(col("scope") === "default", col("depth"))).over(maxDepth))
+      .withColumn("max_depth", max(col("depth")).over(maxDepth))
       .where(col("scope") === "default" ||
         (col("scope") === col("stem") && col("depth") === col("max_depth")))
+      .where(col("kind") =!= "sentinel") // presence markers contribute no keys
       // file-specific rows sort after every default row (they're applied last)
       .withColumn("layer", when(col("scope") === "default", lit(0)).otherwise(lit(1)))
     val lists = scoped.where(col("kind") === "list")

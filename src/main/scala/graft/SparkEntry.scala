@@ -413,7 +413,15 @@ object SparkEntry {
         ("base/src1/en", "default", "list", "typo_list", 0, "adn=>and"),
         ("base/src1/en", "default", "scalar", "crop.x", 0, "12"),
         ("base/src1/en", "42", "scalar", "psm", 0, "11"),
-        ("base/src1/en", "42", "list", "header_prefix", 0, "^Footer"))
+        ("base/src1/en", "42", "list", "header_prefix", 0, "^Footer"),
+        // deepest config on doc 40's path has ONLY a file-specific section —
+        // it must still claim the "last file read" slot (scan_config.py quirk)
+        ("base/src0", "40", "scalar", "psm", 0, "99"),
+        ("base/src0", "40", "list", "header_prefix", 0, "^Doc40"),
+        // and an EMPTY config file (sentinel) at base/src3 blocks the
+        // shallower base-level stem row for doc 43 from applying
+        ("base", "43", "scalar", "psm", 0, "77"),
+        ("base/src3", "default", "sentinel", "", 0, ""))
         .toDF("cfg_dir", "scope", "kind", "key", "ord", "value")
       graft.ops.ConfigMerge.effectiveConfigs(docs, cfg)
         .orderBy("doc_id", "key")
@@ -465,26 +473,34 @@ object SparkEntry {
       // 2 pages with planted QA prefixes, terminators, centered/indented
       // geometry (page body x 10..100, centered 40..70, indent 30)
       val words = split(col("text"), " ")
-      val lines = documents(s, dir)
+      val raw = documents(s, dir)
         .select(col("doc_id"), words.as("w"))
         .select(col("doc_id"), explode(sequence(lit(0),
           least(lit(7), ((size(col("w")) - 1) / 6).cast("int")))).as("i"), col("w"))
         .select(col("doc_id").as("docId"),
           (col("i") / 4 + 1).cast("int").as("page"),
           pmod(col("i"), lit(4)).cast("int").as("lineNum"),
-          concat(
+          // planted F5 fixtures: every (docId+i)%13==6 line is low-confidence
+          // OCR junk, every %17==9 line has a null text payload — both must be
+          // rejected by the confidence filter before classification
+          when(pmod(col("doc_id") + col("i"), lit(17)) === 9,
+            lit(null).cast("string")).otherwise(concat(
             when(pmod(col("doc_id") + col("i"), lit(11)) === 5, lit("प्रश्न: "))
               .otherwise(lit("")),
             array_join(slice(col("w"), col("i") * 6 + 1, lit(6)), " "),
             when(pmod(col("doc_id") + col("i"), lit(3)) === 0, lit("।"))
-              .otherwise(lit(""))).as("text"),
+              .otherwise(lit("")))).as("text"),
+          when(pmod(col("doc_id") + col("i"), lit(13)) === 6, lit(7))
+            .otherwise(lit(88)).cast("int").as("conf"),
           when(pmod(col("doc_id") + col("i"), lit(7)) === 3, lit(40))
             .otherwise(when(pmod(col("doc_id") + col("i"), lit(5)) === 2, lit(30))
               .otherwise(lit(10))).cast("int").as("xStart"),
           when(pmod(col("doc_id") + col("i"), lit(7)) === 3, lit(70))
             .otherwise(when(pmod(col("doc_id") + col("i"), lit(3)) === 0, lit(60))
               .otherwise(lit(100))).cast("int").as("xEnd"))
-        .as[AdvancedParagraphs.OcrLine]
+      // F5: conf > 10 && text non-null, ahead of the pipeline's one exchange
+      val lines = AdvancedParagraphs.confidenceFilter(raw)
+        .drop("conf").as[AdvancedParagraphs.OcrLine]
       AdvancedParagraphs.generate(s, lines, AdvancedParagraphs.Hindi)
         .toDF().orderBy("docId", "paraId")
     }),
@@ -630,6 +646,17 @@ object SparkEntry {
           col("rank").cast("long").as("nn_rank"))
         .orderBy("query_id", "nn_rank")
     }),
+    "ann_lsh_filtered_topk" -> ((s, dir) => {
+      // Q9 filtered kNN on the BUCKETED path: the metadata predicate is
+      // pushed into the corpus scan BEFORE bucketing + the bucket equi-join
+      // (knn.filter analog at scale) — k MATCHING neighbors per query
+      val emb = embeddings(s, dir)
+      Similarity.lshTopKAxis(emb.where(pmod(col("label"), lit(2)) === 0),
+        emb.where(col("vec_id") < 5), k = 10, bits = 6, probeHamming = 1)
+        .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"),
+          col("rank").cast("long").as("nn_rank"))
+        .orderBy("query_id", "nn_rank")
+    }),
     "ann_lsh_topk" -> ((s, dir) => { // rows-only: bucket hashes are ours
       val emb = embeddings(s, dir)
       Similarity.lshTopK(emb, emb.where(col("vec_id") < 5), k = 10, bits = 6, probeHamming = 2)
@@ -687,6 +714,11 @@ object SparkEntry {
       // structs — MarkdownGranthSpec additionally pins parse == synthesize
       graft.ops.Granth.flattenVerses(graft.ops.Granth.fromMarkdown(s, 50))
         .orderBy("granthId", "seq_num")),
+    "granth_prose_flatten" -> ((s, dir) =>
+      // PROSE sections + subsections through the real parser, one search doc
+      // per content paragraph (_create_prose_document, granth_index.py:380-427)
+      graft.ops.Granth.flattenProse(graft.ops.Granth.proseFromMarkdown(s, 50))
+        .orderBy("chunk_id")),
     "granth_date_facet" -> ((s, dir) =>
       graft.ops.Granth.dateRangeFacet(graft.ops.Granth.synthesize(s, 50))
         .select(col("author"), explode(col("date_ranges")).as("date_range"))
@@ -940,17 +972,21 @@ object SparkEntry {
         |  ('base/src1/en', 'default', 'list', 'typo_list', 0, 'adn=>and'),
         |  ('base/src1/en', 'default', 'scalar', 'crop.x', 0, '12'),
         |  ('base/src1/en', '42', 'scalar', 'psm', 0, '11'),
-        |  ('base/src1/en', '42', 'list', 'header_prefix', 0, '^Footer')),
+        |  ('base/src1/en', '42', 'list', 'header_prefix', 0, '^Footer'),
+        |  ('base/src0', '40', 'scalar', 'psm', 0, '99'),
+        |  ('base/src0', '40', 'list', 'header_prefix', 0, '^Doc40'),
+        |  ('base', '43', 'scalar', 'psm', 0, '77'),
+        |  ('base/src3', 'default', 'sentinel', '', 0, '')),
         |j AS (SELECT d.doc_id, d.stem, c.*
         |      FROM docs d JOIN cfg c
         |        ON d.dir = c.cfg_dir OR d.dir LIKE c.cfg_dir || '/%'),
         |wd AS (SELECT *, length(cfg_dir) AS depth,
-        |              max(CASE WHEN scope = 'default' THEN length(cfg_dir) END)
-        |                OVER (PARTITION BY doc_id) AS max_depth
+        |              max(length(cfg_dir)) OVER (PARTITION BY doc_id) AS max_depth
         |       FROM j),
         |sc AS (SELECT *, CASE WHEN scope = 'default' THEN 0 ELSE 1 END AS layer
         |       FROM wd
-        |       WHERE scope = 'default' OR (scope = stem AND depth = max_depth)),
+        |       WHERE (scope = 'default' OR (scope = stem AND depth = max_depth))
+        |         AND kind <> 'sentinel'),
         |lists AS (SELECT doc_id, key,
         |                 string_agg(value, ',' ORDER BY layer, depth, ord, value) AS value
         |          FROM sc WHERE kind = 'list' GROUP BY 1, 2),
@@ -993,7 +1029,12 @@ object SparkEntry {
         |      ELSE substr(text, 1, 80) END AS para
         |  FROM documents),
         |stripped AS (
-        |  SELECT doc_id, para_num, trim(regexp_replace(para, '^अध्याय \d+ — ', '')) AS para
+        |  -- trim applies only when the prefix matched (reference strips
+        |  -- whitespace per re.sub, inside the if-match branch)
+        |  SELECT doc_id, para_num,
+        |         CASE WHEN regexp_matches(para, '^अध्याय \d+ — ')
+        |              THEN trim(regexp_replace(para, '^अध्याय \d+ — ', ''))
+        |              ELSE para END AS para
         |  FROM paras),
         |m AS (
         |  SELECT doc_id, para_num, para, length(para) AS len,
@@ -1158,6 +1199,33 @@ object SparkEntry {
         |      FROM scored)
         |SELECT query_id, vec_id, round(sim, 6) AS sim, CAST(rnk AS BIGINT) AS nn_rank
         |FROM r WHERE rnk <= 10 ORDER BY query_id, nn_rank""".stripMargin,
+    "ann_lsh_filtered_topk" ->
+      """WITH ce AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+        |         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+        |       + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+        |       + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+        |       + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
+        |       + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END) AS bucket
+        |  FROM embeddings),
+        |c AS (SELECT * FROM ce WHERE label % 2 = 0),
+        |q AS (SELECT vec_id AS query_id, e AS qe, bucket AS qb FROM ce WHERE vec_id < 5),
+        |probes AS (
+        |  SELECT query_id, qe, qb AS bucket FROM q
+        |  UNION ALL
+        |  SELECT query_id, qe, xor(qb, (1 << CAST(i AS INT))) AS bucket
+        |  FROM q, range(6) t(i)),
+        |scored AS (
+        |  SELECT p.query_id, c.vec_id, max(list_cosine_similarity(c.e, p.qe)) AS sim
+        |  FROM probes p JOIN c ON c.bucket = p.bucket
+        |  WHERE c.vec_id <> p.query_id
+        |  GROUP BY 1, 2),
+        |r AS (SELECT query_id, vec_id, sim,
+        |             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+        |      FROM scored)
+        |SELECT query_id, vec_id, round(sim, 6) AS sim, CAST(rnk AS BIGINT) AS nn_rank
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, nn_rank""".stripMargin,
     "ann_neardup_exact" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -1248,6 +1316,36 @@ object SparkEntry {
         |       'adhikar' || (seq % 2) AS adhikar,
         |       'teeka ' || granthId || '-' || seq || '-1 | teeka ' || granthId || '-' || seq || '-2' AS teeka_joined
         |FROM v ORDER BY granthId, seq_num""".stripMargin,
+    "granth_prose_flatten" ->
+      """WITH g AS (SELECT unnest(range(0, 50)) AS gid),
+        |p AS (SELECT gid, 3 + gid % 4 AS nv FROM g),
+        |main AS (SELECT gid, nv, unnest(range(0, 2)) AS i FROM p),
+        |subs AS (SELECT gid, nv,
+        |                unnest(range(0, CASE WHEN gid % 2 = 0 THEN 2 ELSE 1 END)) AS i
+        |         FROM p),
+        |rows_ AS (
+        |  SELECT gid || '_p' || (nv + 1) || '_content_' || i AS chunk_id,
+        |         CAST(gid AS BIGINT) AS granth_id,
+        |         'prose_' || (nv + 1) || '_content_' || i AS paragraph_id,
+        |         CAST(90 + gid % 7 AS INT) AS page_number,
+        |         'main' AS prose_content_type,
+        |         CAST(nv + 1 AS INT) AS prose_seq_num,
+        |         'Prastavana ' || gid AS prose_heading,
+        |         'adhikar' || (nv % 2) AS adhikar,
+        |         'prose text ' || gid || '-' || (i + 1) AS content
+        |  FROM main
+        |  UNION ALL
+        |  SELECT gid || '_p' || (nv + 1) || '_sub' || (nv + 2) || '_content_' || i,
+        |         CAST(gid AS BIGINT),
+        |         'prose_' || (nv + 2) || '_content_' || i,
+        |         CAST(90 + gid % 7 AS INT),
+        |         'subsection',
+        |         CAST(nv + 2 AS INT),
+        |         'Upodghat ' || gid,
+        |         'adhikar' || (nv % 2),
+        |         'sub text ' || gid || '-' || (i + 1)
+        |  FROM subs)
+        |SELECT * FROM rows_ ORDER BY chunk_id""".stripMargin,
     "granth_date_facet" ->
       """WITH g AS (SELECT unnest(range(0, 50)) AS gid)
         |SELECT DISTINCT 'author' || (gid % 3) AS author,

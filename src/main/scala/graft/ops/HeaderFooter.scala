@@ -25,33 +25,38 @@ object HeaderFooter {
   def digitCount(c: Column): Column =
     length(c) - length(regexp_replace(c, DigitClass, ""))
 
-  /** Strip the first occurrence of `pattern` (regex), then trim — the Column
-    * equivalent of `re.sub(pattern, '', para, count=1)`. The matched text is
-    * located with instr on the extracted match, so patterns should be written
-    * to make their first literal occurrence the regex match (anchored `^...`
-    * prefixes, the common case for headers, always are).
+  /** Strip the FIRST regex match of `pattern` and trim the result when it
+    * matched — the Column equivalent of the reference's per-prefix step
+    * (base.py:211-213: `re.sub(prefix, '', para, count=1)` followed by
+    * `.strip()`, both inside the `if match` branch). The match is located
+    * with regexp_instr (exact first-MATCH-POSITION semantics — instr on the
+    * extracted text would find an earlier literal occurrence of the same
+    * characters); unmatched input passes through untrimmed.
     */
   def stripFirst(c: Column, pattern: String): Column = {
     val m = regexp_extract(c, pattern, 0)
-    val pos = instr(c, m)
-    trim(when(length(m) === 0 || pos === 0, c).otherwise(
+    val pos = regexp_instr(c, lit(pattern)) // 1-based first-match position; 0 = no match
+    when(pos === 0, c).otherwise(trim(
       concat(c.substr(lit(1), pos - 1),
         c.substr(pos + length(m), length(c)))))
   }
 
-  /** Apply every configured prefix strip in order. Anchored patterns (`^...`,
-    * the normal shape for headers) take the single-regexp fast path: an
-    * anchored regex matches at most once, so replace-all ≡ replace-first and
-    * the expression stays small enough for whole-stage codegen (the
-    * instr-based general path triples the regex ops per prefix, and the
-    * optimizer's projection collapse then multiplies that into every
-    * downstream predicate reference).
+  /** Apply every configured prefix strip in order, trimming AFTER EACH
+    * matched strip (the reference strips whitespace per re.sub, so an
+    * anchored second prefix can match text exposed by the first strip's
+    * trim). Anchored patterns (`^...`, the normal shape for headers) take a
+    * single-regexp fast path: an anchored regex matches at most once, so
+    * replace-all ≡ replace-first and the expression stays small enough for
+    * whole-stage codegen (the regexp_instr general path triples the regex ops
+    * per prefix, and the optimizer's projection collapse then multiplies that
+    * into every downstream predicate reference).
     */
   def stripPrefixes(c: Column, prefixes: Seq[String]): Column =
-    trim(prefixes.foldLeft(c) { (acc, p) =>
-      if (p.startsWith("^")) regexp_replace(acc, p, "")
+    prefixes.foldLeft(c) { (acc, p) =>
+      if (p.startsWith("^"))
+        when(acc.rlike(p), trim(regexp_replace(acc, p, ""))).otherwise(acc)
       else stripFirst(acc, p)
-    })
+    }
 
   /** The rejection predicate over the ALREADY-STRIPPED paragraph text. */
   def isHeaderFooter(paraNum: Column, stripped: Column,

@@ -54,6 +54,37 @@ class OpsSpec extends AnyFunSuite {
     pairs.foreach(r => assert(r.getAs[Number]("hamming").intValue <= 6))
   }
 
+  test("F4 prefix strips trim BETWEEN strips and match at the regex position (base.py:211-213)") {
+    def strip(input: String, prefixes: Seq[String]): String =
+      Seq(input).toDF("t")
+        .select(HeaderFooter.stripPrefixes(col("t"), prefixes).as("s"))
+        .as[String].collect().head
+    // interim trim: stripping "X-" leaves " Y: content"; the reference trims
+    // before trying the anchored second prefix, so "^Y:" must still match
+    assert(strip("X- Y: content", Seq("X-", "^Y:")) == "content")
+    // first-MATCH-position semantics: the matched text ("bb") also occurs
+    // before the actual regex match of "b+$" — the tail occurrence must go
+    assert(strip("bb a bb", Seq("b+$")) == "bb a")
+    // unmatched prefixes leave the text untrimmed (reference trims only
+    // inside the if-match branch)
+    assert(strip("  keep  ", Seq("^ZZZ")) == "  keep  ")
+    // a matched strip trims its result
+    assert(strip("Page 3 rest", Seq("^Page \\d+")) == "rest")
+  }
+
+  test("F5 confidence filter drops conf<=10 and null-text OCR rows (advanced_pdf_processor.py:111-112)") {
+    val rows = Seq(
+      (1L, "good line", 88),
+      (2L, "boundary", 10),    // conf == 10 is rejected (strict >)
+      (3L, "just above", 11),
+      (4L, null.asInstanceOf[String], 95), // dropna(subset=['text'])
+      (5L, "junk", 7))
+      .toDF("id", "text", "conf")
+    val kept = AdvancedParagraphs.confidenceFilter(rows)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L))
+  }
+
   test("native cosine expression == Scala reference, bit-identical") {
     import graft.functions.CosineSimExpr
     val rows = emb.as("a").crossJoin(emb.limit(5).withColumnRenamed("vec_id", "qid")

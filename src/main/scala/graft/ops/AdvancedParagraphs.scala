@@ -33,6 +33,17 @@ object AdvancedParagraphs {
   case class OcrLine(docId: Long, page: Int, lineNum: Int, text: String,
       xStart: Int, xEnd: Int)
 
+  /** F5 OCR confidence filter (advanced_pdf_processor.py:111-112):
+    * `dropna(subset=['text'])` + `conf > 10`, applied to the raw OCR table
+    * BEFORE classification — low-confidence junk never enters the paragraph
+    * pipeline. Pure Column predicate, so at scale it runs inside the scan
+    * stage (pushed ahead of the one docId exchange).
+    */
+  def confidenceFilter(df: org.apache.spark.sql.DataFrame,
+      confCol: String = "conf", textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    df.where(org.apache.spark.sql.functions.col(textCol).isNotNull &&
+      org.apache.spark.sql.functions.col(confCol) > 10)
+
   /** F6 output: line + precomputed classification tags. */
   case class TaggedLine(docId: Long, page: Int, lineNum: Int, text: String,
       isEmpty: Boolean, isCentered: Boolean, isIndented: Boolean,

@@ -21,6 +21,15 @@ object Granth {
   case class GranthDoc(granthId: Long, name: String, author: String,
       startDate: String, endDate: String, verses: Seq[Verse])
 
+  /** Nested prose shape (reference granth.py ProseSection/ProseSubsection,
+    * serialized by `_prose_section_to_dict`, granth_index.py:126-147).
+    */
+  case class PSub(seqNum: Int, heading: String, content: Seq[String])
+  case class PSec(seqNum: Int, heading: String, content: Seq[String],
+      subsections: Seq[PSub], pageNum: Option[Int], adhikar: String)
+  case class GranthProse(granthId: Long, name: String, author: String,
+      proseSections: Seq[PSec])
+
   /** Deterministic synthetic nested corpus (no external data). */
   def synthesize(spark: SparkSession, n: Int): DataFrame = {
     import spark.implicits._
@@ -41,7 +50,8 @@ object Granth {
     */
   def markdownFor(g: Int): String = {
     val sb = new StringBuilder
-    (1 to 3 + g % 4).foreach { v =>
+    val nv = 3 + g % 4
+    (1 to nv).foreach { v =>
       val vtype = if (v % 2 == 0) "Shlok" else "Gatha"
       sb.append(s"# adhikar${v % 2}\n\n")
       sb.append(s"## $vtype $v\n\n")
@@ -52,6 +62,15 @@ object Granth {
       sb.append(s"teeka $g-$v-1\n\nteeka $g-$v-2\n\n")
       sb.append(s"### Page Number - ${v * 2}\n\n")
     }
+    // prose AFTER the verses (verse seq_nums stay 1..nv): a non-verse H2
+    // opens a prose section — paragraphs, a page-number heading, then one
+    // subsection (seq numbers continue after the parent, granth_index.py)
+    sb.append(s"## Prastavana $g\n\n")
+    sb.append(s"prose text $g-1\n\nprose text $g-2\n\n")
+    sb.append(s"### Page Number - ${90 + g % 7}\n\n")
+    sb.append(s"### Upodghat $g\n\n")
+    sb.append(s"sub text $g-1\n\n")
+    if (g % 2 == 0) sb.append(s"sub text $g-2\n\n")
     sb.toString
   }
 
@@ -71,6 +90,78 @@ object Granth {
       GranthDoc(g.toLong, s"granth$g", s"author${g % 3}",
         f"${2000 + g % 5}%04d-01-01", f"${2000 + g % 5}%04d-12-31", verses)
     }.toDF()
+  }
+
+  /** The PROSE sections of the [[markdownFor]] corpus through the real parser,
+    * re-nested as the reference's granth-index dict shape
+    * (granth_index.py:126-147 `_prose_section_to_dict`).
+    */
+  def proseFromMarkdown(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    (0 until n).map { g =>
+      val (_, proseRows) = graft.crawler.MarkdownGranth.parse(markdownFor(g))
+      val secs = proseRows.map { p =>
+        PSec(p.seqNum, p.heading, p.content,
+          p.subsections.map(s => PSub(s.seqNum, s.heading, s.content)),
+          p.pageNum, p.adhikar.getOrElse(""))
+      }
+      GranthProse(g.toLong, s"granth$g", s"author${g % 3}", secs)
+    }.toDF()
+  }
+
+  /** Flatten prose sections + subsections to one search document per content
+    * PARAGRAPH — the reference's `_create_prose_document` rows
+    * (granth_index.py:263-294 loop, :380-427 doc shape): chunk_id
+    * `{gid}_p{seq}_content_{i}` for main prose, `{gid}_p{parent}_sub{seq}_
+    * content_{i}` for subsections; page falls back parent → 1; subsection
+    * rows carry the SUBSECTION's heading/seq. Spark-first: two posexplode
+    * branches unioned — no per-granth loop, scales with total paragraphs.
+    */
+  def flattenProse(granths: DataFrame): DataFrame = {
+    val ps = granths.select(col("granthId"), col("name"), col("author"),
+      explode(col("proseSections")).as("ps"))
+    val base = ps.select(col("granthId"), col("name"), col("author"),
+      col("ps.seqNum").as("prose_seq"), col("ps.heading").as("ps_heading"),
+      col("ps.adhikar").as("adhikar"),
+      coalesce(col("ps.pageNum"), lit(1)).as("ps_page"),
+      col("ps.content").as("ps_content"), col("ps.subsections").as("subs"))
+    val main = base
+      .select(col("granthId"), col("name"), col("author"), col("prose_seq"),
+        col("ps_heading"), col("adhikar"), col("ps_page"),
+        posexplode(col("ps_content")).as(Seq("i", "para")))
+      .where(length(trim(col("para"))) > 0)
+      .select(
+        concat(col("granthId"), lit("_p"), col("prose_seq"), lit("_content_"), col("i"))
+          .as("chunk_id"),
+        col("granthId").cast("long").as("granth_id"),
+        concat(lit("prose_"), col("prose_seq"), lit("_content_"), col("i"))
+          .as("paragraph_id"),
+        col("ps_page").cast("int").as("page_number"),
+        lit("main").as("prose_content_type"),
+        col("prose_seq").cast("int").as("prose_seq_num"),
+        col("ps_heading").as("prose_heading"),
+        col("adhikar"),
+        trim(col("para")).as("content"))
+    val subs = base
+      .select(col("granthId"), col("prose_seq"), col("adhikar"), col("ps_page"),
+        explode(col("subs")).as("sub"))
+      .select(col("granthId"), col("prose_seq"), col("adhikar"), col("ps_page"),
+        col("sub.seqNum").as("sub_seq"), col("sub.heading").as("sub_heading"),
+        posexplode(col("sub.content")).as(Seq("i", "para")))
+      .where(length(trim(col("para"))) > 0)
+      .select(
+        concat(col("granthId"), lit("_p"), col("prose_seq"), lit("_sub"), col("sub_seq"),
+          lit("_content_"), col("i")).as("chunk_id"),
+        col("granthId").cast("long").as("granth_id"),
+        concat(lit("prose_"), col("sub_seq"), lit("_content_"), col("i"))
+          .as("paragraph_id"),
+        col("ps_page").cast("int").as("page_number"),
+        lit("subsection").as("prose_content_type"),
+        col("sub_seq").cast("int").as("prose_seq_num"),
+        col("sub_heading").as("prose_heading"),
+        col("adhikar"),
+        trim(col("para")).as("content"))
+    main.union(subs)
   }
 
   /** Flatten nested verses (and their nested teeka) to index rows — the

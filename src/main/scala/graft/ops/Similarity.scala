@@ -121,7 +121,14 @@ object Similarity {
     code
   }
 
-  /** [[lshTopK]] with the oracle-reproducible axis-sign hash. */
+  /** [[lshTopK]] with the oracle-reproducible axis-sign hash.
+    *
+    * Filtered kNN (the reference's `knn.filter`, index_searcher.py:282-289):
+    * pass the metadata predicate as `corpus.where(pred)` — the filter lands
+    * on the corpus SCAN, before bucketing and the bucket equi-join, so the
+    * query returns k MATCHING neighbors (never a post-filtered short page)
+    * and the join never touches excluded vectors.
+    */
   def lshTopKAxis(corpus: DataFrame, queries: DataFrame, k: Int,
       bits: Int = 6, probeHamming: Int = 1): DataFrame = {
     val b = bits

@@ -25,7 +25,7 @@ case class Run(lang: String, term: String, salt: Int, blob: Array[Byte], posBlob
 case class SegmentRow(chunk: Int, lang: String, bucket: Int, term: String,
     df: Long, cf: Long, blob: Array[Byte], posBlob: Array[Byte])
 
-case class FacetRow(chunk: Int, lang: String, key: String, value: String,
+case class FacetRow(chunk: Int, lang: String, bucket: Int, key: String, value: String,
     df: Long, docIds: Array[Byte])
 
 case class LangStats(lang: String, docs: Long, totalTokens: Long) {
@@ -76,6 +76,13 @@ case class IndexProps(storePositions: Boolean, numChunks: Int, saltTargetPosting
 object IndexBuild extends Serializable {
 
   val DefaultBuckets = 64
+
+  /** Facet shard of a facet KEY. Facets shard by key (not (key, value)) so a
+    * query can enumerate the shards its filters need — range filters (date,
+    * year) touch unenumerable value sets, but their keys are known up front.
+    */
+  def facetBucketOf(key: String): Int =
+    Math.floorMod(key.hashCode, DefaultBuckets)
 
   /** Standardize any webtext-shaped input to the build schema.
     * Input must have: url, warc_ts, (html | text), lang; docId optional
@@ -354,7 +361,8 @@ object IndexBuild extends Serializable {
             var prev = 0L
             var i = 0
             while (i < ids.length) { deltas(i) = ids(i) - prev; prev = ids(i); i += 1 }
-            FacetRow(k, lang, fkey, value, ids.length.toLong, VByte.encode(deltas))
+            FacetRow(k, lang, facetBucketOf(fkey), fkey, value,
+              ids.length.toLong, VByte.encode(deltas))
           }
           .toDF()
           .drop("chunk") // supplied by the chunk=K partition dir on read
@@ -568,7 +576,8 @@ object IndexBuild extends Serializable {
         var prev = 0L
         var i = 0
         while (i < all.length) { deltas(i) = all(i) - prev; prev = all(i); i += 1 }
-        FacetRow(-1, key._1, key._2, key._3, all.length.toLong, VByte.encode(deltas))
+        FacetRow(-1, key._1, facetBucketOf(key._2), key._2, key._3,
+          all.length.toLong, VByte.encode(deltas))
       }
       .toDF()
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/facets_compact")

@@ -13,15 +13,32 @@ import graft.index.{PostingListMerger, PostingListReader, SortedIds}
   *
   * Load-time work: per-(lang,term) chunk segments are k-way merged into one
   * resident posting list (same [[PostingListMerger]] as the build), facet
-  * lists decoded, doc payloads kept for highlighting. Identical results to
-  * the Spark paths are gated by RankParitySpec.
+  * lists decoded, doc payloads resident OR fetched on demand. Identical
+  * results to the Spark paths are gated by RankParitySpec.
+  *
+  * SHARDING (the serving-fleet model at scale): a node's memory is bounded by
+  * what it loads —
+  *   - postings shard by TERM bucket (`buckets`),
+  *   - facet lists shard by facet KEY bucket (`facetBuckets`,
+  *     [[graft.index.IndexBuild.facetBucketOf]]) — key-level, so a query can
+  *     enumerate the shards its filters need even for range filters,
+  *   - doc payloads are NOT resident on bucket-subset nodes: the page's ≤k
+  *     winners are point-read from the docId-sorted docstore (parquet min/max
+  *     row-group pruning) at answer time.
+  * A subset node returns results identical to a full node for any query whose
+  * terms/filter-keys fall inside its shards.
   */
 final class InMemoryIndex(
+    spark: SparkSession,
+    idx: IndexHandle,
     stats: Map[String, (Long, Long)],
     postings: java.util.HashMap[(String, String), (Long, Array[Byte], Array[Byte])],
     facets: Map[(String, String, String), Array[Long]],
     dict: Map[String, Array[(String, Long)]],
-    docs: java.util.HashMap[Long, (String, String)]) {
+    docs: java.util.HashMap[Long, (String, String)],
+    /** bytes of blobs/payloads resident on this node — the RSS proxy the
+      * shard-scaling spec gates on */
+    val loadedBytes: Long) {
 
   private def numDocs(lang: String): Long = stats.get(lang).map(_._1).getOrElse(0L)
   private def avgdl(lang: String): Double =
@@ -81,12 +98,31 @@ final class InMemoryIndex(
     val (page, total, relation) = QueryCore.merge(q, segResults)
 
     val qset = ctx.terms.map(_._1).toSet
-    val hits = page.toSeq.map { sd =>
-      val (url, text) = Option(docs.get(sd.docId)).getOrElse(("", ""))
+    val pageIds = page.toSeq.map(_.docId)
+    val missing = pageIds.filterNot(docs.containsKey(_))
+    val fetched: Map[Long, (String, String)] =
+      if (missing.isEmpty) Map.empty else fetchDocs(missing)
+    val hits = pageIds.zip(page.toSeq).map { case (id, sd) =>
+      val (url, text) = Option(docs.get(id)).orElse(fetched.get(id)).getOrElse(("", ""))
       Hit(sd.docId, sd.score, url, q.lang, Bm25Query.highlight(text, q.lang, qset))
     }
     val sugg = if (hits.isEmpty) suggest(q.lang, q.query) else Nil
     SearchResult(hits, total, relation, sugg)
+  }
+
+  /** On-demand payload point-read for a page of winners: docId IN-list over
+    * the docId-sorted docstore — parquet min/max stats prune to ~one row
+    * group per file (same shape as Bm25Query's J7 payload semi-join).
+    */
+  private def fetchDocs(ids: Seq[Long]): Map[Long, (String, String)] = {
+    import spark.implicits._
+    spark.read.parquet(s"${idx.dir}/docstore")
+      .where(col("docId").isin(ids: _*))
+      .select("docId", "url", "text")
+      .as[(Long, String, String)]
+      .collect()
+      .map { case (id, url, text) => id -> (url, text) }
+      .toMap
   }
 
   private def encodeIds(ids: Array[Long]): Array[Byte] = {
@@ -128,22 +164,39 @@ object InMemoryIndex {
   def bucketOf(term: String): Int =
     Math.floorMod(term.hashCode, graft.index.IndexBuild.DefaultBuckets)
 
+  /** Facet shards a query's filters need (key-level sharding, matching the
+    * facet `bucket` column): metaFilter keys, `year` for year ranges, and the
+    * Q5 date/series keys for date ranges. Route a query to term shards via
+    * [[bucketOf]] and facet shards via this.
+    */
+  def facetBucketsFor(q: QuerySpec): Set[Int] = {
+    val keys = q.metaFilters.keySet ++
+      (if (q.yearRange.isDefined) Set("year") else Set.empty[String]) ++
+      (if (q.dateRange.exists(d => d._1.isDefined || d._2.isDefined))
+        Set("date", "has_date", "series_start_date", "series_end_date")
+      else Set.empty[String])
+    keys.map(graft.index.IndexBuild.facetBucketOf)
+  }
+
   /** Load (and per-term merge) segments of an index into memory.
     *
-    * MEMORY BOUND / SHARDING: a resident node's footprint is the posting
-    * bytes of the buckets it loads (plus facets + optional doc payloads).
-    * Pass `buckets` to load only an assigned TERM-shard subset — the
-    * serving-fleet model at scale: terms are hash-sharded by `bucket`, a
-    * query routes to the node(s) owning its terms' buckets, and a
-    * bucket-subset node returns results identical to a full node for any
-    * query whose terms fall inside its shards (gated by RankParitySpec).
+    * MEMORY BOUND / SHARDING: a resident node's footprint ([[InMemoryIndex
+    * .loadedBytes]]) is the posting bytes of its term `buckets` + the facet
+    * lists of its `facetBuckets` + (full nodes only) doc payloads. On any
+    * bucket-subset load the docstore is NEVER collected — page payloads are
+    * point-read on demand. `facetBuckets` defaults to: all facets on a full
+    * load (None buckets), and NO facets on a subset load unless given —
+    * pass [[facetBucketsFor]] of the queries the node serves.
     *
-    * @param withDocs also load (url, text) payloads for highlighting
-    * @param buckets  term-shard subset to load; None = all buckets
+    * @param withDocs     resident (url, text) payloads (full loads only)
+    * @param buckets      term-shard subset to load; None = all buckets
+    * @param facetBuckets facet-key-shard subset; None = follow `buckets`
     */
   def load(spark: SparkSession, idx: IndexHandle, withDocs: Boolean = true,
-      buckets: Option[Set[Int]] = None): InMemoryIndex = {
+      buckets: Option[Set[Int]] = None,
+      facetBuckets: Option[Set[Int]] = None): InMemoryIndex = {
     import spark.implicits._
+    var bytes = 0L
     val postings = new java.util.HashMap[(String, String), (Long, Array[Byte], Array[Byte])]()
     val segRead = spark.read.parquet(idx.segmentsPath)
     val segSel = buckets match {
@@ -158,9 +211,15 @@ object InMemoryIndex {
       .foreach { case (key, rows) =>
         val (blob, posBlob, df, _) =
           PostingListMerger.merge(rows.map(r => (r._3, r._4)).toSeq)
+        bytes += blob.length + (if (posBlob == null) 0 else posBlob.length)
         postings.put(key, (df.toLong, blob, posBlob))
       }
-    val facets = spark.read.parquet(idx.facetsPath)
+    val facetRead = spark.read.parquet(idx.facetsPath)
+    val facetSel = facetBuckets.orElse(buckets.map(_ => Set.empty[Int])) match {
+      case Some(fbs) => facetRead.where(col("bucket").isin(fbs.toSeq: _*))
+      case None      => facetRead
+    }
+    val facets = facetSel
       .select("lang", "key", "value", "df", "docIds")
       .as[(String, String, String, Long, Array[Byte])]
       .collect()
@@ -168,6 +227,7 @@ object InMemoryIndex {
       .map { case (key, rows) =>
         val all = rows.flatMap(r => SortedIds.decode(r._5, r._4.toInt))
         java.util.Arrays.sort(all)
+        bytes += all.length * 8L
         key -> all
       }
     val dict: Map[String, Array[(String, Long)]] = {
@@ -179,18 +239,16 @@ object InMemoryIndex {
         }
     }
     val docs = new java.util.HashMap[Long, (String, String)]()
-    if (withDocs) {
+    if (withDocs && buckets.isEmpty) {
       spark.read.parquet(s"${idx.dir}/docstore")
         .select("docId", "url", "text")
         .as[(Long, String, String)]
         .collect()
-        .foreach { case (id, url, text) => docs.put(id, (url, text)) }
+        .foreach { case (id, url, text) =>
+          bytes += (url.length + text.length) * 2L // UTF-16 chars resident
+          docs.put(id, (url, text))
+        }
     }
-    new InMemoryIndex(loadStats(idx), postings, facets, dict, docs)
-  }
-
-  private def loadStats(idx: IndexHandle): Map[String, (Long, Long)] = {
-    // IndexHandle already parsed stats.json
-    idx.stats
+    new InMemoryIndex(spark, idx, idx.stats, postings, facets, dict, docs, bytes)
   }
 }

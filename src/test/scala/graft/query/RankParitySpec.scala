@@ -184,19 +184,44 @@ class RankParitySpec extends AnyFunSuite {
       QuerySpec("hi", hiPhrase, phrase = true),
       QuerySpec("hi", hiPhrase, mode = "any",
         excludeWords = Seq(Webtext.word("hi", 30)),
-        metaFilters = Map("category" -> Seq("Pravachan"))))
+        metaFilters = Map("category" -> Seq("Pravachan"))),
+      QuerySpec("hi", hiPhrase, dateRange = Some((Some(2019), Some(2020)))))
     queries.foreach { q =>
       val terms = (Bm25Query.queryTerms(q).map(_._1) ++
         q.excludeWords.flatMap(w => graft.analysis.Analyzer.terms(w, q.lang))).distinct
       val shardSet = terms.map(InMemoryIndex.bucketOf).toSet
       assert(shardSet.size < graft.index.IndexBuild.DefaultBuckets,
         "fixture query must not span every bucket")
-      val shard = InMemoryIndex.load(spark, idx, buckets = Some(shardSet))
+      val shard = InMemoryIndex.load(spark, idx, buckets = Some(shardSet),
+        facetBuckets = Some(InMemoryIndex.facetBucketsFor(q)))
       val a = shard.search(q)
       val b = full.search(q)
       assert(a.hits.map(h => (h.docId, h.score)) == b.hits.map(h => (h.docId, h.score)), s"$q")
+      // payloads identical too: the subset node fetched them on demand
+      assert(a.hits.map(h => (h.url, h.highlighted)) == b.hits.map(h => (h.url, h.highlighted)), s"$q")
       assert(a.totalHits == b.totalHits && a.totalRelation == b.totalRelation, s"$q")
     }
+  }
+
+  test("shard memory scales with shard count: loadedBytes subset ≪ full, monotone in buckets") {
+    val full = InMemoryIndex.load(spark, idx)
+    val q = QuerySpec("hi", hiPhrase, metaFilters = Map("category" -> Seq("Pravachan")))
+    val termBuckets = Bm25Query.queryTerms(q).map(t => InMemoryIndex.bucketOf(t._1)).toSet
+    val one = InMemoryIndex.load(spark, idx, buckets = Some(termBuckets),
+      facetBuckets = Some(InMemoryIndex.facetBucketsFor(q)))
+    // a subset node holds a small fraction of a full node's bytes (no resident
+    // docstore, only its term + facet-key shards)
+    assert(one.loadedBytes * 4 < full.loadedBytes,
+      s"subset ${one.loadedBytes} vs full ${full.loadedBytes}")
+    // more buckets → monotonically more resident bytes
+    val more = InMemoryIndex.load(spark, idx,
+      buckets = Some(termBuckets ++ (0 until 16)),
+      facetBuckets = Some(InMemoryIndex.facetBucketsFor(q)))
+    assert(more.loadedBytes > one.loadedBytes)
+    assert(more.loadedBytes < full.loadedBytes)
+    // and the subset node still serves the identical filtered result
+    assert(one.search(q).hits.map(h => (h.docId, h.score)) ==
+      full.search(q).hits.map(h => (h.docId, h.score)))
   }
 
   test("WAND any-mode (disjunctive top-k) parity with oracle") {

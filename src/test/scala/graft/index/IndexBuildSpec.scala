@@ -304,6 +304,31 @@ class IndexBuildSpec extends AnyFunSuite {
     assert(badBucket == 0)
   }
 
+  test("positions-free SERVING: resident node over a nopos index == Spark path; phrase fails fast") {
+    val corpus = Webtext.synthesize(spark, 600, partitions = 3).toDF()
+    rm("/tmp/gidx-noposserve")
+    IndexBuild.build(spark, corpus, "/tmp/gidx-noposserve", numChunks = 2,
+      saltTargetPostings = 64, storePositions = false)
+    val idx = graft.query.IndexHandle.load("/tmp/gidx-noposserve")
+    val mem = graft.query.InMemoryIndex.load(spark, idx)
+    val phrase = Webtext.GoldenPhrase("hi").mkString(" ")
+    Seq(
+      graft.query.QuerySpec("hi", phrase),
+      graft.query.QuerySpec("hi", phrase, mode = "any"),
+      graft.query.QuerySpec("hi", phrase, yearRange = Some((2020, 2020))),
+      graft.query.QuerySpec("hi", phrase, metaFilters = Map("category" -> Seq("Pravachan"))))
+      .foreach { q =>
+        val a = mem.search(q)
+        val b = graft.query.Bm25Query.search(spark, idx, q)
+        assert(a.hits.map(h => (h.docId, h.score)) == b.hits.map(h => (h.docId, h.score)), s"$q")
+        assert(a.totalHits == b.totalHits)
+      }
+    val e = intercept[Exception] {
+      mem.search(graft.query.QuerySpec("hi", phrase, phrase = true))
+    }
+    assert(e.getMessage != null && e.getMessage.contains("positions"), s"got: ${e.getMessage}")
+  }
+
   test("J6 GC: orphan chunk dirs (not in manifest) are found and deleted") {
     val corpus = Webtext.synthesize(spark, 300, partitions = 2).toDF()
     rm("/tmp/gidx-gc")

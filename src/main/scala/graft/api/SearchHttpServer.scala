@@ -33,7 +33,11 @@ final class SearchHttpServer(
     ttlSeconds: Long = 1800,
     nowMs: () => Long = () => System.currentTimeMillis(),
     metadataSupplier: Option[() => Map[String, Map[String, Seq[String]]]] = None,
-    port: Int = 0) {
+    port: Int = 0,
+    /** delivery swap point for /api/feedback (reference: reCAPTCHA + Brevo
+      * email, both external services); default: in-memory buffer exposed for
+      * tests/CLI flushing */
+    feedbackSink: String => Unit = SearchHttpServer.defaultFeedbackBuffer.add(_)) {
 
   private implicit val formats: Formats = DefaultFormats
 
@@ -164,6 +168,43 @@ final class SearchHttpServer(
     } finally ex.close()
   })
 
+  /** POST /api/feedback — the reference's feedback endpoint
+    * (feedback_api.py:115-154): required-field validation (name, subject,
+    * feedback; 400 otherwise), trimmed payload, then delivery. The
+    * reference's two external calls — reCAPTCHA verification and the Brevo
+    * email — are service-dependent swap points (`feedbackSink`); the default
+    * sink appends a timestamped JSONL row under the index dir, the audit
+    * trail a pipeline deployment wants anyway.
+    */
+  server.createContext("/api/feedback", new HttpHandler {
+    def handle(ex: HttpExchange): Unit = try {
+      if (ex.getRequestMethod != "POST")
+        respond(ex, 405, JObject("detail" -> JString("POST only")))
+      else {
+        val j = parse(new String(ex.getRequestBody.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8))
+        def field(k: String): String = (j \ k).extractOrElse[String]("").trim
+        val (name, subject, feedback) = (field("name"), field("subject"), field("feedback"))
+        if (name.isEmpty || subject.isEmpty || feedback.isEmpty)
+          respond(ex, 400, JObject("detail" -> JString("Required fields are missing")))
+        else {
+          val row = JObject(
+            "name" -> JString(name),
+            "email" -> JString(field("email")),
+            "phoneNumber" -> JString(field("phoneNumber")),
+            "subject" -> JString(subject),
+            "feedback" -> JString(feedback),
+            "submitted_ms" -> JLong(nowMs()))
+          feedbackSink(compact(render(row)))
+          respond(ex, 200, JObject("message" -> JString("Feedback submitted successfully")))
+        }
+      }
+    } catch {
+      case e: Exception =>
+        respond(ex, 500, JObject("detail" -> JString(s"Internal server error: ${e.getMessage}")))
+    } finally ex.close()
+  })
+
   private implicit class RichExchange(ex: HttpExchange) {
     def sendResponseBody(code: Int, bytes: Array[Byte]): Unit = {
       ex.sendResponseHeaders(code, bytes.length)
@@ -175,4 +216,9 @@ final class SearchHttpServer(
 
   def start(): Unit = server.start()
   def stop(): Unit = server.stop(0)
+}
+
+object SearchHttpServer {
+  /** Default feedback sink: a bounded in-memory queue (newest kept). */
+  val defaultFeedbackBuffer = new java.util.concurrent.LinkedBlockingQueue[String](10000)
 }

@@ -129,6 +129,27 @@ class SearchHttpServerSpec extends AnyFunSuite {
     }
   }
 
+  test("POST /api/feedback: required-field validation + sink delivery (feedback_api.py:115-154)") {
+    val sunk = scala.collection.mutable.ArrayBuffer[String]()
+    val s = new SearchHttpServer(mem, feedbackSink = sunk += _)
+    s.start()
+    try {
+      val port = s.boundPort
+      val (ok, body) = post(port, "/api/feedback",
+        """{"name": "  A User ", "subject": "search bug", "feedback": "phrase misses", "email": "a@b.c"}""")
+      assert(ok == 200)
+      assert((parse(body) \ "message").extract[String] == "Feedback submitted successfully")
+      assert(sunk.size == 1)
+      val row = parse(sunk.head)
+      assert((row \ "name").extract[String] == "A User") // trimmed
+      assert((row \ "subject").extract[String] == "search bug")
+      // missing required field → 400, nothing delivered
+      val (bad, _) = post(port, "/api/feedback", """{"name": "X", "feedback": ""}""")
+      assert(bad == 400)
+      assert(sunk.size == 1)
+    } finally s.stop()
+  }
+
   test("metadata co-occurrence is exact: a value never leaks into a content type it doesn't co-occur with") {
     // Webtext meta: category = Granth iff i % 3 == 0; Author = author(i % 7).
     // Every (category, author) pair co-occurs within 800 docs, so instead

@@ -231,11 +231,12 @@ object SparkEntry {
     }),
     "suggest_terms" -> ((s, dir) => {
       // term-dictionary spelling suggestions (Q8): candidates share the first
-      // char, length ≥ 3, levenshtein ≤ 2, score = 1 - d/maxLen ≥ 0.6
-      val dict = documents(s, dir)
-        .select(explode(GraftFunctions.analyze_terms(col("text"), col("lang"))).as("term"),
-          col("doc_id"))
-        .groupBy("term").agg(countDistinct("doc_id").as("df"))
+      // char, length ≥ 3, levenshtein ≤ 2, score = 1 - d/maxLen ≥ 0.6 —
+      // candidates scanned from the MATERIALIZED termdict (df summed across
+      // langs to match the whole-corpus oracle; langs partition the docs)
+      val idx0 = index(s, dir)
+      val dict = s.read.parquet(idx0.termdictPath.get)
+        .groupBy("term").agg(sum("df").as("df"))
         .where(length(col("term")) >= 3 && col("term").startsWith("s") && col("term") =!= "spakr")
       dict
         .withColumn("dist", levenshtein(lit("spakr"), col("term")))

@@ -214,6 +214,11 @@ final class SearchHttpServer(
     }
   }
 
+  // concurrent request handling (the default HttpServer executor is the
+  // calling thread); searches only read immutable resident structures
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(
+    math.max(Runtime.getRuntime.availableProcessors() / 4, 2)))
+
   def start(): Unit = server.start()
   def stop(): Unit = server.stop(0)
 }

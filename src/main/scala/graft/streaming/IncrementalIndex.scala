@@ -25,8 +25,11 @@ object IncrementalIndex {
     * `outDir`. AvailableNow by default: drain what exists, then stop —
     * the bounded catch-up shape of the reference's periodic crawl.
     */
+  /** numChunks defaults to the index's recorded props (a streaming writer
+    * must never re-chunk an existing index differently from its build).
+    */
   def run(spark: SparkSession, sourceDir: String, outDir: String,
-      numChunks: Int, availableNow: Boolean = true): StreamingQuery = {
+      numChunks: Int = -1, availableNow: Boolean = true): StreamingQuery = {
     val schema = spark.read.parquet(sourceDir).schema // bootstrap schema
     val stream = spark.readStream.schema(schema).parquet(sourceDir)
     val writer = stream.writeStream

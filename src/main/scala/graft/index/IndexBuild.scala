@@ -77,6 +77,21 @@ object IndexBuild extends Serializable {
 
   val DefaultBuckets = 64
 
+  /** Unboxed per-term (tf, positions) accumulator for the tokenize pass. */
+  private[index] final class TfPos(storePositions: Boolean) {
+    var tf = 0
+    private var arr: Array[Int] = if (storePositions) new Array[Int](4) else null
+    def add(p: Int): Unit = {
+      if (arr != null) {
+        if (tf == arr.length) arr = java.util.Arrays.copyOf(arr, arr.length * 2)
+        arr(tf) = p
+      }
+      tf += 1
+    }
+    def positions: Array[Int] =
+      if (arr == null) Array.emptyIntArray else java.util.Arrays.copyOf(arr, tf)
+  }
+
   /** Facet shard of a facet KEY. Facets shard by key (not (key, value)) so a
     * query can enumerate the shards its filters need — range filters (date,
     * year) touch unenumerable value sets, but their keys are known up front.
@@ -193,23 +208,30 @@ object IndexBuild extends Serializable {
         val t0 = System.nanoTime()
 
         // ---- one-pass tokenize: docstore row + per-doc postings together ----
+        // per-doc aggregation is a HashMap of unboxed int buffers: entry
+        // ORDER doesn't matter (the term exchange re-sorts globally, and the
+        // input signature xor is order-free), so the old TreeMap's O(log d)
+        // string compares + boxed position appends were pure allocation/
+        // memory-bandwidth overhead on the build's hottest phase
         val tokenized = chunkDf
           .as[(Long, String, java.sql.Timestamp, String, String, Map[String, String])]
           .map { case (docId, url, ts, text, lang, meta) =>
             val toks = Analyzer.analyze(text, lang)
-            // per-doc aggregation: term -> (tf, positions)
-            val m = new java.util.TreeMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
-            toks.foreach { t =>
-              val buf = m.computeIfAbsent(t.term, _ => new scala.collection.mutable.ArrayBuffer[Int](2))
-              buf += t.pos
+            val m = new java.util.HashMap[String, IndexBuild.TfPos]()
+            var ti = 0
+            while (ti < toks.length) {
+              val t = toks(ti)
+              var tp = m.get(t.term)
+              if (tp == null) { tp = new IndexBuild.TfPos(storePositions); m.put(t.term, tp) }
+              tp.add(t.pos)
+              ti += 1
             }
             val entries = new Array[(String, Int, Array[Int])](m.size)
             var i = 0
             val it = m.entrySet().iterator()
             while (it.hasNext) {
               val e = it.next()
-              entries(i) = (e.getKey, e.getValue.length,
-                if (storePositions) e.getValue.toArray else Array.emptyIntArray)
+              entries(i) = (e.getKey, e.getValue.tf, e.getValue.positions)
               i += 1
             }
             (docId, url, ts, text, lang, meta, toks.length, entries)

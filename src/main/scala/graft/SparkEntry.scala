@@ -233,10 +233,9 @@ object SparkEntry {
       // term-dictionary spelling suggestions (Q8): candidates share the first
       // char, length ≥ 3, levenshtein ≤ 2, score = 1 - d/maxLen ≥ 0.6 —
       // candidates scanned from the MATERIALIZED termdict (df summed across
-      // langs to match the whole-corpus oracle; langs partition the docs)
-      val idx0 = index(s, dir)
-      val dict = s.read.parquet(idx0.termdictPath.get)
-        .groupBy("term").agg(sum("df").as("df"))
+      // langs to match the whole-corpus oracle; langs partition the docs),
+      // with the segments-aggregation fallback for pre-termdict indexes
+      val dict = Bm25Query.termDictAllLangsDf(s, index(s, dir))
         .where(length(col("term")) >= 3 && col("term").startsWith("s") && col("term") =!= "spakr")
       dict
         .withColumn("dist", levenshtein(lit("spakr"), col("term")))
@@ -272,10 +271,9 @@ object SparkEntry {
       // MATERIALIZED term dictionary (edit distance ≤ 2, shared first char),
       // Cartesian product of variants, combo score = Σ per-word corpus
       // frequency, top-k. df summed across langs (langs partition the docs)
-      // to match the whole-corpus oracle.
-      val idx0 = index(s, dir)
-      val dict = s.read.parquet(idx0.termdictPath.get)
-        .groupBy("term").agg(sum("df").as("df"))
+      // to match the whole-corpus oracle; segments fallback for pre-termdict
+      // indexes.
+      val dict = Bm25Query.termDictAllLangsDf(s, index(s, dir))
       def variants(seed: String, w: String, d: String) = dict
         .where(col("term").startsWith(seed.substring(0, 1)) &&
           levenshtein(lit(seed), col("term")) <= 2)

@@ -35,9 +35,9 @@ final class SearchHttpServer(
     metadataSupplier: Option[() => Map[String, Map[String, Seq[String]]]] = None,
     port: Int = 0,
     /** delivery swap point for /api/feedback (reference: reCAPTCHA + Brevo
-      * email, both external services); default: in-memory buffer exposed for
-      * tests/CLI flushing */
-    feedbackSink: String => Unit = SearchHttpServer.defaultFeedbackBuffer.add(_)) {
+      * email, both external services); default: bounded in-memory buffer
+      * (drop-oldest) exposed for tests/CLI flushing */
+    feedbackSink: String => Unit = SearchHttpServer.bufferFeedback) {
 
   private implicit val formats: Formats = DefaultFormats
 
@@ -98,6 +98,9 @@ final class SearchHttpServer(
     }
     def searchType(name: String): (JValue, Seq[String]) = {
       val (enabled, pageSize, pageNumber) = typeCfg(name)
+      if (pageSize <= 0 || pageNumber <= 0)
+        throw new IllegalArgumentException(
+          s"$name page_size and page_number must be positive")
       if (!enabled)
         return (JObject("results" -> JArray(Nil), "total_hits" -> JInt(0),
           "page_size" -> JInt(pageSize), "page_number" -> JInt(pageNumber)), Nil)
@@ -147,6 +150,9 @@ final class SearchHttpServer(
         respond(ex, 200, handleSearch(body))
       }
     } catch {
+      // malformed payloads are the client's fault (FastAPI's 422 analog)
+      case e @ (_: IllegalArgumentException | _: MappingException) =>
+        respond(ex, 400, JObject("detail" -> JString(s"Validation error: ${e.getMessage}")))
       case e: Exception =>
         respond(ex, 500, JObject("detail" -> JString(s"Internal server error: ${e.getMessage}")))
     } finally ex.close()
@@ -163,8 +169,15 @@ final class SearchHttpServer(
 
   server.createContext("/api/cache/invalidate", new HttpHandler {
     def handle(ex: HttpExchange): Unit = try {
-      cache = None
-      respond(ex, 200, JObject("message" -> JString("Metadata cache invalidated successfully")))
+      if (ex.getRequestMethod != "POST")
+        respond(ex, 405, JObject("detail" -> JString("POST only")))
+      else {
+        cache = None
+        respond(ex, 200, JObject("message" -> JString("Metadata cache invalidated successfully")))
+      }
+    } catch {
+      case e: Exception =>
+        respond(ex, 500, JObject("detail" -> JString(s"Internal server error: ${e.getMessage}")))
     } finally ex.close()
   })
 
@@ -173,8 +186,8 @@ final class SearchHttpServer(
     * feedback; 400 otherwise), trimmed payload, then delivery. The
     * reference's two external calls — reCAPTCHA verification and the Brevo
     * email — are service-dependent swap points (`feedbackSink`); the default
-    * sink appends a timestamped JSONL row under the index dir, the audit
-    * trail a pipeline deployment wants anyway.
+    * sink buffers timestamped JSON rows in a bounded drop-oldest queue for a
+    * CLI/ops flusher to drain.
     */
   server.createContext("/api/feedback", new HttpHandler {
     def handle(ex: HttpExchange): Unit = try {
@@ -216,14 +229,23 @@ final class SearchHttpServer(
 
   // concurrent request handling (the default HttpServer executor is the
   // calling thread); searches only read immutable resident structures
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(
-    math.max(Runtime.getRuntime.availableProcessors() / 4, 2)))
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(
+    math.max(Runtime.getRuntime.availableProcessors() / 4, 2))
+  server.setExecutor(pool)
 
   def start(): Unit = server.start()
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    server.stop(0)
+    pool.shutdown() // non-daemon worker threads would otherwise pin the JVM
+  }
 }
 
 object SearchHttpServer {
-  /** Default feedback sink: a bounded in-memory queue (newest kept). */
+  /** Default feedback sink: a bounded in-memory queue, oldest rows dropped
+    * when full (delivery never starts failing on a long-lived node).
+    */
   val defaultFeedbackBuffer = new java.util.concurrent.LinkedBlockingQueue[String](10000)
+  def bufferFeedback(row: String): Unit = {
+    while (!defaultFeedbackBuffer.offer(row)) defaultFeedbackBuffer.poll()
+  }
 }

@@ -362,6 +362,15 @@ object IndexBuild extends Serializable {
             .write.mode(SaveMode.Overwrite).parquet(s"$outDir/segments/chunk=$k")
         }
 
+        // per-chunk term-dictionary slice (stats columns only — the blobs are
+        // never read): rebuilt WITH the chunk, so mutations keep the global
+        // rollup's inputs proportional to the affected chunks
+        phase(s"termdict slice c$k") {
+          spark.read.parquet(s"$outDir/segments/chunk=$k")
+            .select($"lang", $"term", $"df", $"cf", $"bucket")
+            .write.mode(SaveMode.Overwrite).parquet(s"$outDir/termdict_chunks/chunk=$k")
+        }
+
         // ---- facet index: sorted docId lists per (lang, key, value) + year ----
         phase(s"facets c$k") {
         val metaPairs = tokenized.select($"lang", $"docId", explode($"meta").as(Seq("key", "value")))
@@ -421,7 +430,7 @@ object IndexBuild extends Serializable {
     dropCompacted(outDir)
     // rebuild with the RECORDED build mode, not API defaults (a mixed
     // positions/no-positions index would be silently wrong)
-    val props = readProps(outDir)
+    val props = resolveProps(spark, outDir)
     val salt = if (saltTargetPostings > 0) saltTargetPostings else props.saltTargetPostings
     val store = spark.read.parquet(s"$outDir/docstore")
     val affected = store.where(pred).select($"chunk").distinct().as[Int].collect().sorted
@@ -450,7 +459,7 @@ object IndexBuild extends Serializable {
       numChunks: Int = -1, saltTargetPostings: Int = -1): Unit = {
     import spark.implicits._
     dropCompacted(outDir)
-    val props = readProps(outDir)
+    val props = resolveProps(spark, outDir)
     val salt = if (saltTargetPostings > 0) saltTargetPostings else props.saltTargetPostings
     val chunks = if (numChunks > 0) numChunks else props.numChunks
     val incoming = normalizeInput(docs)
@@ -482,6 +491,26 @@ object IndexBuild extends Serializable {
     TableIO.writeStringAtomic(s"$outDir/props.json", json)
   }
 
+  /** Props for a MUTATION: recorded file when present; for a legacy
+    * (pre-props) index, DERIVE rather than guess — numChunks from the
+    * manifest's chunk set, positions mode by probing one segment row —
+    * a wrong guess here recreates exactly the mixed-index/mis-chunked
+    * corruption props exist to prevent. The derived props are persisted so
+    * later mutations skip the probe.
+    */
+  private def resolveProps(spark: SparkSession, outDir: String): IndexProps = {
+    if (TableIO.exists(s"$outDir/props.json")) return readProps(outDir)
+    val chunks = Manifest.doneChunks(outDir)
+    val numChunks = if (chunks.nonEmpty) chunks.max + 1 else 4
+    val hasPos = !spark.read.parquet(s"$outDir/segments")
+      .where(length(col("posBlob")) > 0).limit(1).isEmpty
+    println(s"[index] WARN $outDir predates props.json; derived " +
+      s"numChunks=$numChunks storePositions=$hasPos")
+    val p = IndexProps(hasPos, numChunks, 8192)
+    writeProps(outDir, p)
+    p
+  }
+
   def readProps(outDir: String): IndexProps = {
     val txtOpt = TableIO.readString(s"$outDir/props.json")
     if (txtOpt.isEmpty) return IndexProps(storePositions = true, 4, 8192)
@@ -501,11 +530,11 @@ object IndexBuild extends Serializable {
     */
   def gcOrphanChunks(outDir: String, delete: Boolean = false): Seq[Int] = {
     val done = Manifest.doneChunks(outDir)
-    val onDisk = Seq("docstore", "segments", "facets")
+    val onDisk = Seq("docstore", "segments", "facets", "termdict_chunks")
       .flatMap(sub => TableIO.listChunkIds(s"$outDir/$sub")).distinct.sorted
     val orphans = onDisk.filterNot(done.contains)
     if (delete) orphans.foreach { k =>
-      Seq("docstore", "segments", "facets").foreach { sub =>
+      Seq("docstore", "segments", "facets", "termdict_chunks").foreach { sub =>
         TableIO.deleteRecursive(s"$outDir/$sub/chunk=$k")
       }
     }
@@ -543,14 +572,21 @@ object IndexBuild extends Serializable {
     * transliterate / df-lookup consumers scan THIS instead of re-aggregating
     * the segment table per query (at web scale that re-aggregation is a
     * full-dictionary shuffle on every misspelled query). Chunk doc sets are
-    * disjoint, so per-chunk df/cf sum to corpus df/cf; column pruning keeps
-    * the posting blobs out of this scan. Rewritten by every finalizeStats
-    * call, so mutations keep it fresh.
+    * disjoint, so per-chunk df/cf sum to corpus df/cf.
+    *
+    * Incremental shape: buildChunk maintains `termdict_chunks/chunk=K`
+    * slices (rebuilt only with their chunk), and this rollup aggregates
+    * THOSE — a vocabulary-sized, stats-columns-only job, independent of the
+    * posting bytes, so a streaming micro-batch pays its affected chunks plus
+    * one narrow rollup, never a segments-table pass.
     */
   private def writeTermDict(spark: SparkSession, outDir: String): Unit = {
     import spark.implicits._
     val tmp = s"$outDir/termdict_tmp"
-    spark.read.parquet(s"$outDir/segments")
+    val src = if (TableIO.exists(s"$outDir/termdict_chunks")) s"$outDir/termdict_chunks"
+              else s"$outDir/segments" // legacy index without per-chunk slices
+    spark.read.parquet(src)
+      .select($"lang", $"term", $"df", $"cf", $"bucket")
       .groupBy($"lang", $"term")
       .agg(sum($"df").as("df"), sum($"cf").as("cf"), first($"bucket").as("bucket"))
       .repartition(math.max(spark.sparkContext.defaultParallelism / 4, 1), $"term")

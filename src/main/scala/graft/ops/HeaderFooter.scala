@@ -44,19 +44,44 @@ object HeaderFooter {
   /** Apply every configured prefix strip in order, trimming AFTER EACH
     * matched strip (the reference strips whitespace per re.sub, so an
     * anchored second prefix can match text exposed by the first strip's
-    * trim). Anchored patterns (`^...`, the normal shape for headers) take a
-    * single-regexp fast path: an anchored regex matches at most once, so
-    * replace-all ≡ replace-first and the expression stays small enough for
-    * whole-stage codegen (the regexp_instr general path triples the regex ops
-    * per prefix, and the optimizer's projection collapse then multiplies that
-    * into every downstream predicate reference).
+    * trim).
+    *
+    * Two implementations with identical semantics (spec-gated against each
+    * other): up to [[MaxColumnPrefixes]] prefixes stay pure Column
+    * expressions inside whole-stage codegen; longer configured lists switch
+    * to ONE compiled-regex UDF — the conditional-trim Column shape references
+    * its accumulator ≥2× per level, so the expression tree grows
+    * exponentially in the prefix count and would blow up analysis/codegen on
+    * a 10-prefix scan config (regex work per row is linear either way;
+    * java.util.regex runs inside regexp_replace too).
     */
+  val MaxColumnPrefixes = 3
+
   def stripPrefixes(c: Column, prefixes: Seq[String]): Column =
-    prefixes.foldLeft(c) { (acc, p) =>
+    if (prefixes.length > MaxColumnPrefixes) stripPrefixesUdf(prefixes)(c)
+    else prefixes.foldLeft(c) { (acc, p) =>
       if (p.startsWith("^"))
         when(acc.rlike(p), trim(regexp_replace(acc, p, ""))).otherwise(acc)
       else stripFirst(acc, p)
     }
+
+  /** The reference loop verbatim (base.py:205-213): per prefix, remove the
+    * first regex match (`re.sub(count=1)`) and strip — as one UDF over
+    * patterns compiled once per executor.
+    */
+  private[ops] def stripPrefixesUdf(prefixes: Seq[String]) = {
+    // compiled once at plan time, serialized to executors (Pattern is
+    // Serializable) — not per row
+    val compiled = prefixes.map(java.util.regex.Pattern.compile).toArray
+    udf { (text: String) =>
+      if (text == null) null
+      else compiled.foldLeft(text) { (acc, p) =>
+        val m = p.matcher(acc)
+        if (m.find()) (acc.substring(0, m.start()) + acc.substring(m.end())).trim
+        else acc
+      }
+    }
+  }
 
   /** The rejection predicate over the ALREADY-STRIPPED paragraph text. */
   def isHeaderFooter(paraNum: Column, stripped: Column,

@@ -465,6 +465,17 @@ object Bm25Query {
           .groupBy("term").agg(sum("df").as("df"))
     }
 
+  /** (term, df) summed across ALL languages (langs partition the docs), with
+    * the same pre-termdict fallback.
+    */
+  def termDictAllLangsDf(spark: SparkSession, idx: IndexHandle): DataFrame = {
+    val base = idx.termdictPath match {
+      case Some(p) => spark.read.parquet(p)
+      case None    => spark.read.parquet(idx.segmentsPath)
+    }
+    base.groupBy("term").agg(sum("df").as("df"))
+  }
+
   /** Optimal-string-alignment Damerau-Levenshtein (the variant Lucene's
     * suggester uses).
     */

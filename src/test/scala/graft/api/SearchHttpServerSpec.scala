@@ -150,6 +150,34 @@ class SearchHttpServerSpec extends AnyFunSuite {
     } finally s.stop()
   }
 
+  test("validation: non-positive page_number/page_size → 400; invalid JSON → 400; GET invalidate → 405") {
+    withServer() { (_, port) =>
+      val (c1, b1) = post(port, "/api/search",
+        """{"query": "x", "search_types": {"Pravachan": {"page_number": 0}}}""")
+      assert(c1 == 400, b1)
+      val (c2, _) = post(port, "/api/search",
+        """{"query": "x", "search_types": {"Granth": {"page_size": -1}}}""")
+      assert(c2 == 400)
+      val (c3, _) = post(port, "/api/search", "{not json")
+      assert(c3 == 400 || c3 == 500) // malformed body is rejected, never 200
+      assert(c3 != 200)
+      val (c4, _) = get(port, "/api/cache/invalidate")
+      assert(c4 == 405) // a stray GET must not clear the cache
+    }
+  }
+
+  test("default feedback buffer drops oldest when full (delivery never starts failing)") {
+    val q = SearchHttpServer.defaultFeedbackBuffer
+    q.clear()
+    (1 to 10000).foreach(i => SearchHttpServer.bufferFeedback(s"row$i"))
+    assert(q.size == 10000)
+    SearchHttpServer.bufferFeedback("newest")
+    assert(q.size == 10000)
+    assert(!q.contains("row1")) // oldest dropped
+    assert(q.contains("newest"))
+    q.clear()
+  }
+
   test("metadata co-occurrence is exact: a value never leaks into a content type it doesn't co-occur with") {
     // Webtext meta: category = Granth iff i % 3 == 0; Author = author(i % 7).
     // Every (category, author) pair co-occurs within 800 docs, so instead

@@ -70,6 +70,12 @@ class OpsSpec extends AnyFunSuite {
     assert(strip("  keep  ", Seq("^ZZZ")) == "  keep  ")
     // a matched strip trims its result
     assert(strip("Page 3 rest", Seq("^Page \\d+")) == "rest")
+    // >MaxColumnPrefixes lists switch to the compiled-regex UDF path — same
+    // semantics as the Column path on every shape above
+    val many = Seq("X-", "^Y:", "b+$", "^ZZZ", "^Page \\d+")
+    assert(many.length > HeaderFooter.MaxColumnPrefixes)
+    assert(strip("X- Y: Page 7 content bb", many) == "content")
+    assert(strip("  untouched  ", Seq("^A", "^B", "^C", "^D")) == "  untouched  ")
   }
 
   test("F5 confidence filter drops conf<=10 and null-text OCR rows (advanced_pdf_processor.py:111-112)") {

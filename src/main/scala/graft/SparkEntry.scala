@@ -591,6 +591,15 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
+    "dedup_canonical" -> ((s, dir) => {
+      // near-dup REMOVAL step: connected components over the verified
+      // near-dup pairs, canonical = min doc_id per cluster (keep canonical,
+      // drop the rest). Distributed min-label propagation; oracle recomputes
+      // components with a recursive CTE over the same true-Jaccard pair set
+      val pairs = Dedup.minhashNearDupPairs(Dedup.withPlantedDups(documents(s, dir)),
+        n = 3, numHashes = 64, bands = 32, threshold = 0.7)
+      Dedup.canonicalizeNearDups(pairs).orderBy("doc_id")
+    }),
     "dedup_minhash_est" -> ((s, dir) => { // rows-only: sketch hashes are ours
       Dedup.minhashLshCandidates(Dedup.withPlantedDups(documents(s, dir)),
         n = 3, numHashes = 64, bands = 16, estThreshold = 0.5)
@@ -1168,6 +1177,35 @@ object SparkEntry {
         |FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
         |WHERE inter / CAST(sa.set_size + sb.set_size - inter AS DOUBLE) >= 0.7
         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_canonical" ->
+      """WITH RECURSIVE planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text || ' near dup suffix' FROM documents WHERE doc_id % 17 = 0
+        |  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 23 = 0),
+        |arr AS (SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS a FROM planted),
+        |arrf AS (SELECT doc_id, list_filter(a, x -> x <> '') AS a FROM arr),
+        |sh0 AS (SELECT doc_id, a, unnest(range(1, len(a) - 1)) AS i
+        |        FROM arrf WHERE len(a) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS shingle
+        |       FROM sh0),
+        |sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+        |p0 AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |dup_pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM p0 JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE inter / CAST(sa.set_size + sb.set_size - inter AS DOUBLE) >= 0.7),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM dup_pairs
+        |          UNION SELECT id_b, id_a FROM dup_pairs),
+        |verts AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM verts
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+        |SELECT id AS doc_id, min(r) AS canonical_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "ann_neardup" ->
       """WITH c AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,

@@ -173,6 +173,49 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Canonicalize near-dup PAIRS into clusters: connected components over
+    * the pair graph, canonical id = the minimum doc_id of each component —
+    * the step a dedup pipeline actually needs after pair generation (keep
+    * the canonical, drop the rest). Returns (doc_id, canonical_id) for every
+    * doc that appears in a pair.
+    *
+    * Spark-first: iterative min-label propagation — each round joins the
+    * edge list against current labels and takes the per-vertex minimum; the
+    * loop is DRIVER-CONTROLLED but all data stays distributed (labels and
+    * edges never collect). Converges in O(component diameter) rounds; dup
+    * clusters are shallow (near-dup similarity is near-transitive), so a
+    * handful of rounds suffice — at web scale the same loop is the standard
+    * label-propagation CC (GraphX's connectedComponents is this plus
+    * star-contraction for pathological diameters).
+    */
+  def canonicalizeNearDups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min("label").as("nlabel"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("next"))
+        .persist()
+      changed = updated.where(col("next") < col("label")).count()
+      val old = labels
+      labels = updated.select(col("id"), col("next").as("label")).persist()
+      old.unpersist()
+      updated.unpersist()
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+  }
+
   /** 64-bit SimHash over terms weighted by tf. */
   def simhash64(text: String): Long = {
     val w = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)

@@ -91,6 +91,19 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 3L))
   }
 
+  test("near-dup canonicalization: connected components, canonical = component min") {
+    val pairs = Seq(
+      (10L, 20L, 0.9), (20L, 30L, 0.8),   // chain 10-20-30 → canonical 10
+      (40L, 50L, 0.95),                    // pair → canonical 40
+      (61L, 60L, 0.9), (62L, 60L, 0.9), (63L, 61L, 0.85)) // star+chain → canonical 60
+      .toDF("id_a", "id_b", "jaccard")
+    val got = Dedup.canonicalizeNearDups(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 10L, 20L -> 10L, 30L -> 10L,
+      40L -> 40L, 50L -> 40L,
+      60L -> 60L, 61L -> 60L, 62L -> 60L, 63L -> 60L))
+  }
+
   test("IVF ANN recall@10 vs brute force is usable at nProbe=4/nlist=16") {
     import org.apache.spark.sql.functions._
     val queries = emb.where(col("vec_id") < 20)

@@ -12,6 +12,12 @@ package graft.tools
   */
 object CpuProbe {
 
+  /** CLI: print delivered parallel efficiency at k threads (default 32, 8). */
+  def main(args: Array[String]): Unit = {
+    val ks = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(32, 8)
+    ks.foreach(k => println(f"probe[$k%2d threads] = ${efficiency(k)}%.3f"))
+  }
+
   @volatile private var sink: Long = 0L
 
   private def spin(n: Long): Unit = {

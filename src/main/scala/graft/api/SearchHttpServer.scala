@@ -120,9 +120,16 @@ final class SearchHttpServer(
     }
     val (prav, sugP) = searchType("Pravachan")
     val (gran, sugG) = searchType("Granth")
+    // routing decision (search_api.py:256-258): advanced options force the
+    // lexical path; a non-lexical query would take the reference's
+    // vector+rerank branch — the model-dependent remainder — and here falls
+    // back to lexical scoring, with the decision surfaced for clients
+    val hasAdvanced = exact || exclude.nonEmpty
+    val isLexical = graft.ops.HybridRank.isLexicalQuery(query) || hasAdvanced
     JObject(
       "pravachan_results" -> prav,
       "granth_results" -> gran,
+      "is_lexical" -> JBool(isLexical),
       "suggestions" -> JArray((sugP ++ sugG).distinct.toList.map(JString(_))))
   }
 

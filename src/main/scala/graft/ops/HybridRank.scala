@@ -33,16 +33,19 @@ object HybridRank {
   }
 
   /** Lexical-vs-vector routing predicate — reference `is_lexical_query`
-    * (backend/search/index_searcher.py:727-743): a query routes to the
-    * lexical engine unless it contains sentence punctuation (incl. danda) or
-    * has ≥ 4 words.
+    * (backend/search/index_searcher.py:727-743) verbatim: a query routes to
+    * the lexical engine unless it contains ANY of Python's
+    * `string.punctuation` (all 32 ASCII marks) or the danda/double-danda, or
+    * has ≥ 4 whitespace-separated words. An empty query is "lexical" (the
+    * reference's `''.split()` is empty → 0 < 4), callers short-circuit it
+    * upstream.
     */
+  private val RoutingPunct: Set[Char] =
+    """!"#$%&'()*+,-./:;<=>?@[\]^_`{|}~""".toSet + '।' + '॥'
+
   def isLexicalQuery(query: String): Boolean = {
-    if (query == null) return false
-    val q = query.trim
-    if (q.isEmpty) return false
-    val punct = Set('.', ',', '?', '!', ';', ':', '।', '॥')
-    if (q.exists(punct.contains)) return false
-    q.split("\\s+").length < 4
+    if (query == null) return true
+    if (query.exists(RoutingPunct.contains)) return false
+    query.trim.split("\\s+").count(_.nonEmpty) < 4
   }
 }

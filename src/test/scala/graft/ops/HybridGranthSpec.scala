@@ -26,8 +26,16 @@ class HybridGranthSpec extends AnyFunSuite {
     assert(!HybridRank.isLexicalQuery("one two three four"))
     assert(!HybridRank.isLexicalQuery("what is peace?"))
     assert(!HybridRank.isLexicalQuery("वाक्य में विराम।"))
-    assert(!HybridRank.isLexicalQuery(""))
-    assert(!HybridRank.isLexicalQuery(null))
+    // full string.punctuation parity (reference checks all 32 ASCII marks,
+    // not just sentence punctuation)
+    assert(!HybridRank.isLexicalQuery("c++ tutorial"))
+    assert(!HybridRank.isLexicalQuery("a_b"))
+    assert(!HybridRank.isLexicalQuery("(test)"))
+    assert(!HybridRank.isLexicalQuery("#hash"))
+    // reference: ''.split() is empty -> 0 < 4 -> lexical (callers
+    // short-circuit empty upstream)
+    assert(HybridRank.isLexicalQuery(""))
+    assert(HybridRank.isLexicalQuery(null))
   }
 
   test("granth nested flatten emits one row per verse with nested fields") {

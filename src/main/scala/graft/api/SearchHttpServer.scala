@@ -104,10 +104,16 @@ final class SearchHttpServer(
       if (!enabled)
         return (JObject("results" -> JArray(Nil), "total_hits" -> JInt(0),
           "page_size" -> JInt(pageSize), "page_number" -> JInt(pageNumber)), Nil)
+      // reference quirk (index_searcher.py:396-398,422-424): the per-type
+      // category pin applies ONLY when the client didn't send its own
+      // category filter — a client-supplied category wins for BOTH types
+      val metaF =
+        if (categories.contains("category")) categories
+        else categories + ("category" -> Seq(name))
       val q = QuerySpec(lang, query,
         phrase = exact,
         excludeWords = exclude,
-        metaFilters = categories + ("category" -> Seq(name)),
+        metaFilters = metaF,
         dateRange = dateRange,
         pageSize = pageSize,
         from = (pageNumber - 1) * pageSize)

@@ -89,6 +89,22 @@ class SearchHttpServerSpec extends AnyFunSuite {
     }
   }
 
+  test("client-supplied category filter wins over the per-type pin (reference quirk)") {
+    val phrase = Webtext.GoldenPhrase("hi").mkString(" ")
+    withServer() { (_, port) =>
+      val (code, body) = post(port, "/api/search",
+        s"""{"query": "$phrase", "language": "hindi",
+           | "categories": {"category": ["Granth"]}}""".stripMargin)
+      assert(code == 200)
+      val j = parse(body)
+      // both types ran with the CLIENT's category filter → identical sets
+      assert(ids(j, "pravachan_results") == ids(j, "granth_results"))
+      val direct = mem.search(QuerySpec("hi", phrase,
+        metaFilters = Map("category" -> Seq("Granth"))))
+      assert(ids(j, "pravachan_results") == direct.hits.map(h => (h.docId, h.score)))
+    }
+  }
+
   test("misspelled query returns suggestions in the response") {
     val real = Webtext.word("hi", 10)
     val missp = real.dropRight(1) + (if (real.last == 'क') 'ख' else 'क')

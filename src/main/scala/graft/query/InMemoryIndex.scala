@@ -44,6 +44,12 @@ final class InMemoryIndex(
   private def avgdl(lang: String): Double =
     stats.get(lang).map { case (d, t) => if (d == 0) 0.0 else t.toDouble / d }.getOrElse(0.0)
 
+  // (lang, key) → value lists, so range filters (date/series) iterate ONE
+  // key's values instead of scanning every resident facet entry per query
+  private val facetsByKey: Map[(String, String), Array[(String, Array[Long])]] =
+    facets.toSeq.groupBy(e => (e._1._1, e._1._2))
+      .map { case (k, es) => k -> es.map(e => (e._1._3, e._2)).toArray }
+
   def search(q: QuerySpec): SearchResult = {
     val ctxOpt = QueryCore.context(q, numDocs(q.lang), avgdl(q.lang))
     if (ctxOpt.isEmpty) return SearchResult(Nil, 0L, "eq", suggest(q.lang, q.query))
@@ -75,21 +81,17 @@ final class InMemoryIndex(
       case None => Array.empty
       case Some((sOpt, eOpt)) =>
         val rows = scala.collection.mutable.ArrayBuffer[QueryCore.FacetRow]()
-        facets.foreach { case ((lang, key, value), ids) =>
-          if (lang == q.lang) {
-            val label: Option[String] = key match {
-              case "date" if sOpt.forall(value >= _) && eOpt.forall(value <= _) =>
-                Some(QueryCore.DateInKey)
-              case "has_date" if value == "0" => Some(QueryCore.NoDateKey)
-              case "series_start_date" if eOpt.exists(value <= _) =>
-                Some(QueryCore.SeriesStartOkKey)
-              case "series_end_date" if sOpt.exists(value >= _) =>
-                Some(QueryCore.SeriesEndOkKey)
-              case _ => None
-            }
-            label.foreach(l => rows += ((0, l, ids.length.toLong, encodeIds(ids))))
+        def scan(key: String)(label: String => Option[String]): Unit =
+          facetsByKey.getOrElse((q.lang, key), Array.empty).foreach { case (value, ids) =>
+            label(value).foreach(l => rows += ((0, l, ids.length.toLong, encodeIds(ids))))
           }
-        }
+        scan("date")(v =>
+          if (sOpt.forall(v >= _) && eOpt.forall(v <= _)) Some(QueryCore.DateInKey) else None)
+        scan("has_date")(v => if (v == "0") Some(QueryCore.NoDateKey) else None)
+        scan("series_start_date")(v =>
+          if (eOpt.exists(v <= _)) Some(QueryCore.SeriesStartOkKey) else None)
+        scan("series_end_date")(v =>
+          if (sOpt.exists(v >= _)) Some(QueryCore.SeriesEndOkKey) else None)
         rows.toArray
     }
     val facetList = metaFacetList ++ dateFacetList

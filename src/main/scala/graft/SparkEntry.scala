@@ -1049,10 +1049,12 @@ object SparkEntry {
         |  FROM documents),
         |stripped AS (
         |  -- trim applies only when the prefix matched (reference strips
-        |  -- whitespace per re.sub, inside the if-match branch)
+        |  -- whitespace per re.sub, inside the if-match branch); \s-trim like
+        |  -- Python .strip(), not space-only SQL trim
         |  SELECT doc_id, para_num,
         |         CASE WHEN regexp_matches(para, '^अध्याय \d+ — ')
-        |              THEN trim(regexp_replace(para, '^अध्याय \d+ — ', ''))
+        |              THEN regexp_replace(regexp_replace(para, '^अध्याय \d+ — ', ''),
+        |                                  '^\s+|\s+$', '', 'g')
         |              ELSE para END AS para
         |  FROM paras),
         |m AS (

@@ -104,12 +104,16 @@ final class SearchHttpServer(
       if (!enabled)
         return (JObject("results" -> JArray(Nil), "total_hits" -> JInt(0),
           "page_size" -> JInt(pageSize), "page_number" -> JInt(pageNumber)), Nil)
-      // reference quirk (index_searcher.py:396-398,422-424): the per-type
-      // category pin applies ONLY when the client didn't send its own
-      // category filter — a client-supplied category wins for BOTH types
+      // reference quirks: the per-type category pin applies ONLY when the
+      // client didn't send its own category KEY (index_searcher.py:396-398,
+      // 422-424 — presence check, so {"category": []} suppresses the pin),
+      // and empty value lists are dropped from the filter entirely
+      // (_build_category_filters, index_searcher.py:51-53: `if not values:
+      // continue` — an empty list means NO restriction, not match-nothing)
       val metaF =
-        if (categories.contains("category")) categories
-        else categories + ("category" -> Seq(name))
+        (if (categories.contains("category")) categories
+         else categories + ("category" -> Seq(name)))
+          .filter(_._2.nonEmpty)
       val q = QuerySpec(lang, query,
         phrase = exact,
         excludeWords = exclude,
@@ -164,7 +168,8 @@ final class SearchHttpServer(
       }
     } catch {
       // malformed payloads are the client's fault (FastAPI's 422 analog)
-      case e @ (_: IllegalArgumentException | _: MappingException) =>
+      case e @ (_: IllegalArgumentException | _: MappingException |
+                _: com.fasterxml.jackson.core.JacksonException) =>
         respond(ex, 400, JObject("detail" -> JString(s"Validation error: ${e.getMessage}")))
       case e: Exception =>
         respond(ex, 500, JObject("detail" -> JString(s"Internal server error: ${e.getMessage}")))

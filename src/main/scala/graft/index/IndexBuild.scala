@@ -583,8 +583,14 @@ object IndexBuild extends Serializable {
   private def writeTermDict(spark: SparkSession, outDir: String): Unit = {
     import spark.implicits._
     val tmp = s"$outDir/termdict_tmp"
-    val src = if (TableIO.exists(s"$outDir/termdict_chunks")) s"$outDir/termdict_chunks"
-              else s"$outDir/segments" // legacy index without per-chunk slices
+    // per-chunk slices are trustworthy only when they COVER every done chunk
+    // (a legacy index that was partially mutated has slices for the rewritten
+    // chunks only — aggregating just those would silently truncate the
+    // dictionary); otherwise fall back to the segments stats columns
+    val sliceIds = TableIO.listChunkIds(s"$outDir/termdict_chunks").toSet
+    val src = if (sliceIds.nonEmpty && Manifest.doneChunks(outDir).subsetOf(sliceIds))
+                s"$outDir/termdict_chunks"
+              else s"$outDir/segments"
     spark.read.parquet(src)
       .select($"lang", $"term", $"df", $"cf", $"bucket")
       .groupBy($"lang", $"term")

@@ -188,7 +188,7 @@ object Dedup {
     * label-propagation CC (GraphX's connectedComponents is this plus
     * star-contraction for pathological diameters).
     */
-  def canonicalizeNearDups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def canonicalizeNearDups(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
@@ -201,17 +201,21 @@ object Dedup {
     while (changed > 0 && iter < maxIter) {
       val nbrMin = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min("label").as("nlabel"))
-      val updated = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("next"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label").as("prev"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .persist()
-      changed = updated.where(col("next") < col("label")).count()
-      val old = labels
-      labels = updated.select(col("id"), col("next").as("label")).persist()
-      old.unpersist()
-      updated.unpersist()
+      // materialize `next` BEFORE dropping its parents — unpersisting first
+      // would make every later round recompute the whole join chain
+      changed = next.where(col("label") < col("prev")).count()
+      labels.unpersist()
+      labels = next.select("id", "label") // backed by the cached `next`
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"canonicalizeNearDups did not converge in $maxIter rounds " +
+          "(component diameter exceeds maxIter) — raise maxIter")
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
   }

@@ -21,6 +21,16 @@ object HeaderFooter {
 
   private val DigitClass = "[0-9०-९]"
 
+  /** Python `.strip()` analog used after each matched prefix strip: removes
+    * leading/trailing regex whitespace. Spark's `trim` strips SPACES only, so
+    * a tab/newline at the strip boundary would diverge from the reference —
+    * and the same regex is used by the UDF path so the two implementations
+    * are character-identical. (Python also strips some Unicode spaces that
+    * `\s` doesn't; none occur at strip boundaries in this domain.)
+    */
+  private val WsEdge = "^\\s+|\\s+$"
+  private def wsTrim(c: Column): Column = regexp_replace(c, WsEdge, "")
+
   /** Count of ASCII + Devanagari digits. */
   def digitCount(c: Column): Column =
     length(c) - length(regexp_replace(c, DigitClass, ""))
@@ -36,7 +46,7 @@ object HeaderFooter {
   def stripFirst(c: Column, pattern: String): Column = {
     val m = regexp_extract(c, pattern, 0)
     val pos = regexp_instr(c, lit(pattern)) // 1-based first-match position; 0 = no match
-    when(pos === 0, c).otherwise(trim(
+    when(pos === 0, c).otherwise(wsTrim(
       concat(c.substr(lit(1), pos - 1),
         c.substr(pos + length(m), length(c)))))
   }
@@ -61,7 +71,7 @@ object HeaderFooter {
     if (prefixes.length > MaxColumnPrefixes) stripPrefixesUdf(prefixes)(c)
     else prefixes.foldLeft(c) { (acc, p) =>
       if (p.startsWith("^"))
-        when(acc.rlike(p), trim(regexp_replace(acc, p, ""))).otherwise(acc)
+        when(acc.rlike(p), wsTrim(regexp_replace(acc, p, ""))).otherwise(acc)
       else stripFirst(acc, p)
     }
 
@@ -77,7 +87,9 @@ object HeaderFooter {
       if (text == null) null
       else compiled.foldLeft(text) { (acc, p) =>
         val m = p.matcher(acc)
-        if (m.find()) (acc.substring(0, m.start()) + acc.substring(m.end())).trim
+        if (m.find())
+          (acc.substring(0, m.start()) + acc.substring(m.end()))
+            .replaceAll("^\\s+|\\s+$", "") // same \s-trim as the Column path
         else acc
       }
     }

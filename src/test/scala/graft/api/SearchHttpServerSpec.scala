@@ -105,6 +105,22 @@ class SearchHttpServerSpec extends AnyFunSuite {
     }
   }
 
+  test("empty category list means NO restriction (reference skips empty filter lists)") {
+    val phrase = Webtext.GoldenPhrase("hi").mkString(" ")
+    withServer() { (_, port) =>
+      val (code, body) = post(port, "/api/search",
+        s"""{"query": "$phrase", "language": "hindi",
+           | "categories": {"category": []}}""".stripMargin)
+      assert(code == 200)
+      val j = parse(body)
+      // pin suppressed (key present) AND empty list dropped -> unrestricted,
+      // identical for both types
+      val direct = mem.search(QuerySpec("hi", phrase))
+      assert(ids(j, "pravachan_results") == direct.hits.map(h => (h.docId, h.score)))
+      assert(ids(j, "granth_results") == ids(j, "pravachan_results"))
+    }
+  }
+
   test("misspelled query returns suggestions in the response") {
     val real = Webtext.word("hi", 10)
     val missp = real.dropRight(1) + (if (real.last == 'क') 'ख' else 'क')

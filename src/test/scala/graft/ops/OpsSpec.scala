@@ -76,6 +76,10 @@ class OpsSpec extends AnyFunSuite {
     assert(many.length > HeaderFooter.MaxColumnPrefixes)
     assert(strip("X- Y: Page 7 content bb", many) == "content")
     assert(strip("  untouched  ", Seq("^A", "^B", "^C", "^D")) == "  untouched  ")
+    // non-space whitespace at the strip boundary: both paths \s-trim like
+    // Python .strip() (SQL trim would keep the tab)
+    assert(strip("Page 3\trest\n", Seq("^Page \\d+")) == "rest")
+    assert(strip("Page 3\trest\n", Seq("^Page \\d+", "^Z", "^Z2", "^Z3")) == "rest")
   }
 
   test("F5 confidence filter drops conf<=10 and null-text OCR rows (advanced_pdf_processor.py:111-112)") {

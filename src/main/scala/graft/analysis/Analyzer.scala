@@ -172,14 +172,18 @@ object Analyzer extends Serializable {
     case _       => Set.empty
   }
 
-  /** Full analysis chain. Deterministic, pure. */
-  def analyze(text: String, lang: String): Array[Token] = {
-    if (text == null || text.isEmpty) return Array.empty
+  /** The one analysis loop — every consumer goes through this callback so
+    * the chain has a single semantic source (rank-parity contract). The
+    * index-build hot path uses it directly to skip the per-token `Token`
+    * allocations of [[analyze]].
+    */
+  def foreachToken(text: String, lang: String)(
+      f: (String, Int, Int, Int) => Unit): Unit = {
+    if (text == null || text.isEmpty) return
     val (filtered, offs) = charFilter(text, tableFor(lang))
     val stop = stopFor(lang)
     val bi = wordBreaker.get()
     bi.setText(filtered)
-    val out = new scala.collection.mutable.ArrayBuffer[Token](filtered.length / 6 + 4)
     var pos = 0
     var start = bi.first()
     var end = bi.next()
@@ -196,7 +200,7 @@ object Analyzer extends Serializable {
               if (offs == null) end
               else if (end < offs.length) offs(end)
               else text.length
-            out += Token(term, pos, oStart, oEnd)
+            f(term, pos, oStart, oEnd)
           }
           pos += 1 // stopwords consume a position (Lucene gap semantics)
         }
@@ -204,6 +208,14 @@ object Analyzer extends Serializable {
       start = end
       end = bi.next()
     }
+  }
+
+  /** Full analysis chain. Deterministic, pure. */
+  def analyze(text: String, lang: String): Array[Token] = {
+    if (text == null || text.isEmpty) return Array.empty
+    val out = new scala.collection.mutable.ArrayBuffer[Token](text.length / 6 + 4)
+    foreachToken(text, lang)((term, pos, oStart, oEnd) =>
+      out += Token(term, pos, oStart, oEnd))
     out.toArray
   }
 

@@ -216,15 +216,16 @@ object IndexBuild extends Serializable {
         val tokenized = chunkDf
           .as[(Long, String, java.sql.Timestamp, String, String, Map[String, String])]
           .map { case (docId, url, ts, text, lang, meta) =>
-            val toks = Analyzer.analyze(text, lang)
             val m = new java.util.HashMap[String, IndexBuild.TfPos]()
-            var ti = 0
-            while (ti < toks.length) {
-              val t = toks(ti)
-              var tp = m.get(t.term)
-              if (tp == null) { tp = new IndexBuild.TfPos(storePositions); m.put(t.term, tp) }
-              tp.add(t.pos)
-              ti += 1
+            var dl = 0
+            // straight through the analyzer loop — no Token array/object per
+            // token (Analyzer.foreachToken is the same loop analyze() wraps,
+            // so rank parity holds by construction)
+            Analyzer.foreachToken(text, lang) { (term, pos, _, _) =>
+              var tp = m.get(term)
+              if (tp == null) { tp = new IndexBuild.TfPos(storePositions); m.put(term, tp) }
+              tp.add(pos)
+              dl += 1
             }
             val entries = new Array[(String, Int, Array[Int])](m.size)
             var i = 0
@@ -234,7 +235,7 @@ object IndexBuild extends Serializable {
               entries(i) = (e.getKey, e.getValue.tf, e.getValue.positions)
               i += 1
             }
-            (docId, url, ts, text, lang, meta, toks.length, entries)
+            (docId, url, ts, text, lang, meta, dl, entries)
           }
           .toDF("docId", "url", "warc_ts", "text", "lang", "meta", "dl", "entries")
           .persist(StorageLevel.MEMORY_AND_DISK) // DISK_ONLY at 100TB scale

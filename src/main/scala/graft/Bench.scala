@@ -94,8 +94,10 @@ object Bench {
     // the clean-window record, scaled to the doc count) further attempts just
     // burn the driver's budget; conversely a run of bad attempts stops at
     // `budget` seconds total rather than looping on a degraded host.
+    // ~1.5× the post-optimization clean-window record (12.9 s / 200k) — a
+    // looser threshold would stop the attempt ladder on a capped window
     val goodEnough = sys.env.getOrElse("GRAFT_BENCH_GOOD_ENOUGH_SEC",
-      (28.0 * benchDocs / 200000.0).toString).toDouble
+      (19.0 * benchDocs / 200000.0).toString).toDouble
     val budget = sys.env.getOrElse("GRAFT_BENCH_BUDGET_SEC", "600").toDouble
     // (wall, stealPct, probeEff) per attempt
     val buildAttempts = scala.collection.mutable.ArrayBuffer[(Double, Double, Double)]()

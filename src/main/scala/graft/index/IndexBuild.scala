@@ -649,28 +649,49 @@ object IndexBuild extends Serializable {
   }
 }
 
-/** Append-only JSONL manifest (atomic-enough for single-writer builds; an
-  * Iceberg snapshot commit in production).
+/** Chunk-commit manifest: one immutable JSON file per commit under
+  * `manifest.d/` (Iceberg-snapshot style). Appending a commit is a single
+  * O(1) small-file write — never a rewrite of prior history, so a
+  * 100k-chunk build pays 100k tiny creates, not the O(chunks²) bytes a
+  * grow-and-rewrite JSONL would. Per-chunk ordering (latest row wins on
+  * resume/rebuild) comes from a (epoch-ms, per-JVM counter) sequence in the
+  * file name — valid for the single writer this manifest documents; a
+  * multi-writer deployment swaps this object for conditional commits.
+  * Legacy single-file `manifest.jsonl` manifests remain readable (their rows
+  * order BEFORE any commit-file rows of the same chunk).
   */
 object Manifest {
-  private def path(outDir: String) = s"$outDir/manifest.jsonl"
+  private def legacyPath(outDir: String) = s"$outDir/manifest.jsonl"
+  private def commitDir(outDir: String) = s"$outDir/manifest.d"
+  private val seqCounter = new java.util.concurrent.atomic.AtomicLong()
 
   def append(outDir: String, row: ManifestRow): Unit = {
     val line = s"""{"chunk":${row.chunk},"status":"${row.status}","docs":${row.docs},""" +
-      s""""tokens":${row.tokens},"terms":${row.terms},"inputChecksum":"${row.inputChecksum}","wallMs":${row.wallMs}}""" + "\n"
-    TableIO.appendLine(path(outDir), line)
+      s""""tokens":${row.tokens},"terms":${row.terms},"inputChecksum":"${row.inputChecksum}","wallMs":${row.wallMs}}"""
+    val name = f"chunk-${row.chunk}%08d-${System.currentTimeMillis()}%013d-${seqCounter.getAndIncrement()}%06d.json"
+    TableIO.writeStringAtomic(s"${commitDir(outDir)}/$name", line)
   }
 
-  def rows(outDir: String): Seq[ManifestRow] = {
-    val txt = TableIO.readString(path(outDir)).getOrElse(return Seq.empty)
-    txt.split("\n").toSeq.filter(_.nonEmpty).map { l =>
-      def grab(k: String): String = {
-        val m = java.util.regex.Pattern.compile("\"" + k + "\":\"?([^,}\"]*)\"?").matcher(l)
-        if (m.find()) m.group(1) else ""
-      }
-      ManifestRow(grab("chunk").toInt, grab("status"), grab("docs").toLong,
-        grab("tokens").toLong, grab("terms").toLong, grab("inputChecksum"), grab("wallMs").toLong)
+  private def parseRow(l: String): ManifestRow = {
+    def grab(k: String): String = {
+      val m = java.util.regex.Pattern.compile("\"" + k + "\":\"?([^,}\"]*)\"?").matcher(l)
+      if (m.find()) m.group(1) else ""
     }
+    ManifestRow(grab("chunk").toInt, grab("status"), grab("docs").toLong,
+      grab("tokens").toLong, grab("terms").toLong, grab("inputChecksum"), grab("wallMs").toLong)
+  }
+
+  /** All commit rows, ordered so that per-chunk `.last` is the most recent
+    * commit (legacy JSONL rows first in their file order, then commit files
+    * by their name-embedded sequence — names sort lexicographically by
+    * (chunk, time, counter) thanks to fixed-width zero padding).
+    */
+  def rows(outDir: String): Seq[ManifestRow] = {
+    val legacy = TableIO.readString(legacyPath(outDir)).toSeq
+      .flatMap(_.split("\n").toSeq.filter(_.nonEmpty).map(parseRow))
+    val commits = TableIO.listFiles(commitDir(outDir), "chunk-").sorted
+      .flatMap(n => TableIO.readString(s"${commitDir(outDir)}/$n").map(parseRow))
+    legacy ++ commits
   }
 
   /** Chunks already built — the anti-join side of resume (J5 in SURVEY §2.4).

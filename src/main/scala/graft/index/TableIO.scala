@@ -72,13 +72,16 @@ object TableIO {
     fc.rename(tmp, p, Options.Rename.OVERWRITE)
   }
 
-  /** Append one line to a control file. Implemented as read + rewrite-rename
-    * (FileSystem.append is unsupported on checksummed local FS and object
-    * stores); atomic for the single writer the manifest documents.
+  /** Names of plain files under `dir` starting with `prefix` (non-recursive);
+    * empty when the dir is absent. Backs the manifest's commit-file listing.
     */
-  def appendLine(path: String, line: String): Unit = {
-    val prior = readString(path).getOrElse("")
-    writeStringAtomic(path, prior + line)
+  def listFiles(dir: String, prefix: String): Seq[String] = {
+    val p = new Path(dir)
+    val fs = fsOf(p)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith(prefix))
+      .map(_.getPath.getName)
   }
 
   /** Chunk ids present as `chunk=K` partition dirs under `dir`. */

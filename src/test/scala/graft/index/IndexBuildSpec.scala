@@ -368,4 +368,26 @@ class IndexBuildSpec extends AnyFunSuite {
       .groupBy("lang", "term").count().filter("count > 1").count()
     assert(dup == 0)
   }
+
+  test("manifest: O(1) commit files, per-chunk latest wins, legacy JSONL still read") {
+    val dir = "/tmp/gidx-manifest"
+    rm(dir)
+    // a pre-existing legacy single-file manifest (older index layout)
+    graft.index.TableIO.writeStringAtomic(s"$dir/manifest.jsonl",
+      """{"chunk":0,"status":"done","docs":10,"tokens":100,"terms":50,"inputChecksum":"v3:p:10:1","wallMs":5}""" + "\n" +
+      """{"chunk":1,"status":"done","docs":11,"tokens":110,"terms":55,"inputChecksum":"v3:p:11:2","wallMs":6}""" + "\n")
+    // new-style commits: chunk 1 rebuilt twice — its LATEST commit must win
+    Manifest.append(dir, ManifestRow(1, "done", 12, 120, 60, "v3:p:12:3", 7))
+    Manifest.append(dir, ManifestRow(1, "done", 13, 130, 65, "v3:p:13:4", 8))
+    Manifest.append(dir, ManifestRow(2, "done", 14, 140, 70, "v3:p:14:5", 9))
+    // each append created exactly one immutable file; nothing was rewritten
+    val commits = graft.index.TableIO.listFiles(s"$dir/manifest.d", "chunk-")
+    assert(commits.size == 3, s"expected 3 commit files, saw $commits")
+    assert(Manifest.doneChunks(dir) == Set(0, 1, 2))
+    val latest = Manifest.rows(dir).groupBy(_.chunk).map { case (c, rs) => c -> rs.last }
+    assert(latest(0).docs == 10, "legacy-only chunk reads from JSONL")
+    assert(latest(1).inputChecksum == "v3:p:13:4",
+      "latest commit file must supersede both the legacy row and the earlier commit")
+    assert(latest(2).docs == 14)
+  }
 }

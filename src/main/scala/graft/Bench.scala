@@ -152,6 +152,43 @@ object Bench {
     serveBench("serve_any_p50", QuerySpec("hi", hiPhrase, mode = "any"))
     serveBench("serve_phrase_p50", QuerySpec("hi", hiPhrase, phrase = true))
     serveBench("serve_headterm_p50", QuerySpec("hi", Webtext.word("hi", 0), mode = "any"))
+    // concurrent serving THROUGHPUT (the fleet unit the north metric scales):
+    // T worker threads drain a shared counter of mixed-shape queries against
+    // the immutable resident node; queries/sec = completed / wall. Reported
+    // as negative-free seconds-per-1000-queries in `results` so the JSON
+    // stays "seconds" units; qps surfaces top-level.
+    val qpsMix: IndexedSeq[QuerySpec] = IndexedSeq(
+      QuerySpec("hi", hiPhrase),
+      QuerySpec("hi", hiPhrase, mode = "any"),
+      QuerySpec("hi", hiPhrase, phrase = true),
+      QuerySpec("hi", Webtext.word("hi", 0), mode = "any"),
+      QuerySpec("hi", hiPhrase, metaFilters = Map("category" -> Seq("Pravachan"))))
+    val qpsThreads = math.max(2, cpus.toInt / 2)
+    val qpsQueries = 2000
+    def qpsRun(): Double = {
+      val next = new java.util.concurrent.atomic.AtomicInteger(0)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(qpsThreads)
+      val t0 = System.nanoTime()
+      val futs = (1 to qpsThreads).map { _ =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            var i = next.getAndIncrement()
+            while (i < qpsQueries) {
+              mem.search(qpsMix(i % qpsMix.length))
+              i = next.getAndIncrement()
+            }
+          }
+        })
+      }
+      futs.foreach(_.get())
+      pool.shutdown()
+      qpsQueries / ((System.nanoTime() - t0) / 1e9)
+    }
+    qpsRun() // warmup
+    val qpsAttempts = (1 to 3).map(_ => qpsRun())
+    val serveQps = qpsAttempts.max // peak capability; attempts show the spread
+    attemptLog("serve_qps_sec_per_1k") = qpsAttempts.map(q => 1000.0 / q)
+    results("serve_qps_sec_per_1k") = 1000.0 / serveQps
 
     // ---- representative pipeline operators over the sf tables ----
     // median-of-N per op (first run also pays plan compilation + scan cache;
@@ -185,7 +222,7 @@ object Bench {
     val probesJson = sectionProbes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","bench_docs":$benchDocs,"docs_per_sec":$docsPerSec%.1f,"build_attempts":$attemptsJson,"build_best_steal_pct":${best._2}%.1f,"build_best_cpu_probe":${best._3}%.3f,"metric_attempts":$metricAttemptsJson,"section_probes":$probesJson,"cpu_probe_eff":$probe%.3f}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","bench_docs":$benchDocs,"docs_per_sec":$docsPerSec%.1f,"serve_qps":$serveQps%.1f,"serve_qps_threads":$qpsThreads,"build_attempts":$attemptsJson,"build_best_steal_pct":${best._2}%.1f,"build_best_cpu_probe":${best._3}%.3f,"metric_attempts":$metricAttemptsJson,"section_probes":$probesJson,"cpu_probe_eff":$probe%.3f}""")
     spark.stop()
   }
 }

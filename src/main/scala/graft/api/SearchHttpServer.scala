@@ -4,7 +4,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 import java.net.InetSocketAddress
 import org.json4s._
 import org.json4s.jackson.JsonMethods.{compact, parse, render}
-import graft.query.{InMemoryIndex, QuerySpec, SearchResult}
+import graft.query.{QuerySpec, SearchNode, SearchResult}
 
 /** The reference's FastAPI serving surface (backend/api/search_api.py),
   * re-expressed over the resident serving node — JDK built-in HttpServer +
@@ -28,7 +28,7 @@ import graft.query.{InMemoryIndex, QuerySpec, SearchResult}
   * without an embedding model).
   */
 final class SearchHttpServer(
-    mem: InMemoryIndex,
+    mem: SearchNode,
     metadataFields: Set[String] = Set("Author", "Anuyog", "year"),
     ttlSeconds: Long = 1800,
     nowMs: () => Long = () => System.currentTimeMillis(),

@@ -3,7 +3,7 @@ package graft.query
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.analysis.Analyzer
-import graft.index.{PostingListMerger, PostingListReader, SortedIds}
+import graft.index.{PostingListMerger, PostingListReader, SortedIds, TableIO}
 
 /** Resident serving layer — the analog of the reference's always-on
   * OpenSearch process (its prod serving box is a 2-vCPU/4 GB VM,
@@ -38,7 +38,13 @@ final class InMemoryIndex(
     docs: java.util.HashMap[Long, (String, String)],
     /** bytes of blobs/payloads resident on this node — the RSS proxy the
       * shard-scaling spec gates on */
-    val loadedBytes: Long) {
+    val loadedBytes: Long,
+    /** GLOBAL (lang, term) → df from the termdict artifact, loaded on
+      * doc-shard (chunk-subset) nodes: BM25 idf must come from corpus-wide
+      * df, not this shard's local df, for per-doc scores to be identical to
+      * a full node's (the DFS-query analog of distributed Lucene).
+      */
+    globalDf: Map[(String, String), Long] = Map.empty) extends SearchNode {
 
   private def numDocs(lang: String): Long = stats.get(lang).map(_._1).getOrElse(0L)
   private def avgdl(lang: String): Double =
@@ -50,14 +56,27 @@ final class InMemoryIndex(
     facets.toSeq.groupBy(e => (e._1._1, e._1._2))
       .map { case (k, es) => k -> es.map(e => (e._1._3, e._2)).toArray }
 
-  def search(q: QuerySpec): SearchResult = {
+  def search(q: QuerySpec): SearchResult =
+    materialize(q, searchPartial(q))
+
+  /** This node's un-materialized contribution to a query: the per-segment
+    * top-k heaps + hit counts, scored with GLOBAL idf — directly mergeable
+    * across doc-shard nodes by [[QueryCore.merge]] (scatter side of
+    * [[ShardedServe]]). Empty when the query analyzes to nothing or a
+    * required term has no posting ON THIS NODE (a doc missing a term on this
+    * shard is missing it globally: chunks partition docs).
+    */
+  def searchPartial(q: QuerySpec): Array[SegmentResult] = {
     val ctxOpt = QueryCore.context(q, numDocs(q.lang), avgdl(q.lang))
-    if (ctxOpt.isEmpty) return SearchResult(Nil, 0L, "eq", suggest(q.lang, q.query))
+    if (ctxOpt.isEmpty) return Array.empty
     val ctx = ctxOpt.get
-    def dfOf(t: String): Long =
+    def localDf(t: String): Long =
       Option(postings.get((q.lang, t))).map(_._1).getOrElse(0L)
-    if (q.mode == "all" && ctx.terms.exists(t => dfOf(t._1) == 0L))
-      return SearchResult(Nil, 0L, "eq", suggest(q.lang, q.query))
+    // idf from corpus-wide df (termdict) on shard nodes; local == global on
+    // full nodes. Local absence still prunes "all"-mode queries.
+    def dfOf(t: String): Long = globalDf.getOrElse((q.lang, t), localDf(t))
+    if (q.mode == "all" && ctx.terms.exists(t => localDf(t._1) == 0L))
+      return Array.empty
     val info = QueryCore.termInfo(ctx, dfOf)
 
     val allTerms = (ctx.terms.map(_._1) ++ ctx.excludeTerms).distinct
@@ -95,11 +114,17 @@ final class InMemoryIndex(
         rows.toArray
     }
     val facetList = metaFacetList ++ dateFacetList
+    QueryCore.segmentKernel(ctx, info, postList, facetList).toArray
+  }
 
-    val segResults = QueryCore.segmentKernel(ctx, info, postList, facetList).toArray
+  /** Merge partials (this node's, or a fleet's) and materialize the page:
+    * payload fetch, highlighting, empty-result suggestions.
+    */
+  private[query] def materialize(q: QuerySpec, segResults: Array[SegmentResult]): SearchResult = {
+    if (segResults.isEmpty)
+      return SearchResult(Nil, 0L, "eq", suggest(q.lang, q.query))
     val (page, total, relation) = QueryCore.merge(q, segResults)
-
-    val qset = ctx.terms.map(_._1).toSet
+    val qset = Bm25Query.queryTerms(q).map(_._1).toSet
     val pageIds = page.toSeq.map(_.docId)
     val missing = pageIds.filterNot(docs.containsKey(_))
     val fetched: Map[Long, (String, String)] =
@@ -144,7 +169,7 @@ final class InMemoryIndex(
     * (FILTERED_METADATA_FIELDS analog).
     */
   def facetMetadata(fields: Set[String],
-      contentKey: String = "category"): Map[String, Map[String, Seq[String]]] = {
+      contentKey: String): Map[String, Map[String, Seq[String]]] = {
     def intersects(a: Array[Long], b: Array[Long]): Boolean = {
       var i = 0; var j = 0
       while (i < a.length && j < b.length) {
@@ -226,17 +251,32 @@ object InMemoryIndex {
     * load (None buckets), and NO facets on a subset load unless given —
     * pass [[facetBucketsFor]] of the queries the node serves.
     *
+    * DOC-SHARDING (`chunks`): a node may instead (or additionally) load a
+    * subset of the index's chunks — chunks partition DOCS (docId mod
+    * numChunks), so a chunk-subset node serves a slice of the corpus with
+    * every term present. Scores stay identical to a full node because idf
+    * comes from the termdict artifact's corpus-wide df (loaded here), and
+    * [[ShardedServe]] merges per-node partials into the global page. Chunk-
+    * subset nodes never collect the docstore, and their suggest dictionary
+    * is the GLOBAL termdict (so fleet suggestions match a full node's).
+    *
     * @param withDocs     resident (url, text) payloads (full loads only)
     * @param buckets      term-shard subset to load; None = all buckets
     * @param facetBuckets facet-key-shard subset; None = follow `buckets`
+    * @param chunks       doc-shard subset (chunk ids); None = all chunks
     */
   def load(spark: SparkSession, idx: IndexHandle, withDocs: Boolean = true,
       buckets: Option[Set[Int]] = None,
-      facetBuckets: Option[Set[Int]] = None): InMemoryIndex = {
+      facetBuckets: Option[Set[Int]] = None,
+      chunks: Option[Set[Int]] = None): InMemoryIndex = {
     import spark.implicits._
     var bytes = 0L
     val postings = new java.util.HashMap[(String, String), (Long, Array[Byte], Array[Byte])]()
-    val segRead = spark.read.parquet(idx.segmentsPath)
+    val segRead0 = spark.read.parquet(idx.segmentsPath)
+    val segRead = chunks match {
+      case Some(cs) => segRead0.where(col("chunk").isin(cs.toSeq: _*))
+      case None     => segRead0
+    }
     val segSel = buckets match {
       case Some(bs) => segRead.where(col("bucket").isin(bs.toSeq: _*))
       case None     => segRead
@@ -252,7 +292,11 @@ object InMemoryIndex {
         bytes += blob.length + (if (posBlob == null) 0 else posBlob.length)
         postings.put(key, (df.toLong, blob, posBlob))
       }
-    val facetRead = spark.read.parquet(idx.facetsPath)
+    val facetRead0 = spark.read.parquet(idx.facetsPath)
+    val facetRead = chunks match {
+      case Some(cs) => facetRead0.where(col("chunk").isin(cs.toSeq: _*))
+      case None     => facetRead0
+    }
     val facetSel = facetBuckets.orElse(buckets.map(_ => Set.empty[Int])) match {
       case Some(fbs) => facetRead.where(col("bucket").isin(fbs.toSeq: _*))
       case None      => facetRead
@@ -268,16 +312,32 @@ object InMemoryIndex {
         bytes += all.length * 8L
         key -> all
       }
-    val dict: Map[String, Array[(String, Long)]] = {
-      import scala.jdk.CollectionConverters._
-      postings.entrySet().asScala.toSeq
-        .groupBy(_.getKey._1)
-        .map { case (lang, es) =>
-          lang -> es.map(e => (e.getKey._2, e.getValue._1)).toArray
-        }
+    // doc-shard nodes read the termdict artifact: corpus-wide df for idf
+    // parity with a full node, and the GLOBAL suggest dictionary
+    val globalDf: Map[(String, String), Long] = chunks match {
+      case Some(_) if TableIO.exists(s"${idx.dir}/termdict") =>
+        spark.read.parquet(s"${idx.dir}/termdict")
+          .select("lang", "term", "df")
+          .as[(String, String, Long)]
+          .collect()
+          .map { case (l, t, d) => bytes += t.length * 2L + 8L; (l, t) -> d }
+          .toMap
+      case _ => Map.empty
     }
+    val dict: Map[String, Array[(String, Long)]] =
+      if (globalDf.nonEmpty)
+        globalDf.toSeq.groupBy(_._1._1)
+          .map { case (lang, es) => lang -> es.map(e => (e._1._2, e._2)).toArray }
+      else {
+        import scala.jdk.CollectionConverters._
+        postings.entrySet().asScala.toSeq
+          .groupBy(_.getKey._1)
+          .map { case (lang, es) =>
+            lang -> es.map(e => (e.getKey._2, e.getValue._1)).toArray
+          }
+      }
     val docs = new java.util.HashMap[Long, (String, String)]()
-    if (withDocs && buckets.isEmpty) {
+    if (withDocs && buckets.isEmpty && chunks.isEmpty) {
       spark.read.parquet(s"${idx.dir}/docstore")
         .select("docId", "url", "text")
         .as[(Long, String, String)]
@@ -287,6 +347,6 @@ object InMemoryIndex {
           docs.put(id, (url, text))
         }
     }
-    new InMemoryIndex(spark, idx, idx.stats, postings, facets, dict, docs, bytes)
+    new InMemoryIndex(spark, idx, idx.stats, postings, facets, dict, docs, bytes, globalDf)
   }
 }

@@ -1,0 +1,85 @@
+package graft.query
+
+/** Scatter-gather coordinator over doc-sharded resident nodes — the serving
+  * FLEET topology at 10^12 docs: each node loads a chunk subset
+  * ([[InMemoryIndex.load]] with `chunks`), the coordinator fans a query out,
+  * merges the per-node top-k partials, and materializes one page.
+  *
+  * Results are IDENTICAL to a single full node (gated by RankParitySpec):
+  *  - per-doc BM25 scores match because every node scores with corpus-wide
+  *    idf (termdict df) and global N/avgdl (index stats) — the
+  *    "DFS query-then-fetch" consistency distributed Lucene only gets with
+  *    its two-phase dfs mode, here free because the build already
+  *    materializes global term stats;
+  *  - the page matches because chunks partition docs, so per-node heaps are
+  *    disjoint and [[QueryCore.merge]]'s (score desc, docId asc) order is a
+  *    pure interleave;
+  *  - totalHits/relation match because hit counts sum across disjoint shards
+  *    exactly as they sum across segments on one node.
+  *
+  * The fan-out is a thread per node here (nodes are in-process objects); on a
+  * real fleet it is one RPC per node carrying the ≤ (from + pageSize) heap
+  * back — payload text never moves between nodes (the coordinator point-reads
+  * the ≤ pageSize winners from the shared docstore).
+  */
+/** What a serving surface (the HTTP API) needs from a node — implemented by
+  * a single resident [[InMemoryIndex]] and by a doc-sharded fleet
+  * ([[ShardedServe.Fleet]]), so the API is topology-agnostic.
+  */
+trait SearchNode {
+  def search(q: QuerySpec): SearchResult
+  def facetMetadata(fields: Set[String],
+      contentKey: String = "category"): Map[String, Map[String, Seq[String]]]
+}
+
+object ShardedServe {
+
+  /** A doc-sharded fleet as one [[SearchNode]]: queries scatter-gather;
+    * metadata unions per-shard facet co-occurrences (chunks partition docs,
+    * so a (type, key, value) co-occurs globally iff it co-occurs on ≥1
+    * shard).
+    */
+  final class Fleet(nodes: Seq[InMemoryIndex]) extends SearchNode {
+    def search(q: QuerySpec): SearchResult = ShardedServe.search(nodes, q)
+    def facetMetadata(fields: Set[String],
+        contentKey: String): Map[String, Map[String, Seq[String]]] =
+      nodes.map(_.facetMetadata(fields, contentKey))
+        .foldLeft(Map.empty[String, Map[String, Seq[String]]]) { (acc, m) =>
+          (acc.keySet ++ m.keySet).map { ct =>
+            val a = acc.getOrElse(ct, Map.empty)
+            val b = m.getOrElse(ct, Map.empty)
+            ct -> (a.keySet ++ b.keySet).map { k =>
+              k -> (a.getOrElse(k, Nil) ++ b.getOrElse(k, Nil)).distinct.sorted
+            }.toMap
+          }.toMap
+        }
+  }
+
+  /** Round-robin chunk assignment for `nNodes` doc shards of an index with
+    * `numChunks` chunks (node i serves chunks ≡ i mod nNodes).
+    */
+  def chunkAssignment(numChunks: Int, nNodes: Int): Seq[Set[Int]] =
+    (0 until nNodes).map(i => (0 until numChunks).filter(_ % nNodes == i).toSet)
+
+  def search(nodes: Seq[InMemoryIndex], q: QuerySpec): SearchResult = {
+    require(nodes.nonEmpty, "ShardedServe.search needs at least one node")
+    // scatter: per-node partials in parallel (in-process stand-in for the
+    // fleet RPC; each partial is a bounded heap, never full results)
+    val partials: Array[SegmentResult] =
+      if (nodes.size == 1) nodes.head.searchPartial(q)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(nodes.size)
+        try {
+          val futs = nodes.map(n => pool.submit(
+            new java.util.concurrent.Callable[Array[SegmentResult]] {
+              def call(): Array[SegmentResult] = n.searchPartial(q)
+            }))
+          futs.flatMap(_.get()).toArray
+        } finally pool.shutdown()
+      }
+    // gather: merge + materialize on the coordinator (any node can do it —
+    // payload fetch is an on-demand docstore point-read, and suggest uses
+    // the global termdict dictionary every doc-shard node loads)
+    nodes.head.materialize(q, partials)
+  }
+}

@@ -26,7 +26,20 @@ object ServeCli {
       graft.index.IndexBuild.build(spark, graft.corpus.Webtext.synthesize(spark, n).toDF(), idxDir)
     }
     val idx = graft.query.IndexHandle.load(idxDir)
-    val mem = graft.query.InMemoryIndex.load(spark, idx)
+    // GRAFT_SERVE_SHARDS=N boots an in-process doc-sharded fleet (one node
+    // per chunk subset, scatter-gather behind the same API) instead of one
+    // full resident node
+    val shards = sys.env.getOrElse("GRAFT_SERVE_SHARDS", "1").toInt
+    val mem: graft.query.SearchNode =
+      if (shards <= 1) graft.query.InMemoryIndex.load(spark, idx)
+      else {
+        val numChunks = graft.index.IndexBuild.readProps(idxDir).numChunks
+        println(s"[serve] doc-sharded fleet: $shards nodes over $numChunks chunks")
+        new graft.query.ShardedServe.Fleet(
+          graft.query.ShardedServe.chunkAssignment(numChunks, shards)
+            .filter(_.nonEmpty)
+            .map(cs => graft.query.InMemoryIndex.load(spark, idx, chunks = Some(cs))))
+      }
     val server = new graft.api.SearchHttpServer(mem, port = port)
     server.start()
     println(s"[serve] listening on http://127.0.0.1:${server.boundPort}/api/search")

@@ -203,6 +203,43 @@ class RankParitySpec extends AnyFunSuite {
     }
   }
 
+  test("doc-sharded fleet: scatter-gather over chunk-subset nodes == single full node") {
+    val full = InMemoryIndex.load(spark, idx)
+    // two doc shards, one per chunk (chunks partition docs by docId mod 2)
+    val nodes = ShardedServe.chunkAssignment(numChunks = 2, nNodes = 2).map { cs =>
+      InMemoryIndex.load(spark, idx, chunks = Some(cs))
+    }
+    val queries = Seq(
+      QuerySpec("hi", hiPhrase),
+      QuerySpec("hi", hiPhrase, phrase = true),
+      QuerySpec("hi", hiPhrase, mode = "any"),
+      QuerySpec("gu", guPhrase),
+      QuerySpec("hi", hiPhrase, excludeWords = Seq(Webtext.word("hi", 30))),
+      QuerySpec("hi", hiPhrase, metaFilters = Map("category" -> Seq("Granth"))),
+      QuerySpec("hi", hiPhrase, yearRange = Some((2020, 2020))),
+      QuerySpec("hi", hiPhrase, dateRange = Some((Some(2019), Some(2019)))),
+      QuerySpec("hi", Webtext.word("hi", 0), trackTotalHits = 50),
+      QuerySpec("hi", hiPhrase, from = 20), // page 2 interleaves across shards
+      QuerySpec("hi", "और की")) // stopword-only
+    queries.foreach { q =>
+      val a = ShardedServe.search(nodes, q)
+      val b = full.search(q)
+      // identical docIds AND scores: per-node idf comes from the global
+      // termdict df, not the shard's local df
+      assert(a.hits.map(h => (h.docId, h.score)) == b.hits.map(h => (h.docId, h.score)), s"$q")
+      assert(a.hits.map(h => (h.url, h.highlighted)) == b.hits.map(h => (h.url, h.highlighted)), s"$q")
+      assert(a.totalHits == b.totalHits && a.totalRelation == b.totalRelation, s"$q")
+    }
+    // fleet suggestions == full-node suggestions (global termdict dictionary)
+    val real = Webtext.word("hi", 10)
+    val missp = real.dropRight(1) + (if (real.last == 'क') 'ख' else 'क')
+    assert(ShardedServe.search(nodes, QuerySpec("hi", missp)).suggestions ==
+      full.search(QuerySpec("hi", missp)).suggestions)
+    // doc shards never hold resident payloads, and each holds ~half the
+    // posting bytes of a full node
+    nodes.foreach(n => assert(n.loadedBytes < full.loadedBytes))
+  }
+
   test("shard memory scales with shard count: loadedBytes subset ≪ full, monotone in buckets") {
     val full = InMemoryIndex.load(spark, idx)
     val q = QuerySpec("hi", hiPhrase, metaFilters = Map("category" -> Seq("Pravachan")))

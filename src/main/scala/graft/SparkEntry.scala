@@ -684,6 +684,51 @@ object SparkEntry {
         .orderBy("query_id", "nn_rank")
     }),
 
+    // ---- web hygiene (training-data pipeline pre-filters) ----
+    // URL canonicalization over deterministically-planted messy URLs (mixed
+    // case, default port, tracking params, fragments — the oracle replants
+    // the same arithmetic)
+    "url_canonical" -> ((s, dir) => {
+      val messy = documents(s, dir).select(col("doc_id"),
+        concat(
+          lit("HTTPS://Example.ORG:443/"), col("lang"), lit("/"), col("source"),
+          lit("/"), lpad(col("doc_id").cast("string"), 8, "0"),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(lit("?utm_source=feed&utm_campaign=x&id="), pmod(col("doc_id"), lit(7))))
+            .when(pmod(col("doc_id"), lit(4)) === 1,
+              concat(lit("?id="), pmod(col("doc_id"), lit(7)), lit("&utm_medium=em#frag")))
+            .when(pmod(col("doc_id"), lit(4)) === 2, lit("#section2"))
+            .otherwise(lit(""))).as("url"))
+      messy.select(col("doc_id"), col("url"),
+        graft.ops.Hygiene.canonicalUrl(col("url")).as("canonical"),
+        graft.ops.Hygiene.hostOf(col("url")).as("host"),
+        graft.ops.Hygiene.registrableDomain(
+          graft.ops.Hygiene.hostOf(col("url"))).as("domain"))
+        .orderBy("doc_id")
+    }),
+    // Gopher-style repetition metrics (dup-line / top-word fractions)
+    "gopher_repetition" -> ((s, dir) =>
+      graft.ops.Hygiene.gopherRepetition(
+        documents(s, dir).select("doc_id", "text")).orderBy("doc_id")),
+    // PII scrubbing over planted emails/phones/IPs
+    "pii_scrub" -> ((s, dir) => {
+      val planted = documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit(" Contact: user"), col("doc_id"),
+              lit("@example.com or admin@test.org.")))
+            .when(pmod(col("doc_id"), lit(5)) === 1,
+              concat(lit(" Call 155-555-01"),
+                lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"), lit(" now.")))
+            .when(pmod(col("doc_id"), lit(5)) === 2,
+              concat(lit(" Server at 10.0."), pmod(col("doc_id"), lit(256)),
+                lit(".1 responded.")))
+            .otherwise(lit(""))).as("text"))
+      graft.ops.Hygiene.piiColumns(col("text")).foldLeft(planted) {
+        case (d, (n, c)) => d.withColumn(n, c)
+      }.drop("text").orderBy("doc_id")
+    }),
+
     // ---- text analysis ----
     "lang_id" -> ((s, dir) =>
       documents(s, dir)
@@ -1349,6 +1394,73 @@ object SparkEntry {
     "fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Independent derivation: the oracle replants the messy URL, then states
+    // the EXPECTED canonical form directly from the planting arithmetic
+    // (rather than re-running the same regexes), so a canonicalization bug
+    // cannot cancel out on both sides.
+    "url_canonical" ->
+      """SELECT doc_id,
+        |  'HTTPS://Example.ORG:443/' || lang || '/' || source || '/' ||
+        |    lpad(CAST(doc_id AS VARCHAR), 8, '0') ||
+        |    CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN '?utm_source=feed&utm_campaign=x&id=' || (doc_id % 7)
+        |      WHEN 1 THEN '?id=' || (doc_id % 7) || '&utm_medium=em#frag'
+        |      WHEN 2 THEN '#section2' ELSE '' END AS url,
+        |  'https://example.org/' || lang || '/' || source || '/' ||
+        |    lpad(CAST(doc_id AS VARCHAR), 8, '0') ||
+        |    CASE WHEN doc_id % 4 IN (0, 1) THEN '?id=' || (doc_id % 7) ELSE '' END
+        |    AS canonical,
+        |  'example.org' AS host,
+        |  'example.org' AS domain
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "gopher_repetition" ->
+      """WITH ls AS (
+        |  SELECT doc_id,
+        |         len(string_split(text, chr(10))) AS n_lines,
+        |         len(list_distinct(string_split(text, chr(10)))) AS n_distinct_lines
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, w, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        |        FROM documents)
+        |  WHERE w <> '' GROUP BY doc_id, w),
+        |ws AS (SELECT doc_id, sum(c) AS n_words, max(c) AS top_word_count
+        |       FROM w GROUP BY doc_id)
+        |SELECT l.doc_id,
+        |       CAST(coalesce(ws.n_words, 0) AS BIGINT) AS n_words,
+        |       CAST(l.n_lines AS INT) AS n_lines,
+        |       round(1.0 - l.n_distinct_lines / CAST(l.n_lines AS DOUBLE), 6) AS dup_line_frac,
+        |       round(coalesce(ws.top_word_count / CAST(ws.n_words AS DOUBLE), 0.0), 6) AS top_word_frac,
+        |       (round(1.0 - l.n_distinct_lines / CAST(l.n_lines AS DOUBLE), 6) > 0.3
+        |        OR round(coalesce(ws.top_word_count / CAST(ws.n_words AS DOUBLE), 0.0), 6) > 0.2)
+        |         AS flagged
+        |FROM ls l LEFT JOIN ws ON l.doc_id = ws.doc_id
+        |ORDER BY l.doc_id""".stripMargin,
+    "pii_scrub" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |         text || CASE CAST(doc_id % 5 AS INT)
+        |           WHEN 0 THEN ' Contact: user' || doc_id || '@example.com or admin@test.org.'
+        |           WHEN 1 THEN ' Call 155-555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' now.'
+        |           WHEN 2 THEN ' Server at 10.0.' || (doc_id % 256) || '.1 responded.'
+        |           ELSE '' END AS text
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, text,
+        |              regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |                             '[EMAIL]', 'g') AS no_email
+        |       FROM planted),
+        |s2 AS (SELECT *, regexp_replace(no_email, '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}',
+        |                                '[PHONE]', 'g') AS no_phone FROM s1)
+        |SELECT doc_id,
+        |       regexp_replace(no_phone,
+        |         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g') AS scrubbed,
+        |       CAST(len(regexp_extract_all(text,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |       CAST(len(regexp_extract_all(no_email,
+        |         '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+        |       CAST(len(regexp_extract_all(no_phone,
+        |         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ips
+        |FROM s2 ORDER BY doc_id""".stripMargin,
     "hybrid_rank" -> {
       s"""WITH ${tokensCte("WHERE lang = 'en'")},
          |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tokens GROUP BY doc_id),

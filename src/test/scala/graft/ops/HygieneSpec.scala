@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.corpus.SparkTestSession
+
+/** Unit coverage for the web-hygiene operators beyond what the arithmetic
+  * oracles in SparkEntry pin: canonicalization edge shapes (adjacent
+  * tracking params, preserved real params, both default ports), PII
+  * counting, and the Gopher repetition thresholds on hand-built docs.
+  */
+class HygieneSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("url").select(Hygiene.canonicalUrl(col("url"))).as[String].collect().toSeq
+
+  test("canonicalUrl: tracking params stripped, real params preserved") {
+    assert(canon(
+      "HTTPS://Example.ORG:443/a/B?utm_source=x&utm_campaign=y&id=3",
+      "https://example.org/a?id=3&utm_medium=em#frag",
+      "http://Host.COM:80/p?fbclid=abc123",
+      "https://example.org/a?gclid=1&q=spark&utm_term=z",
+      "https://example.org/path#section",
+      "https://example.org/plain?a=1&b=2"
+    ) == Seq(
+      "https://example.org/a/B?id=3",
+      "https://example.org/a?id=3",
+      "http://host.com/p",
+      "https://example.org/a?q=spark",
+      "https://example.org/path",
+      "https://example.org/plain?a=1&b=2"
+    ))
+  }
+
+  test("canonicalUrl: non-default port and non-http scheme keep their port") {
+    assert(canon("https://example.org:8443/x", "ftp://Example.org:21/x") ==
+      Seq("https://example.org:8443/x", "ftp://example.org:21/x"))
+  }
+
+  test("hostOf / registrableDomain") {
+    val r = Seq("https://A.B.Example.co:8080/p?q=1")
+      .toDF("url")
+      .select(Hygiene.hostOf(col("url")).as("h"))
+      .select(col("h"), Hygiene.registrableDomain(col("h")))
+      .as[(String, String)].collect().head
+    assert(r == ("a.b.example.co", "example.co"))
+  }
+
+  test("gopherRepetition: dup-line and top-word fractions + flag thresholds") {
+    val docs = Seq(
+      (1L, "same line\nsame line\nsame line\nother"),       // 3 dup lines of 4
+      (2L, "spam spam spam spam one two"),                   // top word 4/6
+      (3L, "a perfectly normal line\nwith different words")  // clean
+    ).toDF("doc_id", "text")
+    val m = Hygiene.gopherRepetition(docs).orderBy("doc_id")
+      .select("doc_id", "dup_line_frac", "top_word_frac", "flagged")
+      .as[(Long, Double, Double, Boolean)].collect()
+    assert(m(0) == ((1L, 0.5, 0.428571, true)))   // 1 - 2/4 ; 'same' 3 of 7 words
+    assert(m(1) == ((2L, 0.0, 0.666667, true)))
+    assert(m(2) == ((3L, 0.0, 0.142857, false)))
+  }
+
+  test("pii scrubbing: typed placeholders and per-class counts") {
+    val row = Seq("Mail a@b.co and c.d+x@e.org, call 555-123-4567, ping 192.168.0.1.")
+      .toDF("text")
+    val out = Hygiene.piiColumns(col("text")).foldLeft(row) {
+      case (d, (n, c)) => d.withColumn(n, c)
+    }.select("scrubbed", "n_emails", "n_phones", "n_ips")
+      .as[(String, Int, Int, Int)].collect().head
+    assert(out._1 == "Mail [EMAIL] and [EMAIL], call [PHONE], ping [IP].")
+    assert((out._2, out._3, out._4) == ((2, 1, 1)))
+  }
+
+  test("pii scrubbing: email hosts never double-count as IPs") {
+    val row = Seq("x@10.0.0.1.example.com then 10.0.0.1").toDF("text")
+    val out = Hygiene.piiColumns(col("text")).foldLeft(row) {
+      case (d, (n, c)) => d.withColumn(n, c)
+    }.select("scrubbed", "n_emails", "n_ips").as[(String, Int, Int)].collect().head
+    assert(out._1 == "[EMAIL] then [IP]")
+    assert((out._2, out._3) == ((1, 1)))
+  }
+}

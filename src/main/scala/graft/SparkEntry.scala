@@ -729,6 +729,25 @@ object SparkEntry {
       }.drop("text").orderBy("doc_id")
     }),
 
+    // CCNet-style cross-document line dedup: planted boilerplate (a shared
+    // footer on every even doc) must drop, planted unique lines must stay
+    "line_dedup" -> ((s, dir) => {
+      val planted = documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            lit("\nVisit our homepage\n(c) Example Site All Rights Reserved"))
+            .otherwise(concat(lit("\nUnique line "), col("doc_id")))).as("text"))
+      graft.ops.Hygiene.lineDedup(planted, minDocs = 3).orderBy("doc_id")
+    }),
+    // domain-level aggregation for wholesale quality filtering
+    "domain_stats" -> ((s, dir) => {
+      val planted = documents(s, dir).select(col("doc_id"),
+        concat(lit("https://"), col("source"), lit(".site"),
+          pmod(col("doc_id"), lit(4)), lit(".com/p/"), col("doc_id")).as("url"),
+        col("text"))
+      graft.ops.Hygiene.domainStats(planted).orderBy("domain")
+    }),
+
     // ---- text analysis ----
     "lang_id" -> ((s, dir) =>
       documents(s, dir)
@@ -1461,6 +1480,58 @@ object SparkEntry {
         |       CAST(len(regexp_extract_all(no_phone,
         |         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ips
         |FROM s2 ORDER BY doc_id""".stripMargin,
+    "line_dedup" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text || CASE WHEN doc_id % 2 = 0
+        |    THEN chr(10) || 'Visit our homepage' || chr(10) || '(c) Example Site All Rights Reserved'
+        |    ELSE chr(10) || 'Unique line ' || doc_id END AS text
+        |  FROM documents),
+        |lines AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted),
+        |ex AS (SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS line_no
+        |       FROM lines),
+        |common AS (
+        |  SELECT lower(trim(line)) AS norm
+        |  FROM ex WHERE trim(line) <> ''
+        |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
+        |k AS (
+        |  SELECT e.doc_id, e.line_no, e.line,
+        |         (trim(e.line) <> '' AND c.norm IS NOT NULL) AS dropped
+        |  FROM ex e LEFT JOIN common c ON lower(trim(e.line)) = c.norm)
+        |SELECT doc_id,
+        |  CAST(count(*) AS INT) AS n_lines,
+        |  CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS INT) AS n_dropped,
+        |  coalesce(string_agg(CASE WHEN NOT dropped THEN line END, chr(10) ORDER BY line_no), '')
+        |    AS clean_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "domain_stats" ->
+      """WITH ls AS (
+        |  SELECT doc_id,
+        |         len(string_split(text, chr(10))) AS n_lines,
+        |         len(list_distinct(string_split(text, chr(10)))) AS n_distinct_lines
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, w, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        |        FROM documents)
+        |  WHERE w <> '' GROUP BY doc_id, w),
+        |ws AS (SELECT doc_id, sum(c) AS n_words, max(c) AS top_word_count
+        |       FROM w GROUP BY doc_id),
+        |g AS (
+        |  SELECT l.doc_id,
+        |         CAST(coalesce(ws.n_words, 0) AS BIGINT) AS n_words,
+        |         (round(1.0 - l.n_distinct_lines / CAST(l.n_lines AS DOUBLE), 6) > 0.3
+        |          OR round(coalesce(ws.top_word_count / CAST(ws.n_words AS DOUBLE), 0.0), 6) > 0.2)
+        |           AS flagged
+        |  FROM ls l LEFT JOIN ws ON l.doc_id = ws.doc_id),
+        |d AS (
+        |  SELECT doc_id, 'site' || (doc_id % 4) || '.com' AS domain,
+        |         source || '.site' || (doc_id % 4) || '.com' AS host
+        |  FROM documents)
+        |SELECT d.domain, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT d.host) AS BIGINT) AS n_hosts,
+        |       CAST(sum(g.n_words) AS BIGINT) AS total_words,
+        |       round(avg(CASE WHEN g.flagged THEN 1.0 ELSE 0.0 END), 6) AS flagged_frac
+        |FROM d JOIN g USING (doc_id) GROUP BY 1 ORDER BY 1""".stripMargin,
     "hybrid_rank" -> {
       s"""WITH ${tokensCte("WHERE lang = 'en'")},
          |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tokens GROUP BY doc_id),

@@ -83,6 +83,73 @@ object Hygiene {
         col("dup_line_frac") > 0.3 || col("top_word_frac") > 0.2)
   }
 
+  // ---- cross-document line dedup (CCNet-style boilerplate removal) --------
+
+  /** Drop lines whose normalized form (lower + trim) appears in at least
+    * `minDocs` distinct documents — the standard web-corpus boilerplate
+    * filter (nav bars, cookie banners, footers repeat across a site; real
+    * prose doesn't). Blank lines are never dedup candidates.
+    *
+    * Scale shape: explode → one groupBy on a 64-bit line hash (map-side
+    * partial agg; the common-line table is corpus-boilerplate-sized, far
+    * smaller than the corpus) → equi-join back on the hash → per-doc
+    * reassembly grouped by doc_id. No driver-side state; the only risk at
+    * 100 TB is head lines ("home", "") which the blank filter and the
+    * bounded distinct-doc count keep benign. Joining on xxhash64(norm)
+    * instead of the string keeps the shuffle payload fixed-width; a collision
+    * needs ~2^32 distinct lines per partition-pair to matter.
+    *
+    * @return (doc_id, n_lines, n_dropped, clean_text)
+    */
+  def lineDedup(docs: DataFrame, minDocs: Int): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("line_no", "line")))
+      .withColumn("norm_hash", xxhash64(lower(trim(col("line")))))
+      .withColumn("blank", trim(col("line")) === "")
+    val common = lines.where(!col("blank"))
+      .groupBy("norm_hash")
+      .agg(countDistinct("doc_id").as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .select(col("norm_hash"), lit(true).as("is_common"))
+    lines.join(common, Seq("norm_hash"), "left")
+      .withColumn("dropped", !col("blank") && coalesce(col("is_common"), lit(false)))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_lines"),
+        sum(col("dropped").cast("int")).cast("int").as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(!col("dropped"),
+              struct(col("line_no"), col("line"))))),
+            x => x.getField("line")),
+          "\n").as("clean_text"))
+  }
+
+  // ---- domain-level aggregation -------------------------------------------
+
+  /** Per-registrable-domain corpus statistics — the aggregation behind
+    * domain-level quality filtering (a domain whose pages are mostly
+    * repetition-flagged gets blacklisted wholesale). One groupBy on the
+    * derived domain key; the repetition metrics come from
+    * [[gopherRepetition]] joined on doc_id.
+    *
+    * Input needs (doc_id, url, text);
+    * output (domain, n_docs, n_hosts, total_words, flagged_frac).
+    */
+  def domainStats(docs: DataFrame): DataFrame = {
+    val withDomain = docs
+      .withColumn("host", hostOf(col("url")))
+      .withColumn("domain", registrableDomain(col("host")))
+    val rep = gopherRepetition(docs.select(col("doc_id"), col("text")))
+    withDomain.join(rep, Seq("doc_id"))
+      .groupBy("domain")
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        countDistinct("host").as("n_hosts"),
+        sum("n_words").as("total_words"),
+        round(avg(col("flagged").cast("double")), 6).as("flagged_frac"))
+  }
+
   // ---- PII scrubbing ------------------------------------------------------
 
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

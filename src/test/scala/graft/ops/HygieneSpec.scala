@@ -73,6 +73,38 @@ class HygieneSpec extends AnyFunSuite {
     assert((out._2, out._3, out._4) == ((2, 1, 1)))
   }
 
+  test("lineDedup: drops lines shared by >=minDocs docs, keeps blanks and rare lines") {
+    val docs = Seq(
+      (1L, "Cookie banner\nreal content one\n\nCookie banner"),
+      (2L, "cookie banner \nreal content two"),   // case/space-normalized match
+      (3L, "Cookie banner\nreal content three\nrare shared"),
+      (4L, "rare shared\nonly here"),
+      (5L, "Cookie banner")                        // all lines boilerplate
+    ).toDF("doc_id", "text")
+    val out = Hygiene.lineDedup(docs, minDocs = 3).orderBy("doc_id")
+      .select("doc_id", "n_lines", "n_dropped", "clean_text")
+      .as[(Long, Int, Int, String)].collect()
+    assert(out(0) == ((1L, 4, 2, "real content one\n")))   // blank line survives
+    assert(out(1) == ((2L, 2, 1, "real content two")))
+    assert(out(2) == ((3L, 3, 1, "real content three\nrare shared"))) // 2 docs < minDocs
+    assert(out(3) == ((4L, 2, 0, "rare shared\nonly here")))
+    assert(out(4) == ((5L, 1, 1, "")))
+  }
+
+  test("domainStats: subdomain hosts collapse to registrable domain") {
+    val docs = Seq(
+      (1L, "https://a.shop.com/x", "one two three\nfour five six"),
+      (2L, "https://b.shop.com/y", "spam spam spam spam spam one"),
+      (3L, "https://a.shop.com/z", "alpha beta gamma delta epsilon zeta"),
+      (4L, "https://news.org/p", "red green blue yellow purple orange")
+    ).toDF("doc_id", "url", "text")
+    val out = Hygiene.domainStats(docs).orderBy("domain")
+      .select("domain", "n_docs", "n_hosts", "flagged_frac")
+      .as[(String, Long, Long, Double)].collect()
+    assert(out(0) == (("news.org", 1L, 1L, 0.0)))
+    assert(out(1) == (("shop.com", 3L, 2L, 0.333333))) // doc 2 top-word-flagged
+  }
+
   test("pii scrubbing: email hosts never double-count as IPs") {
     val row = Seq("x@10.0.0.1.example.com then 10.0.0.1").toDF("text")
     val out = Hygiene.piiColumns(col("text")).foldLeft(row) {

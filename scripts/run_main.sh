@@ -3,8 +3,10 @@
 # flags as build.sbt's fork settings. Usage: run_main.sh <mainClass> [args...]
 # Env: SPARK_DRIVER_MEM (default 8g) and the main's own env vars.
 set -euo pipefail
-SCALA_LIB=$(find "$HOME"/.cache/coursier -name 'scala-library-2.13*.jar' 2>/dev/null | head -1)
-CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*:$SCALA_LIB"
+REPO_ROOT="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd)"
+# newest 2.13 scala-library in the cache (sort -V so 2.13.17 beats 2.13.9)
+SCALA_LIB=$(find "$HOME"/.cache/coursier -name 'scala-library-2.13*.jar' 2>/dev/null | sort -V | tail -1)
+CP="$REPO_ROOT/target/scala-2.13/classes:/opt/spark/jars/*:$SCALA_LIB"
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
          java.util java.util.concurrent java.util.concurrent.atomic; do

@@ -694,7 +694,7 @@ object SparkEntry {
           lit("HTTPS://Example.ORG:443/"), col("lang"), lit("/"), col("source"),
           lit("/"), lpad(col("doc_id").cast("string"), 8, "0"),
           when(pmod(col("doc_id"), lit(4)) === 0,
-            concat(lit("?utm_source=feed&utm_campaign=x&id="), pmod(col("doc_id"), lit(7))))
+            concat(lit("?UTM_Source=feed&utm_campaign=x&id="), pmod(col("doc_id"), lit(7))))
             .when(pmod(col("doc_id"), lit(4)) === 1,
               concat(lit("?id="), pmod(col("doc_id"), lit(7)), lit("&utm_medium=em#frag")))
             .when(pmod(col("doc_id"), lit(4)) === 2, lit("#section2"))
@@ -1422,7 +1422,7 @@ object SparkEntry {
         |  'HTTPS://Example.ORG:443/' || lang || '/' || source || '/' ||
         |    lpad(CAST(doc_id AS VARCHAR), 8, '0') ||
         |    CASE CAST(doc_id % 4 AS INT)
-        |      WHEN 0 THEN '?utm_source=feed&utm_campaign=x&id=' || (doc_id % 7)
+        |      WHEN 0 THEN '?UTM_Source=feed&utm_campaign=x&id=' || (doc_id % 7)
         |      WHEN 1 THEN '?id=' || (doc_id % 7) || '&utm_medium=em#frag'
         |      WHEN 2 THEN '#section2' ELSE '' END AS url,
         |  'https://example.org/' || lang || '/' || source || '/' ||

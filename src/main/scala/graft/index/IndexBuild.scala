@@ -654,9 +654,11 @@ object IndexBuild extends Serializable {
   * O(1) small-file write — never a rewrite of prior history, so a
   * 100k-chunk build pays 100k tiny creates, not the O(chunks²) bytes a
   * grow-and-rewrite JSONL would. Per-chunk ordering (latest row wins on
-  * resume/rebuild) comes from a (epoch-ms, per-JVM counter) sequence in the
-  * file name — valid for the single writer this manifest documents; a
-  * multi-writer deployment swaps this object for conditional commits.
+  * resume/rebuild) comes from a (ts, per-JVM counter) sequence in the file
+  * name, where ts is monotonic over the directory's existing commits (not
+  * raw wall clock — see [[nextTs]]); valid for the single writer this
+  * manifest documents; a multi-writer deployment swaps this object for
+  * conditional commits.
   * Legacy single-file `manifest.jsonl` manifests remain readable (their rows
   * order BEFORE any commit-file rows of the same chunk).
   */
@@ -664,11 +666,29 @@ object Manifest {
   private def legacyPath(outDir: String) = s"$outDir/manifest.jsonl"
   private def commitDir(outDir: String) = s"$outDir/manifest.d"
   private val seqCounter = new java.util.concurrent.atomic.AtomicLong()
+  // Per-outDir monotonic timestamp: seeded ONCE per JVM from the max
+  // name-embedded ts already in manifest.d, then max(prev+1, now). "Latest
+  // commit wins" must follow true commit order, not the wall clock — a
+  // clock stepped backwards across JVM restarts (NTP) would otherwise make
+  // a REBUILT chunk's commit sort before the stale one it replaces. One
+  // listing per (JVM, outDir); appends stay O(1) after that.
+  private val tsBase =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  private def nextTs(outDir: String): Long = {
+    val base = tsBase.computeIfAbsent(outDir, { d =>
+      val maxExisting = TableIO.listFiles(commitDir(d), "chunk-")
+        .flatMap(_.split("-").lift(2).flatMap(_.toLongOption))
+        .foldLeft(0L)(math.max)
+      new java.util.concurrent.atomic.AtomicLong(maxExisting)
+    })
+    base.updateAndGet(prev => math.max(prev + 1, System.currentTimeMillis()))
+  }
 
   def append(outDir: String, row: ManifestRow): Unit = {
     val line = s"""{"chunk":${row.chunk},"status":"${row.status}","docs":${row.docs},""" +
       s""""tokens":${row.tokens},"terms":${row.terms},"inputChecksum":"${row.inputChecksum}","wallMs":${row.wallMs}}"""
-    val name = f"chunk-${row.chunk}%08d-${System.currentTimeMillis()}%013d-${seqCounter.getAndIncrement()}%06d.json"
+    val name = f"chunk-${row.chunk}%08d-${nextTs(outDir)}%013d-${seqCounter.getAndIncrement()}%06d.json"
     TableIO.writeStringAtomic(s"${commitDir(outDir)}/$name", line)
   }
 

@@ -29,7 +29,9 @@ object Hygiene {
     val host = when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
       .when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
       .otherwise(hostPort)
-    val noTrack = regexp_replace(rest, "([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*", "$1")
+    // param names match case-insensitively (UTM_SOURCE= is the same tracker
+    // as utm_source=); host/scheme are lowercased above for the same reason
+    val noTrack = regexp_replace(rest, "([?&])(?i:utm_[a-z]+|fbclid|gclid)=[^&#]*", "$1")
     // "$1" keeps the leading separator; collapse the debris it leaves.
     // Order matters: two adjacent tracking params leave "?&&x" — runs of
     // '&' must collapse before the '?&' join is repaired.

@@ -57,8 +57,13 @@ final class InMemoryIndex(
     facets.toSeq.groupBy(e => (e._1._1, e._1._2))
       .map { case (k, es) => k -> es.map(e => (e._1._3, e._2)).toArray }
 
-  def search(q: QuerySpec): SearchResult =
-    materialize(q, searchPartial(q))
+  def search(q: QuerySpec): SearchResult = {
+    // analyze the query ONCE: the same Ctx drives the kernel and supplies
+    // the highlight term set materialize needs
+    val ctxOpt = QueryCore.context(q, numDocs(q.lang), avgdl(q.lang))
+    val partials = ctxOpt.map(partialFor(q, _)).getOrElse(Array.empty[SegmentResult])
+    materialize(q, partials, ctxOpt.map(_.terms.map(_._1).toSet))
+  }
 
   /** This node's un-materialized contribution to a query: the per-segment
     * top-k heaps + hit counts, scored with GLOBAL idf — directly mergeable
@@ -67,10 +72,11 @@ final class InMemoryIndex(
     * required term has no posting ON THIS NODE (a doc missing a term on this
     * shard is missing it globally: chunks partition docs).
     */
-  def searchPartial(q: QuerySpec): Array[SegmentResult] = {
-    val ctxOpt = QueryCore.context(q, numDocs(q.lang), avgdl(q.lang))
-    if (ctxOpt.isEmpty) return Array.empty
-    val ctx = ctxOpt.get
+  def searchPartial(q: QuerySpec): Array[SegmentResult] =
+    QueryCore.context(q, numDocs(q.lang), avgdl(q.lang))
+      .map(partialFor(q, _)).getOrElse(Array.empty)
+
+  private def partialFor(q: QuerySpec, ctx: QueryCore.Ctx): Array[SegmentResult] = {
     def localDf(t: String): Long =
       Option(postings.get((q.lang, t))).map(_._1).getOrElse(0L)
     // idf from corpus-wide df (termdict) on shard nodes; local == global on
@@ -121,11 +127,14 @@ final class InMemoryIndex(
   /** Merge partials (this node's, or a fleet's) and materialize the page:
     * payload fetch, highlighting, empty-result suggestions.
     */
-  private[query] def materialize(q: QuerySpec, segResults: Array[SegmentResult]): SearchResult = {
+  private[query] def materialize(q: QuerySpec, segResults: Array[SegmentResult],
+      qsetOpt: Option[Set[String]] = None): SearchResult = {
     if (segResults.isEmpty)
       return SearchResult(Nil, 0L, "eq", suggest(q.lang, q.query))
     val (page, total, relation) = QueryCore.merge(q, segResults)
-    val qset = Bm25Query.queryTerms(q).map(_._1).toSet
+    // fleet coordinators call without a precomputed term set (their nodes
+    // analyzed independently); the single-node path passes Ctx's terms
+    val qset = qsetOpt.getOrElse(Bm25Query.queryTerms(q).map(_._1).toSet)
     val pageIds = page.toSeq.map(_.docId)
     val missing = pageIds.filterNot(docs.containsKey(_))
     val fetched: Map[Long, (String, String)] =
@@ -266,10 +275,42 @@ object InMemoryIndex {
     * @param facetBuckets facet-key-shard subset; None = follow `buckets`
     * @param chunks       doc-shard subset (chunk ids); None = all chunks
     */
+  /** Corpus-wide (lang, term) → df — from the termdict artifact when
+    * present, else aggregated across ALL chunks of the segments table
+    * (chunks partition docs, so per-chunk df sums to global df). A
+    * chunk-subset node MUST score with this, never its shard-local df, or
+    * its BM25 scores silently diverge from a full node's.
+    */
+  def loadGlobalDf(spark: SparkSession, idx: IndexHandle): Map[(String, String), Long] = {
+    import spark.implicits._
+    if (TableIO.exists(s"${idx.dir}/termdict"))
+      spark.read.parquet(s"${idx.dir}/termdict")
+        .select("lang", "term", "df")
+        .as[(String, String, Long)]
+        .collect()
+        .map { case (l, t, d) => (l, t) -> d }
+        .toMap
+    else // legacy index without the artifact: one column-pruned read of
+         // (lang, term, df) over all chunks — parity over silent drift
+      spark.read.parquet(idx.segmentsPath)
+        .groupBy(col("lang"), col("term"))
+        .agg(org.apache.spark.sql.functions.sum("df").as("df"))
+        .as[(String, String, Long)]
+        .collect()
+        .map { case (l, t, d) => (l, t) -> d }
+        .toMap
+  }
+
+  /** @param sharedGlobalDf a termdict map loaded once via [[loadGlobalDf]]
+    *   and shared across the chunk-subset nodes of an in-process fleet —
+    *   without it each node would read and hold its own full copy of the
+    *   corpus dictionary (the largest map in the system, duplicated N×).
+    */
   def load(spark: SparkSession, idx: IndexHandle, withDocs: Boolean = true,
       buckets: Option[Set[Int]] = None,
       facetBuckets: Option[Set[Int]] = None,
-      chunks: Option[Set[Int]] = None): InMemoryIndex = {
+      chunks: Option[Set[Int]] = None,
+      sharedGlobalDf: Option[Map[(String, String), Long]] = None): InMemoryIndex = {
     import spark.implicits._
     var bytes = 0L
     val postings = new java.util.HashMap[(String, String), (Long, Array[Byte], Array[Byte])]()
@@ -320,16 +361,16 @@ object InMemoryIndex {
         bytes += all.length * 8L
         key -> all
       }
-    // doc-shard nodes read the termdict artifact: corpus-wide df for idf
-    // parity with a full node, and the GLOBAL suggest dictionary
+    // doc-shard nodes need corpus-wide df: idf parity with a full node, and
+    // the GLOBAL suggest dictionary. loadGlobalDf falls back to aggregating
+    // the full segments table when the termdict artifact is absent (legacy
+    // indexes) — a shard-local df here would silently break score parity.
     val globalDf: Map[(String, String), Long] = chunks match {
-      case Some(_) if TableIO.exists(s"${idx.dir}/termdict") =>
-        spark.read.parquet(s"${idx.dir}/termdict")
-          .select("lang", "term", "df")
-          .as[(String, String, Long)]
-          .collect()
-          .map { case (l, t, d) => bytes += t.length * 2L + 8L; (l, t) -> d }
-          .toMap
+      case Some(_) =>
+        val m = sharedGlobalDf.getOrElse(loadGlobalDf(spark, idx))
+        if (sharedGlobalDf.isEmpty)
+          m.foreach { case ((_, t), _) => bytes += t.length * 2L + 8L }
+        m
       case _ => Map.empty
     }
     val dict: Map[String, Array[(String, Long)]] =

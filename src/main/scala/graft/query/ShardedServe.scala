@@ -40,7 +40,20 @@ object ShardedServe {
     * shard).
     */
   final class Fleet(nodes: Seq[InMemoryIndex]) extends SearchNode {
-    def search(q: QuerySpec): SearchResult = ShardedServe.search(nodes, q)
+    // one long-lived scatter pool per fleet (daemon threads so the JVM can
+    // exit) — a pool per query would put thread churn on the serving hot path
+    private val pool: java.util.concurrent.ExecutorService =
+      java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(nodes.size, 1),
+        new java.util.concurrent.ThreadFactory {
+          private val n = new java.util.concurrent.atomic.AtomicInteger()
+          def newThread(r: Runnable): Thread = {
+            val t = new Thread(r, s"fleet-scatter-${n.getAndIncrement()}")
+            t.setDaemon(true)
+            t
+          }
+        })
+    def search(q: QuerySpec): SearchResult = ShardedServe.search(nodes, q, Some(pool))
     def facetMetadata(fields: Set[String],
         contentKey: String): Map[String, Map[String, Seq[String]]] =
       nodes.map(_.facetMetadata(fields, contentKey))
@@ -61,21 +74,23 @@ object ShardedServe {
   def chunkAssignment(numChunks: Int, nNodes: Int): Seq[Set[Int]] =
     (0 until nNodes).map(i => (0 until numChunks).filter(_ % nNodes == i).toSet)
 
-  def search(nodes: Seq[InMemoryIndex], q: QuerySpec): SearchResult = {
+  def search(nodes: Seq[InMemoryIndex], q: QuerySpec,
+      sharedPool: Option[java.util.concurrent.ExecutorService] = None): SearchResult = {
     require(nodes.nonEmpty, "ShardedServe.search needs at least one node")
     // scatter: per-node partials in parallel (in-process stand-in for the
     // fleet RPC; each partial is a bounded heap, never full results)
     val partials: Array[SegmentResult] =
       if (nodes.size == 1) nodes.head.searchPartial(q)
       else {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(nodes.size)
+        val pool = sharedPool.getOrElse(
+          java.util.concurrent.Executors.newFixedThreadPool(nodes.size))
         try {
           val futs = nodes.map(n => pool.submit(
             new java.util.concurrent.Callable[Array[SegmentResult]] {
               def call(): Array[SegmentResult] = n.searchPartial(q)
             }))
           futs.flatMap(_.get()).toArray
-        } finally pool.shutdown()
+        } finally if (sharedPool.isEmpty) pool.shutdown()
       }
     // gather: merge + materialize on the coordinator (any node can do it —
     // payload fetch is an on-demand docstore point-read, and suggest uses

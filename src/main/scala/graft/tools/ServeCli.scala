@@ -35,10 +35,15 @@ object ServeCli {
       else {
         val numChunks = graft.index.IndexBuild.readProps(idxDir).numChunks
         println(s"[serve] doc-sharded fleet: $shards nodes over $numChunks chunks")
+        // load the corpus-wide term dictionary ONCE and share it across the
+        // in-process nodes (it's the largest map in the system; N copies in
+        // one JVM would defeat the per-node memory bound)
+        val shared = graft.query.InMemoryIndex.loadGlobalDf(spark, idx)
         new graft.query.ShardedServe.Fleet(
           graft.query.ShardedServe.chunkAssignment(numChunks, shards)
             .filter(_.nonEmpty)
-            .map(cs => graft.query.InMemoryIndex.load(spark, idx, chunks = Some(cs))))
+            .map(cs => graft.query.InMemoryIndex.load(spark, idx, chunks = Some(cs),
+              sharedGlobalDf = Some(shared))))
       }
     val server = new graft.api.SearchHttpServer(mem, port = port)
     server.start()

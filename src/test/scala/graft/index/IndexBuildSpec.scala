@@ -390,4 +390,21 @@ class IndexBuildSpec extends AnyFunSuite {
       "latest commit file must supersede both the legacy row and the earlier commit")
     assert(latest(2).docs == 14)
   }
+
+  test("manifest: commit order survives a wall clock behind existing commits") {
+    // Simulate a clock stepped backwards across a JVM restart: an existing
+    // commit carries a FUTURE name-timestamp relative to this "JVM"'s clock.
+    // The next append must still sort after it (latest-wins ordering follows
+    // true commit order, not the wall clock).
+    val dir = "/tmp/gidx-manifest-clock"
+    rm(dir)
+    val future = System.currentTimeMillis() + 86400000L // tomorrow
+    graft.index.TableIO.writeStringAtomic(
+      f"$dir/manifest.d/chunk-${3}%08d-$future%013d-000000.json",
+      """{"chunk":3,"status":"done","docs":1,"tokens":10,"terms":5,"inputChecksum":"v3:stale","wallMs":1}""")
+    Manifest.append(dir, ManifestRow(3, "done", 2, 20, 10, "v3:fresh", 2))
+    val latest = Manifest.rows(dir).groupBy(_.chunk).map { case (c, rs) => c -> rs.last }
+    assert(latest(3).inputChecksum == "v3:fresh",
+      "a rebuild committed after a clock step-back must supersede the stale commit")
+  }
 }

@@ -18,7 +18,7 @@ class HygieneSpec extends AnyFunSuite {
 
   test("canonicalUrl: tracking params stripped, real params preserved") {
     assert(canon(
-      "HTTPS://Example.ORG:443/a/B?utm_source=x&utm_campaign=y&id=3",
+      "HTTPS://Example.ORG:443/a/B?UTM_SOURCE=x&utm_campaign=y&id=3",
       "https://example.org/a?id=3&utm_medium=em#frag",
       "http://Host.COM:80/p?fbclid=abc123",
       "https://example.org/a?gclid=1&q=spark&utm_term=z",

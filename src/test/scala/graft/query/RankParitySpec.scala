@@ -240,6 +240,33 @@ class RankParitySpec extends AnyFunSuite {
     nodes.foreach(n => assert(n.loadedBytes < full.loadedBytes))
   }
 
+  test("legacy index without termdict: chunk-subset nodes still score with GLOBAL df") {
+    // Pre-termdict indexes are supported; a chunk-subset load must then fall
+    // back to aggregating corpus-wide df from the segments table — never to
+    // shard-LOCAL df, which would silently break fleet/full score parity.
+    val legacyDir = "/tmp/graft-test-idx-legacy"
+    val src = new java.io.File(idx.dir)
+    val dst = new java.io.File(legacyDir)
+    if (dst.exists()) scala.reflect.io.Directory(dst).deleteRecursively()
+    def cp(f: java.io.File, t: java.io.File): Unit =
+      if (f.isDirectory) { t.mkdirs(); f.listFiles().foreach(c => cp(c, new java.io.File(t, c.getName))) }
+      else java.nio.file.Files.copy(f.toPath, t.toPath)
+    cp(src, dst)
+    scala.reflect.io.Directory(new java.io.File(s"$legacyDir/termdict")).deleteRecursively()
+    val legacy = IndexHandle.load(legacyDir)
+    val full = InMemoryIndex.load(spark, legacy)
+    val nodes = ShardedServe.chunkAssignment(numChunks = 2, nNodes = 2).map { cs =>
+      InMemoryIndex.load(spark, legacy, chunks = Some(cs))
+    }
+    Seq(QuerySpec("hi", hiPhrase), QuerySpec("hi", hiPhrase, mode = "any"))
+      .foreach { q =>
+        val a = ShardedServe.search(nodes, q)
+        val b = full.search(q)
+        assert(a.hits.map(h => (h.docId, h.score)) == b.hits.map(h => (h.docId, h.score)), s"$q")
+        assert(a.totalHits == b.totalHits, s"$q")
+      }
+  }
+
   test("shard memory scales with shard count: loadedBytes subset ≪ full, monotone in buckets") {
     val full = InMemoryIndex.load(spark, idx)
     val q = QuerySpec("hi", hiPhrase, metaFilters = Map("category" -> Seq("Pravachan")))

@@ -47,6 +47,16 @@ case class IndexHandle(dir: String, stats: Map[String, (Long, Long)]) {
   /** Materialized term dictionary (absent only on pre-termdict indexes). */
   def termdictPath: Option[String] =
     if (graft.index.TableIO.exists(s"$dir/termdict")) Some(s"$dir/termdict") else None
+
+  /** Driver-resident (lang, term) → corpus df for terms queried through this
+    * handle — the analog of Lucene's in-memory term dictionary. Entries never
+    * go stale within a handle: a handle is bound to one index version, and
+    * mutations (delete-by-query / reindex / incremental merge) require a
+    * fresh [[IndexHandle.load]], exactly like the resident numDocs/avgdl
+    * stats. Bounded by [[Bm25Query.DfCacheMax]].
+    */
+  @transient private[query] lazy val dfCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
 }
 
 object IndexHandle {
@@ -83,6 +93,37 @@ object Bm25Query {
   @volatile var MaxDriverPostings: Long =
     sys.env.getOrElse("GRAFT_MAX_DRIVER_POSTINGS", "5000000").toLong
 
+  /** Cap on [[IndexHandle.dfCache]] entries (~32 MB of boxed map at the cap;
+    * cleared wholesale when exceeded — queries repeat head terms, so a crude
+    * reset keeps the hit rate high without LRU bookkeeping).
+    */
+  @volatile var DfCacheMax: Int = 1 << 20
+
+  /** Corpus-wide df for `terms`, served from the handle's driver-resident
+    * term-df cache; only UNCACHED terms pay the Spark probe job (a
+    * groupBy(term).sum(df) over the (lang, term)-pruned segments scan).
+    * A query whose terms are all cached skips one of its three sequential
+    * Spark jobs — repeat terms are the norm (head terms at web scale), so
+    * steady-state query latency drops to kernel + payload-fetch.
+    */
+  def globalDfMap(spark: SparkSession, idx: IndexHandle, lang: String,
+      terms: Seq[String]): Map[String, Long] = {
+    import spark.implicits._
+    val cached = terms.flatMap(t =>
+      Option(idx.dfCache.get((lang, t))).map(v => t -> v.longValue)).toMap
+    val missing = terms.filterNot(cached.contains)
+    if (missing.isEmpty) cached
+    else {
+      val probed = spark.read.parquet(idx.segmentsPath)
+        .where(col("lang") === lang && col("term").isin(missing: _*))
+        .groupBy("term").agg(sum("df").as("df"))
+        .as[(String, Long)].collect().toMap
+      if (idx.dfCache.size > DfCacheMax) idx.dfCache.clear()
+      missing.foreach(t => idx.dfCache.put((lang, t), Long.box(probed.getOrElse(t, 0L))))
+      cached ++ missing.map(t => t -> probed.getOrElse(t, 0L))
+    }
+  }
+
   /** Analyze query text with the same analyzer as the index (rank parity
     * precondition) → (term, qPos) pairs; duplicates deduped (Lucene would
     * score duplicate terms twice; the reference UI never issues them — we
@@ -113,10 +154,10 @@ object Bm25Query {
     // facet rows for filters (terms filter Q4 + year/date range Q5)
     val facetRows: DataFrame = facetReadDf(spark, idx, q.lang, ctx)
 
-    // global df per term across segments (for idf + execution-path choice)
+    // global df per term (for idf + execution-path choice) — from the
+    // handle's term-df cache; only first-seen terms pay a probe job
     import spark.implicits._
-    val dfMap: Map[String, Long] = rows.groupBy("term").agg(sum("df").as("df"))
-      .as[(String, Long)].collect().toMap
+    val dfMap: Map[String, Long] = globalDfMap(spark, idx, q.lang, allTerms)
     if (q.mode == "all" && terms.exists(t => dfMap.getOrElse(t._1, 0L) == 0L))
       return SearchResult(Nil, 0L, "eq", suggest(spark, idx, q.lang, q.query))
     val info = QueryCore.termInfo(ctx, t => dfMap.getOrElse(t, 0L))
@@ -129,10 +170,17 @@ object Bm25Query {
     val totalPostings = dfMap.values.sum
     val segResults: Array[SegmentResult] =
       if (totalPostings <= MaxDriverPostings) {
+        // postings and facet lists are independent reads — submit both jobs
+        // concurrently (Spark schedules parallel jobs from separate threads),
+        // so a filtered query pays max(post, facet) latency, not the sum
+        val facetFut =
+          if (facetRows == null) null
+          else scala.concurrent.Future(facetRows.as[QueryCore.FacetRow].collect())(
+            scala.concurrent.ExecutionContext.global)
         val postList = rows.as[QueryCore.PostRow].collect()
         val facetList =
-          if (facetRows == null) Array.empty[QueryCore.FacetRow]
-          else facetRows.as[QueryCore.FacetRow].collect()
+          if (facetFut == null) Array.empty[QueryCore.FacetRow]
+          else scala.concurrent.Await.result(facetFut, scala.concurrent.duration.Duration.Inf)
         val facetByChunk = facetList.groupBy(_._1)
         postList.groupBy(_._1).iterator.flatMap { case (chunk, posts) =>
           QueryCore.segmentKernel(ctx, info, posts, facetByChunk.getOrElse(chunk, Array.empty))
@@ -193,8 +241,7 @@ object Bm25Query {
     val rows = spark.read.parquet(idx.segmentsPath)
       .where(col("lang") === q.lang && col("term").isin(terms.toSeq: _*))
       .select(col("term"), col("df"), col("blob"))
-    val dfMap = rows.groupBy("term").agg(sum("df").as("df"))
-      .as[(String, Long)].collect().toMap // |query terms| rows — bounded
+    val dfMap = globalDfMap(spark, idx, q.lang, terms.toSeq)
     val idfB = spark.sparkContext.broadcast(
       terms.map(t => t -> Bm25.idf(n, dfMap.getOrElse(t, 0L))).toMap)
     val perTerm = rows.select(col("term"), col("blob"))
@@ -372,8 +419,7 @@ object Bm25Query {
     val rows = spark.read.parquet(idx.segmentsPath)
       .where(col("lang") === qAll.lang && col("term").isin(allTerms.toSeq: _*))
       .select(col("chunk"), col("term"), col("df"), col("blob"), posCol)
-    val dfMap: Map[String, Long] = rows.groupBy("term").agg(sum("df").as("df"))
-      .as[(String, Long)].collect().toMap
+    val dfMap: Map[String, Long] = globalDfMap(spark, idx, qAll.lang, allTerms)
     if (ctx.mode == "all" && ctx.terms.exists(t => dfMap.getOrElse(t._1, 0L) == 0L))
       return spark.emptyDataset[ScoredDoc].toDF()
     val info = QueryCore.termInfo(ctx, t => dfMap.getOrElse(t, 0L))

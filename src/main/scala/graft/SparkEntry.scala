@@ -739,6 +739,18 @@ object SparkEntry {
             .otherwise(concat(lit("\nUnique line "), col("doc_id")))).as("text"))
       graft.ops.Hygiene.lineDedup(planted, minDocs = 3).orderBy("doc_id")
     }),
+    // Gopher n-gram repetition fractions (trigram variant)
+    "ngram_repetition" -> ((s, dir) =>
+      graft.ops.Hygiene.ngramRepetition(
+        documents(s, dir).select(col("doc_id"), col("text")), n = 3)
+        .orderBy("doc_id")),
+    // C4 line-filter battery over planted boilerplate lines
+    "c4_line_filter" -> ((s, dir) => {
+      val planted = documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit("\nBuy now {click}\nlorem ipsum dolor sit amet.\nShort one.\nThis is a real sentence with enough words.")).as("text"))
+      graft.ops.Hygiene.c4LineFilter(planted).orderBy("doc_id")
+    }),
     // domain-level aggregation for wholesale quality filtering
     "domain_stats" -> ((s, dir) => {
       val planted = documents(s, dir).select(col("doc_id"),
@@ -1501,6 +1513,48 @@ object SparkEntry {
         |  CAST(count(*) AS INT) AS n_lines,
         |  CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS INT) AS n_dropped,
         |  coalesce(string_agg(CASE WHEN NOT dropped THEN line END, chr(10) ORDER BY line_no), '')
+        |    AS clean_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "ngram_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+        |  FROM w, LATERAL unnest(generate_series(1, len(ws) - 2)) AS t(i)),
+        |c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+        |a AS (
+        |  SELECT doc_id, sum(c) AS n_ngrams, max(c) AS top_count,
+        |         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_count
+        |  FROM c GROUP BY 1)
+        |SELECT doc_id, CAST(n_ngrams AS BIGINT) AS n_ngrams,
+        |       round(top_count / CAST(n_ngrams AS DOUBLE), 6) AS top_ngram_frac,
+        |       round(dup_count / CAST(n_ngrams AS DOUBLE), 6) AS dup_ngram_frac
+        |FROM a ORDER BY doc_id""".stripMargin,
+    "c4_line_filter" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text || chr(10) || 'Buy now {click}' || chr(10) ||
+        |    'lorem ipsum dolor sit amet.' || chr(10) || 'Short one.' || chr(10) ||
+        |    'This is a real sentence with enough words.' AS text
+        |  FROM documents),
+        |lines AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted),
+        |ex AS (SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS line_no
+        |       FROM lines),
+        |k AS (
+        |  SELECT doc_id, line_no, line,
+        |    (regexp_matches(trim(line), '[.!?"'']$')
+        |     AND len(list_filter(regexp_split_to_array(trim(line), '\s+'), x -> x <> '')) >= 3
+        |     AND NOT contains(lower(line), 'lorem ipsum')
+        |     AND NOT contains(lower(line), 'javascript')
+        |     AND NOT contains(lower(line), '{')
+        |     AND NOT contains(lower(line), 'cookie policy')
+        |     AND NOT contains(lower(line), 'terms of use')) AS kept
+        |  FROM ex)
+        |SELECT doc_id,
+        |  CAST(count(*) AS INT) AS n_lines,
+        |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS INT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN kept THEN line END, chr(10) ORDER BY line_no), '')
         |    AS clean_text
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "domain_stats" ->

@@ -85,6 +85,78 @@ object Hygiene {
         col("dup_line_frac") > 0.3 || col("top_word_frac") > 0.2)
   }
 
+  /** Gopher-style n-gram repetition metrics: per doc, over word n-grams of
+    * size `n`,
+    *   - `top_ngram_frac`  — occurrences of the single most frequent n-gram
+    *     as a fraction of all n-gram occurrences,
+    *   - `dup_ngram_frac`  — fraction of n-gram occurrences whose n-gram
+    *     occurs more than once.
+    * (The published Gopher rules measure character coverage; the
+    * occurrence-fraction analog here is deterministic, order-free, and
+    * SQL-recomputable — the thresholds transfer.) Shape at scale: one
+    * explode of n-grams (sliding window via `transform(sequence(...))`,
+    * no UDF) → two doc-keyed aggregations, both map-side partial.
+    * Docs shorter than n words emit zero n-grams → fractions 0.
+    * @return (doc_id, n_ngrams, top_ngram_frac, dup_ngram_frac)
+    */
+  def ngramRepetition(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 2, "ngramRepetition needs n >= 2 (n=1 is top_word_frac)")
+    val words = filter(split(lower(col("text")), "\\s+"), w => w =!= "")
+    // sequence(a, b) DESCENDS when a > b — guard short docs to an empty
+    // array (explode then emits no rows, matching the SQL oracle)
+    val starts = when(size(words) >= n, sequence(lit(0), size(words) - n))
+      .otherwise(array().cast("array<int>"))
+    val grams = docs.select(
+      col("doc_id"),
+      explode(transform(starts,
+        i => array_join(slice(words, i + 1, lit(n)), " "))).as("gram"))
+    grams.groupBy("doc_id", "gram").count()
+      .groupBy("doc_id")
+      .agg(
+        sum("count").as("n_ngrams"),
+        max("count").as("top_count"),
+        sum(when(col("count") > 1, col("count")).otherwise(lit(0L))).as("dup_count"))
+      .select(
+        col("doc_id"),
+        col("n_ngrams"),
+        round(col("top_count") / col("n_ngrams"), 6).as("top_ngram_frac"),
+        round(col("dup_count") / col("n_ngrams"), 6).as("dup_ngram_frac"))
+  }
+
+  // ---- C4-style line filtering --------------------------------------------
+
+  /** The C4 line-level cleaning battery (public C4 rules): keep a line only
+    * if it ends in terminal punctuation, has ≥ `minWords` words, and does
+    * not contain boilerplate markers ("lorem ipsum", "javascript", a curly
+    * brace, "cookie policy" / "terms of use" — case-insensitive). One
+    * explode → per-line predicate (codegen'd) → per-doc reassembly; the
+    * same single-exchange shape as [[lineDedup]].
+    * @return (doc_id, n_lines, n_kept, clean_text)
+    */
+  def c4LineFilter(docs: DataFrame, minWords: Int = 3): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("line_no", "line")))
+    val t = trim(col("line"))
+    val lw = lower(col("line"))
+    val kept =
+      t.rlike("[.!?\"']$") &&
+      size(filter(split(t, "\\s+"), w => w =!= "")) >= minWords &&
+      !lw.contains("lorem ipsum") && !lw.contains("javascript") &&
+      !lw.contains("{") && !lw.contains("cookie policy") &&
+      !lw.contains("terms of use")
+    lines.withColumn("kept", kept)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_lines"),
+        sum(col("kept").cast("int")).cast("int").as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("kept"),
+              struct(col("line_no"), col("line"))))),
+            x => x.getField("line")),
+          "\n").as("clean_text"))
+  }
+
   // ---- cross-document line dedup (CCNet-style boilerplate removal) --------
 
   /** Drop lines whose normalized form (lower + trim) appears in at least

@@ -91,6 +91,31 @@ class HygieneSpec extends AnyFunSuite {
     assert(out(4) == ((5L, 1, 1, "")))
   }
 
+  test("ngramRepetition: top and duplicate trigram occurrence fractions") {
+    val docs = Seq(
+      (1L, "a b c a b c a b d"),   // 7 trigrams; abc, bca, cab each ×2 → 6 dup occurrences
+      (2L, "all words different here now"), // 3 trigrams, all unique
+      (3L, "too short")            // < 3 words → no rows
+    ).toDF("doc_id", "text")
+    val out = Hygiene.ngramRepetition(docs, n = 3).orderBy("doc_id")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(out.length == 2, "doc 3 emits no n-grams")
+    assert(out(0) == ((1L, 7L, 0.285714, 0.857143))) // top 2/7; dup 6/7
+    assert(out(1) == ((2L, 3L, 0.333333, 0.0)))
+  }
+
+  test("c4LineFilter: punctuation, min-words and boilerplate markers") {
+    val docs = Seq(
+      (1L, "This line is a keeper sentence.\nno terminal punctuation here\n" +
+        "Call javascript:void(0) now.\nOpen { brace } line.\nToo few.\n" +
+        "Another good line stays here!")
+    ).toDF("doc_id", "text")
+    val out = Hygiene.c4LineFilter(docs).orderBy("doc_id")
+      .as[(Long, Int, Int, String)].collect()
+    assert(out(0) == ((1L, 6, 2,
+      "This line is a keeper sentence.\nAnother good line stays here!")))
+  }
+
   test("domainStats: subdomain hosts collapse to registrable domain") {
     val docs = Seq(
       (1L, "https://a.shop.com/x", "one two three\nfour five six"),

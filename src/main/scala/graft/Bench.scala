@@ -141,9 +141,10 @@ object Bench {
     // resident serving layer (reference analog: the always-on OpenSearch
     // process): load once, serve at memory latency — p50 over 50 queries
     sectionProbes("serve") = graft.tools.CpuProbe.efficiency(cpus.toInt)
-    val tLoad = System.nanoTime()
-    val mem = graft.query.InMemoryIndex.load(spark, idx)
-    results("serve_load") = (System.nanoTime() - tLoad) / 1e9
+    // multi-attempt like every other metric (the last remaining single-shot)
+    var memV: graft.query.InMemoryIndex = null
+    timedN("serve_load", 3) { memV = graft.query.InMemoryIndex.load(spark, idx) }
+    val mem = memV
     def serveBench(name: String, q: QuerySpec): Unit = {
       (1 to 5).foreach(_ => mem.search(q))
       timedN(name, 50) { mem.search(q) }

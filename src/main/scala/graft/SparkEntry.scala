@@ -396,6 +396,26 @@ object SparkEntry {
         .orderBy("term")
     }),
 
+    // ---- snapshot-incremental ingestion (Iceberg-style table consume) ----
+    // two table commits; the second consume processes ONLY the appended rows,
+    // yet the final segments match full-corpus term stats (DuckDB oracle)
+    "snapshot_ingest" -> ((s, dir) => {
+      val slug = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_snaptbl_$slug"
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_snapidx_$slug"
+      graft.index.TableIO.deleteRecursive(tbl)
+      graft.index.TableIO.deleteRecursive(out)
+      val web = Webtext.fromDocuments(s, dir)
+      graft.table.SnapshotTable.append(s, tbl, web.where(pmod(col("doc_id"), lit(2)) === 0))
+      graft.table.SnapshotIngest.consume(s, tbl, out, numChunks = 2)
+      graft.table.SnapshotTable.append(s, tbl, web.where(pmod(col("doc_id"), lit(2)) === 1))
+      graft.table.SnapshotIngest.consume(s, tbl, out, numChunks = 2)
+      s.read.parquet(s"$out/segments")
+        .where(col("lang") === "en" && col("term").isin("spark", "dup", "batch"))
+        .groupBy("term").agg(sum("df").as("df"), sum("cf").as("cf"))
+        .orderBy("term")
+    }),
+
     // ---- J2 hierarchical config merge (scan_config.py:51-143) ----
     "config_merge" -> ((s, dir) => {
       import s.implicits._
@@ -1040,6 +1060,15 @@ object SparkEntry {
         |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "facet_values" ->
       "SELECT DISTINCT lang, source FROM documents ORDER BY lang, source",
+    "snapshot_ingest" ->
+      """WITH tok0 AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+        |  FROM documents WHERE lang = 'en'),
+        |tokens AS (SELECT doc_id, term FROM tok0 WHERE term <> '')
+        |SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+        |       CAST(count(*) AS BIGINT) AS cf
+        |FROM tokens WHERE term IN ('spark', 'dup', 'batch')
+        |GROUP BY term ORDER BY term""".stripMargin,
     "reindex_doc" ->
       """WITH web AS (
         |  SELECT doc_id, lang,

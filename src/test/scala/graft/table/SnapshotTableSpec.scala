@@ -1,0 +1,79 @@
+package graft.table
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.corpus.{SparkTestSession, Webtext}
+import graft.index.{IndexBuild, PostingListMerger, PostingListReader}
+
+class SnapshotTableSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def rm(p: String): Unit = {
+    val d = new java.io.File(p)
+    if (d.exists()) scala.reflect.io.Directory(d).deleteRecursively()
+  }
+
+  private def fingerprint(dir: String): Map[(String, String), Seq[(Long, Int, Int)]] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/segments")
+      .select("lang", "term", "blob", "posBlob")
+      .as[(String, String, Array[Byte], Array[Byte])]
+      .collect()
+      .groupBy(r => (r._1, r._2))
+      .map { case (key, rows) =>
+        val (blob, posBlob, _, _) = PostingListMerger.merge(rows.map(r => (r._3, r._4)).toSeq)
+        val it = new PostingListReader(blob, posBlob).iterator()
+        it.start()
+        val buf = scala.collection.mutable.ArrayBuffer[(Long, Int, Int)]()
+        while (!it.exhausted) { buf += ((it.docId, it.tf, it.dl)); it.next() }
+        key -> buf.toSeq
+      }
+  }
+
+  test("snapshot table: atomic append, time travel, incremental diff") {
+    val tbl = "/tmp/gsnap-tbl"
+    rm(tbl)
+    import spark.implicits._
+    val s1 = SnapshotTable.append(spark, tbl,
+      Webtext.synthesize(spark, 600, partitions = 4).toDF())
+    val s2 = SnapshotTable.append(spark, tbl,
+      Webtext.synthesize(spark, 900, partitions = 4).toDF().where(col("docId") >= 600))
+    assert(SnapshotTable.currentId(tbl).contains(s2) && s2 == s1 + 1)
+    assert(SnapshotTable.read(spark, tbl).count() == 900)
+    // time travel: the old snapshot still reads exactly its own file list
+    assert(SnapshotTable.read(spark, tbl, asOf = Some(s1)).count() == 600)
+    // incremental diff: only the appended rows
+    val fresh = SnapshotTable.appendedSince(spark, tbl, s1).get
+    assert(fresh.count() == 300)
+    assert(fresh.agg(min("docId")).as[Long].head() == 600)
+    assert(SnapshotTable.appendedSince(spark, tbl, s2).isEmpty)
+    // data files of a later commit are invisible at the older snapshot even
+    // though they share the directory tree (manifest-scoped scan, not a
+    // recursive directory listing)
+    assert(SnapshotTable.snapshot(tbl, s1).files.forall(_.contains(s"c-$s1/")))
+  }
+
+  test("snapshot-incremental consume == fresh build over the full table") {
+    val tbl = "/tmp/gsnap-tbl2"
+    val idx = "/tmp/gsnap-idx"
+    val freshIdx = "/tmp/gsnap-fresh"
+    Seq(tbl, idx, freshIdx).foreach(rm)
+    import spark.implicits._
+    val all = Webtext.synthesize(spark, 800, partitions = 4).toDF()
+    SnapshotTable.append(spark, tbl, all.where(col("docId") < 500))
+    // first consume: full build of snapshot 1
+    val (f0, t0, n0) = SnapshotIngest.consume(spark, tbl, idx, numChunks = 2)
+    assert(f0 == -1L && t0 == 1L && n0 == 500L)
+    // nothing new: no-op
+    assert(SnapshotIngest.consume(spark, tbl, idx)._3 == 0L)
+    // append snapshot 2 and consume ONLY the 300 new docs
+    SnapshotTable.append(spark, tbl, all.where(col("docId") >= 500))
+    val (f1, t1, n1) = SnapshotIngest.consume(spark, tbl, idx)
+    assert(f1 == 1L && t1 == 2L && n1 == 300L)
+    assert(SnapshotIngest.consumedSnapshot(idx).contains(2L))
+    // the incrementally-consumed index is postings-identical to a fresh
+    // build over the merged table
+    IndexBuild.build(spark, all, freshIdx, numChunks = 2)
+    assert(fingerprint(idx) == fingerprint(freshIdx))
+  }
+}

@@ -166,7 +166,7 @@ object Bench {
       QuerySpec("hi", hiPhrase, metaFilters = Map("category" -> Seq("Pravachan"))))
     val qpsThreads = math.max(2, cpus.toInt / 2)
     val qpsQueries = 2000
-    def qpsRun(): Double = {
+    def qpsRun(node: graft.query.SearchNode): Double = {
       val next = new java.util.concurrent.atomic.AtomicInteger(0)
       val pool = java.util.concurrent.Executors.newFixedThreadPool(qpsThreads)
       val t0 = System.nanoTime()
@@ -175,7 +175,7 @@ object Bench {
           def run(): Unit = {
             var i = next.getAndIncrement()
             while (i < qpsQueries) {
-              mem.search(qpsMix(i % qpsMix.length))
+              node.search(qpsMix(i % qpsMix.length))
               i = next.getAndIncrement()
             }
           }
@@ -185,11 +185,28 @@ object Bench {
       pool.shutdown()
       qpsQueries / ((System.nanoTime() - t0) / 1e9)
     }
-    qpsRun() // warmup
-    val qpsAttempts = (1 to 3).map(_ => qpsRun())
+    qpsRun(mem) // warmup
+    val qpsAttempts = (1 to 3).map(_ => qpsRun(mem))
     val serveQps = qpsAttempts.max // peak capability; attempts show the spread
     attemptLog("serve_qps_sec_per_1k") = qpsAttempts.map(q => 1000.0 / q)
     results("serve_qps_sec_per_1k") = 1000.0 / serveQps
+    // same mixed load through the doc-sharded scatter-gather FLEET (the
+    // topology the north metric scales): 2 chunk-subset nodes sharing one
+    // termdict, coordinator merges bounded partials — overhead vs the single
+    // resident node is the scatter-gather cost a real fleet pays per shard
+    val fleet = {
+      val numChunks = IndexBuild.readProps(idxDir).numChunks
+      val shared = graft.query.InMemoryIndex.loadGlobalDf(spark, idx)
+      new graft.query.ShardedServe.Fleet(
+        graft.query.ShardedServe.chunkAssignment(numChunks, 2).filter(_.nonEmpty)
+          .map(cs => graft.query.InMemoryIndex.load(spark, idx,
+            chunks = Some(cs), sharedGlobalDf = Some(shared))))
+    }
+    qpsRun(fleet) // warmup
+    val fleetAttempts = (1 to 3).map(_ => qpsRun(fleet))
+    val serveQpsFleet = fleetAttempts.max
+    attemptLog("serve_qps_fleet_sec_per_1k") = fleetAttempts.map(q => 1000.0 / q)
+    results("serve_qps_fleet_sec_per_1k") = 1000.0 / serveQpsFleet
 
     // ---- representative pipeline operators over the sf tables ----
     // median-of-N per op (first run also pays plan compilation + scan cache;
@@ -223,7 +240,7 @@ object Bench {
     val probesJson = sectionProbes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","bench_docs":$benchDocs,"docs_per_sec":$docsPerSec%.1f,"serve_qps":$serveQps%.1f,"serve_qps_threads":$qpsThreads,"build_attempts":$attemptsJson,"build_best_steal_pct":${best._2}%.1f,"build_best_cpu_probe":${best._3}%.3f,"metric_attempts":$metricAttemptsJson,"section_probes":$probesJson,"cpu_probe_eff":$probe%.3f}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","bench_docs":$benchDocs,"docs_per_sec":$docsPerSec%.1f,"serve_qps":$serveQps%.1f,"serve_qps_fleet":$serveQpsFleet%.1f,"serve_qps_threads":$qpsThreads,"build_attempts":$attemptsJson,"build_best_steal_pct":${best._2}%.1f,"build_best_cpu_probe":${best._3}%.3f,"metric_attempts":$metricAttemptsJson,"section_probes":$probesJson,"cpu_probe_eff":$probe%.3f}""")
     spark.stop()
   }
 }

@@ -136,16 +136,29 @@ final class InMemoryIndex(
     // analyzed independently); the single-node path passes Ctx's terms
     val qset = qsetOpt.getOrElse(Bm25Query.queryTerms(q).map(_._1).toSet)
     val pageIds = page.toSeq.map(_.docId)
-    val missing = pageIds.filterNot(docs.containsKey(_))
+    val missing = pageIds.filterNot(id =>
+      docs.containsKey(id) || payloadCache.containsKey(id))
     val fetched: Map[Long, (String, String)] =
       if (missing.isEmpty) Map.empty else fetchDocs(missing)
+    if (fetched.nonEmpty) {
+      if (payloadCache.size > InMemoryIndex.PayloadCacheMax) payloadCache.clear()
+      fetched.foreach { case (k, v) => payloadCache.put(k, v) }
+    }
     val hits = pageIds.zip(page.toSeq).map { case (id, sd) =>
-      val (url, text) = Option(docs.get(id)).orElse(fetched.get(id)).getOrElse(("", ""))
+      val (url, text) = Option(docs.get(id)).orElse(Option(payloadCache.get(id)))
+        .orElse(fetched.get(id)).getOrElse(("", ""))
       Hit(sd.docId, sd.score, url, q.lang, Bm25Query.highlight(text, q.lang, qset))
     }
     val sugg = if (hits.isEmpty) suggest(q.lang, q.query) else Nil
     SearchResult(hits, total, relation, sugg)
   }
+
+  // Bounded payload cache for bucket/chunk-subset nodes (no resident
+  // docstore): head queries repeat their winners, so only FIRST-seen page
+  // docs pay the point-read Spark job — the same serving-cache idea as the
+  // reference's 30-min metadata TTL cache (search_api.py:86). Node is bound
+  // to one index version (reload after mutations), so entries never go stale.
+  private val payloadCache = new java.util.concurrent.ConcurrentHashMap[Long, (String, String)]()
 
   /** On-demand payload point-read for a page of winners: docId IN-list over
     * the docId-sorted docstore — parquet min/max stats prune to ~one row
@@ -230,6 +243,10 @@ final class InMemoryIndex(
 }
 
 object InMemoryIndex {
+
+  /** Payload-cache entry cap per node (pages are ≤ from+k docs; 64k entries
+    * of url+text is tens of MB — cleared wholesale when exceeded). */
+  @volatile var PayloadCacheMax: Int = 1 << 16
 
   /** Term-shard id of a term — must match the `bucket` column written at
     * build time (IndexBuild.toSegment).

@@ -123,6 +123,12 @@ object Bench {
     val docsPerSec = benchDocs / best._1
 
     // ---- warm query latencies over the built index ----
+    // Re-build UNTIMED with 2 chunks: the timed north-star attempts stay
+    // 1-chunk (comparable across rounds), but the serving sections need a
+    // doc-shardable index — chunkAssignment(1, 2) would yield a single node
+    // and silently measure the full-node path as "fleet"
+    rm(idxDir)
+    IndexBuild.build(spark, corpus, idxDir, numChunks = 2)
     sectionProbes("queries") = graft.tools.CpuProbe.efficiency(cpus.toInt)
     val idx = IndexHandle.load(idxDir)
     val hiPhrase = Webtext.GoldenPhrase("hi").mkString(" ")

@@ -138,8 +138,10 @@ object Hygiene {
       .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("line_no", "line")))
     val t = trim(col("line"))
     val lw = lower(col("line"))
+    // \z, not $: Java's $ matches BEFORE a trailing \r (CRLF corpora), which
+    // would keep lines the RE2-based oracle (and C4) drop
     val kept =
-      t.rlike("[.!?\"']$") &&
+      t.rlike("[.!?\"']\\z") &&
       size(filter(split(t, "\\s+"), w => w =!= "")) >= minWords &&
       !lw.contains("lorem ipsum") && !lw.contains("javascript") &&
       !lw.contains("{") && !lw.contains("cookie policy") &&

@@ -114,9 +114,10 @@ object Bm25Query {
     val missing = terms.filterNot(cached.contains)
     if (missing.isEmpty) cached
     else {
-      val probed = spark.read.parquet(idx.segmentsPath)
-        .where(col("lang") === lang && col("term").isin(missing: _*))
-        .groupBy("term").agg(sum("df").as("df"))
+      // termdict when present (one pruned row per term, no aggregation);
+      // pre-termdict indexes fall back to the segments aggregation
+      val probed = termDictDf(spark, idx, lang)
+        .where(col("term").isin(missing: _*))
         .as[(String, Long)].collect().toMap
       if (idx.dfCache.size > DfCacheMax) idx.dfCache.clear()
       missing.foreach(t => idx.dfCache.put((lang, t), Long.box(probed.getOrElse(t, 0L))))
@@ -175,7 +176,11 @@ object Bm25Query {
         // so a filtered query pays max(post, facet) latency, not the sum
         val facetFut =
           if (facetRows == null) null
-          else scala.concurrent.Future(facetRows.as[QueryCore.FacetRow].collect())(
+          else scala.concurrent.Future(
+            // blocking{}: the collect parks this global-pool thread for a
+            // full Spark job; the hint lets the pool compensate instead of
+            // starving under concurrent filtered searches
+            scala.concurrent.blocking { facetRows.as[QueryCore.FacetRow].collect() })(
             scala.concurrent.ExecutionContext.global)
         val postList = rows.as[QueryCore.PostRow].collect()
         val facetList =

@@ -136,8 +136,13 @@ final class InMemoryIndex(
     // analyzed independently); the single-node path passes Ctx's terms
     val qset = qsetOpt.getOrElse(Bm25Query.queryTerms(q).map(_._1).toSet)
     val pageIds = page.toSeq.map(_.docId)
+    // snapshot cached VALUES up front (not containsKey): a concurrent
+    // wholesale clear() between check and read must not leave a hit with an
+    // empty payload — anything not in this snapshot gets fetched
+    val cachedPayloads: Map[Long, (String, String)] =
+      pageIds.flatMap(id => Option(payloadCache.get(id)).map(id -> _)).toMap
     val missing = pageIds.filterNot(id =>
-      docs.containsKey(id) || payloadCache.containsKey(id))
+      docs.containsKey(id) || cachedPayloads.contains(id))
     val fetched: Map[Long, (String, String)] =
       if (missing.isEmpty) Map.empty else fetchDocs(missing)
     if (fetched.nonEmpty) {
@@ -145,7 +150,7 @@ final class InMemoryIndex(
       fetched.foreach { case (k, v) => payloadCache.put(k, v) }
     }
     val hits = pageIds.zip(page.toSeq).map { case (id, sd) =>
-      val (url, text) = Option(docs.get(id)).orElse(Option(payloadCache.get(id)))
+      val (url, text) = Option(docs.get(id)).orElse(cachedPayloads.get(id))
         .orElse(fetched.get(id)).getOrElse(("", ""))
       Hit(sd.docId, sd.score, url, q.lang, Bm25Query.highlight(text, q.lang, qset))
     }

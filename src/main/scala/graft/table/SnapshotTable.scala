@@ -59,6 +59,10 @@ object SnapshotTable {
   def append(spark: SparkSession, tableDir: String, df: DataFrame): Long = {
     val id = currentId(tableDir).getOrElse(0L) + 1
     val commitDir = s"$tableDir/data/c-$id"
+    // a crash AFTER the data write but BEFORE the manifest write leaves an
+    // orphan c-<id> dir that no manifest references; the retry (same id,
+    // single writer) must replace it, not fail on path-exists forever
+    TableIO.deleteRecursive(commitDir)
     df.write.parquet(commitDir)
     val newFiles = TableIO.listFiles(commitDir, "part-")
       .sorted.map(n => s"data/c-$id/$n")
@@ -83,14 +87,16 @@ object SnapshotTable {
     spark.read.parquet(files: _*)
   }
 
-  /** Rows appended after snapshot `afterId`, up to the current snapshot —
-    * the incremental-scan diff (append-only tables: the file sets are
-    * strictly growing, so the diff is exactly the new commits' files).
-    * None when nothing was appended.
+  /** Rows appended after snapshot `afterId`, up to `upTo` (default: the
+    * current snapshot) — the incremental-scan diff (append-only tables: the
+    * file sets are strictly growing, so the diff is exactly the new
+    * commits' files). None when nothing was appended. Consumers should pin
+    * `upTo` to the snapshot they resolved at the start of their run, so a
+    * concurrent append can't widen the scan past what they record.
     */
   def appendedSince(spark: SparkSession, tableDir: String,
-      afterId: Long): Option[DataFrame] = {
-    val cur = currentId(tableDir).getOrElse(return None)
+      afterId: Long, upTo: Option[Long] = None): Option[DataFrame] = {
+    val cur = upTo.orElse(currentId(tableDir)).getOrElse(return None)
     if (cur <= afterId) return None
     val before = snapshot(tableDir, afterId).files.toSet
     val fresh = snapshot(tableDir, cur).files.filterNot(before)
@@ -132,23 +138,31 @@ object SnapshotIngest {
       .getOrElse(sys.error(s"no snapshots under $tableDir"))
     val commit: Long => Unit = id => TableIO.writeStringAtomic(markerPath(outDir),
       s"""{"table":"$tableDir","snapshot":$id}""")
+    // every read below is PINNED to `cur`: a commit landing mid-consume must
+    // not widen the scan past the snapshot the marker will record
     consumedSnapshot(outDir) match {
       case None =>
-        val df = SnapshotTable.read(spark, tableDir)
-        val n = df.count()
-        graft.index.IndexBuild.build(spark, df, outDir,
-          numChunks = numChunks, saltTargetPostings = saltTargetPostings)
-        commit(cur)
-        (-1L, cur, n)
+        // persist: the count and the build share one scan of the input
+        val df = SnapshotTable.read(spark, tableDir, asOf = Some(cur)).persist()
+        try {
+          val n = df.count()
+          graft.index.IndexBuild.build(spark, df, outDir,
+            numChunks = numChunks, saltTargetPostings = saltTargetPostings)
+          commit(cur)
+          (-1L, cur, n)
+        } finally df.unpersist()
       case Some(prev) if prev >= cur => (prev, cur, 0L)
       case Some(prev) =>
-        SnapshotTable.appendedSince(spark, tableDir, prev) match {
+        SnapshotTable.appendedSince(spark, tableDir, prev, upTo = Some(cur)) match {
           case None => commit(cur); (prev, cur, 0L)
-          case Some(fresh) =>
-            val n = fresh.count()
-            graft.index.IndexBuild.reindexDocs(spark, outDir, fresh)
-            commit(cur)
-            (prev, cur, n)
+          case Some(fresh0) =>
+            val fresh = fresh0.persist()
+            try {
+              val n = fresh.count()
+              graft.index.IndexBuild.reindexDocs(spark, outDir, fresh)
+              commit(cur)
+              (prev, cur, n)
+            } finally fresh.unpersist()
         }
     }
   }

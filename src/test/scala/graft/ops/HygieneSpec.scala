@@ -108,11 +108,12 @@ class HygieneSpec extends AnyFunSuite {
     val docs = Seq(
       (1L, "This line is a keeper sentence.\nno terminal punctuation here\n" +
         "Call javascript:void(0) now.\nOpen { brace } line.\nToo few.\n" +
+        "A CRLF-terminated sentence drops.\r\n" + // \r survives the \n split; \z must reject it
         "Another good line stays here!")
     ).toDF("doc_id", "text")
     val out = Hygiene.c4LineFilter(docs).orderBy("doc_id")
       .as[(Long, Int, Int, String)].collect()
-    assert(out(0) == ((1L, 6, 2,
+    assert(out(0) == ((1L, 7, 2,
       "This line is a keeper sentence.\nAnother good line stays here!")))
   }
 

@@ -53,6 +53,21 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.snapshot(tbl, s1).files.forall(_.contains(s"c-$s1/")))
   }
 
+  test("append retries over an orphan commit dir from a crashed attempt") {
+    val tbl = "/tmp/gsnap-orphan"
+    rm(tbl)
+    import spark.implicits._
+    SnapshotTable.append(spark, tbl, Seq((1L, "a")).toDF("docId", "text"))
+    // simulate a crash AFTER the data write, BEFORE the manifest write: an
+    // unreferenced data/c-2 dir exists; the retry must replace it, not fail
+    Seq((99L, "stale")).toDF("docId", "text").write.parquet(s"$tbl/data/c-2")
+    val s2 = SnapshotTable.append(spark, tbl, Seq((2L, "b")).toDF("docId", "text"))
+    assert(s2 == 2L)
+    import org.apache.spark.sql.functions.col
+    val ids = SnapshotTable.read(spark, tbl).select(col("docId")).as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L), "stale orphan rows must not leak into the table")
+  }
+
   test("snapshot-incremental consume == fresh build over the full table") {
     val tbl = "/tmp/gsnap-tbl2"
     val idx = "/tmp/gsnap-idx"

@@ -54,6 +54,18 @@ object ExplainCli {
     println("=== index-backed distributed FULL scoring (scoreDf — hybrid_rank's " +
       "lexical side; expect scan → flatMap decode → one hash aggregate, no collect) ===")
     Bm25Query.scoreDf(spark, idx, QuerySpec("hi", "a b")).explain("formatted")
+
+    println("=== cross-doc line dedup (expect explode → partial+final hash agg on " +
+      "the 64-bit norm_hash → equi-join back → one doc_id agg; no collect, no " +
+      "cartesian) ===")
+    import spark.implicits._
+    val docsDf = Seq((1L, "a\nb"), (2L, "a\nc")).toDF("doc_id", "text")
+    graft.ops.Hygiene.lineDedup(docsDf, minDocs = 2).explain("formatted")
+
+    println("=== n-gram repetition (expect ONE explode of built-in " +
+      "transform/sequence — no UDF — then two doc-keyed hash aggregates with " +
+      "map-side partial agg) ===")
+    graft.ops.Hygiene.ngramRepetition(docsDf, n = 3).explain("formatted")
     spark.stop()
   }
 }

@@ -227,13 +227,20 @@ final class InMemoryIndex(
   /** Spelling suggestions from the resident term dictionary (Q8 semantics,
     * same scoring as [[Bm25Query.suggest]]).
     */
+  // first-char buckets of the suggest dictionary: a misspelled term scans
+  // only its prefix bucket, not the whole vocabulary (suggest already
+  // restricts candidates to the same first character)
+  private val dictByPrefix: Map[String, Map[Char, Array[(String, Long)]]] =
+    dict.map { case (lang, entries) =>
+      lang -> entries.filter(e => e._1.length >= 3).groupBy(_._1.charAt(0))
+    }
+
   def suggest(lang: String, query: String, size: Int = 5, minScore: Double = 0.6): Seq[String] = {
     val qTerms = Analyzer.terms(query, lang).filter(_.length >= 3)
-    val d = dict.getOrElse(lang, Array.empty)
+    val byPrefix = dictByPrefix.getOrElse(lang, Map.empty)
     qTerms.toSeq.flatMap { w =>
-      val prefix = w.charAt(0)
-      d.iterator
-        .filter { case (t, _) => t.length >= 3 && t.nonEmpty && t.charAt(0) == prefix && t != w }
+      byPrefix.getOrElse(w.charAt(0), Array.empty[(String, Long)]).iterator
+        .filter { case (t, _) => t != w }
         .map { case (t, dfv) =>
           val dist = Bm25Query.damerauLevenshtein(w, t)
           (t, dfv, 1.0 - dist.toDouble / math.max(w.length, t.length))

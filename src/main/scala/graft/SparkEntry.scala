@@ -759,6 +759,12 @@ object SparkEntry {
             .otherwise(concat(lit("\nUnique line "), col("doc_id")))).as("text"))
       graft.ops.Hygiene.lineDedup(planted, minDocs = 3).orderBy("doc_id")
     }),
+    // training-window chunking: overlapping fixed-token windows per doc
+    "chunk_by_tokens" -> ((s, dir) =>
+      graft.ops.TextAnalysis.chunkByTokens(
+        documents(s, dir).select(col("doc_id"), col("text")),
+        maxTokens = 64, overlap = 16)
+        .orderBy("doc_id", "chunk_id")),
     // Gopher n-gram repetition fractions (trigram variant)
     "ngram_repetition" -> ((s, dir) =>
       graft.ops.Hygiene.ngramRepetition(
@@ -1544,6 +1550,24 @@ object SparkEntry {
         |  coalesce(string_agg(CASE WHEN NOT dropped THEN line END, chr(10) ORDER BY line_no), '')
         |    AS clean_text
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "chunk_by_tokens" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |nw AS (
+        |  SELECT doc_id, ws, len(ws) AS n,
+        |         CASE WHEN len(ws) <= 0 THEN 0
+        |              WHEN len(ws) <= 16 THEN 1
+        |              ELSE 1 + (len(ws) - 16 - 1) // 48 END AS n_windows
+        |  FROM w),
+        |c AS (
+        |  SELECT doc_id, CAST(i AS INT) AS chunk_id,
+        |         ws[i * 48 + 1 : i * 48 + 64] AS chunk
+        |  FROM nw, LATERAL unnest(generate_series(0, n_windows - 1)) AS t(i))
+        |SELECT doc_id, chunk_id, CAST(len(chunk) AS INT) AS n_tokens,
+        |       array_to_string(chunk, ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "ngram_repetition" ->
       """WITH w AS (
         |  SELECT doc_id,

@@ -114,6 +114,46 @@ object TextAnalysis {
 
   val winnowUdf = udf((text: String) => winnow(text).toSeq)
 
+  /** Split each document into overlapping fixed-token training windows —
+    * the standard sequence-prep op before packing/tokenizing a pre-training
+    * batch. Windows start every `maxTokens - overlap` tokens; a start whose
+    * window would be fully contained in the previous one is not emitted
+    * (final short tails are kept only when they add uncovered tokens).
+    * Whitespace tokens (the ws variant of [[tokenCountColumns]]).
+    *
+    * Scale shape: pure per-row built-ins (sequence/transform/slice — no
+    * UDF, stays in codegen) + one posexplode; no shuffle at all. Empty
+    * docs emit no windows.
+    *
+    * @return (doc_id, chunk_id, n_tokens, chunk_text)
+    */
+  def chunkByTokens(docs: DataFrame, maxTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < maxTokens,
+      s"need 0 <= overlap < maxTokens, got $overlap / $maxTokens")
+    val step = maxTokens - overlap
+    val words = filter(split(col("text"), "\\s+"), w => w =!= "")
+    val n = size(words)
+    // windows = 1 + floor((n - overlap - 1) / step) when n > overlap; 1 when
+    // 0 < n <= overlap; 0 when the doc is empty
+    val nWindows = when(n <= 0, lit(0))
+      .when(n <= overlap, lit(1))
+      .otherwise(lit(1) + floor((n - overlap - 1) / step).cast("int"))
+    // sequence(0, -1, 1) throws — empty docs take the empty-array branch
+    // (posexplode then emits no rows)
+    val starts = when(nWindows > 0, sequence(lit(0), nWindows - 1, lit(1)))
+      .otherwise(array().cast("array<int>"))
+    docs
+      .withColumn("ws", words)
+      .select(col("doc_id"),
+        posexplode(transform(starts, i => slice(col("ws"), i * step + 1, lit(maxTokens))))
+          .as(Seq("chunk_id", "chunk")))
+      .select(
+        col("doc_id"),
+        col("chunk_id"),
+        size(col("chunk")).as("n_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+  }
+
   /** Assemble the full per-doc analysis frame. */
   def analyzeDocs(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -232,6 +232,24 @@ class OpsSpec extends AnyFunSuite {
     assert(a.intersect(c).length > 0)
   }
 
+  test("chunkByTokens: overlapping windows; contained tails skipped; empty doc skipped") {
+    val fixture = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 10 tokens
+      (2L, "a b c"),                          // <= overlap → one window
+      (3L, "")                                // empty → no rows
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkByTokens(fixture, maxTokens = 8, overlap = 4)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Int, Int, String)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 0, 8, "t0 t1 t2 t3 t4 t5 t6 t7"),
+      (1L, 1, 6, "t4 t5 t6 t7 t8 t9"),        // tail window keeps uncovered t8 t9
+      (2L, 0, 3, "a b c")))
+    // a doc whose would-be second window adds nothing emits only one window
+    val covered = Seq((4L, "x0 x1 x2 x3 x4 x5 x6 x7")).toDF("doc_id", "text") // n == maxTokens
+    assert(TextAnalysis.chunkByTokens(covered, 8, 4).count() == 1)
+  }
+
   test("multimodal: synth → decode stub roundtrip + feature shape") {
     val withMedia = MultiModal.withMediaColumn(docs.limit(100))
     val decoded = MultiModal.decodeMedia(spark, withMedia).collect()

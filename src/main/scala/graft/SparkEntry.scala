@@ -765,6 +765,17 @@ object SparkEntry {
         documents(s, dir).select(col("doc_id"), col("text")),
         maxTokens = 64, overlap = 16)
         .orderBy("doc_id", "chunk_id")),
+    // sequence packing: chunk rows → fixed-budget training sequences
+    "pack_chunks" -> ((s, dir) => {
+      val chunks = graft.ops.TextAnalysis.chunkByTokens(
+        documents(s, dir).select(col("doc_id"), col("text")),
+        maxTokens = 64, overlap = 16)
+      graft.ops.TextAnalysis.packChunks(chunks, budget = 256, nShards = 4)
+        .groupBy("shard", "pack_id")
+        .agg(count(lit(1)).cast("long").as("n_chunks"),
+          sum("n_tokens").as("n_tokens"))
+        .orderBy("shard", "pack_id")
+    }),
     // Gopher n-gram repetition fractions (trigram variant)
     "ngram_repetition" -> ((s, dir) =>
       graft.ops.Hygiene.ngramRepetition(
@@ -1568,6 +1579,32 @@ object SparkEntry {
         |SELECT doc_id, chunk_id, CAST(len(chunk) AS INT) AS n_tokens,
         |       array_to_string(chunk, ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "pack_chunks" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |nw AS (
+        |  SELECT doc_id, ws, len(ws) AS n,
+        |         CASE WHEN len(ws) <= 0 THEN 0
+        |              WHEN len(ws) <= 16 THEN 1
+        |              ELSE 1 + (len(ws) - 16 - 1) // 48 END AS n_windows
+        |  FROM w),
+        |c AS (
+        |  SELECT doc_id, CAST(i AS INT) AS chunk_id,
+        |         len(ws[i * 48 + 1 : i * 48 + 64]) AS n_tokens
+        |  FROM nw, LATERAL unnest(generate_series(0, n_windows - 1)) AS t(i)),
+        |p AS (
+        |  SELECT doc_id, chunk_id, n_tokens,
+        |         CAST(doc_id % 4 AS INT) AS shard,
+        |         coalesce(sum(n_tokens) OVER (PARTITION BY doc_id % 4
+        |           ORDER BY doc_id, chunk_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM c)
+        |SELECT shard, CAST(cum_before // 256 AS INT) AS pack_id,
+        |       CAST(count(*) AS BIGINT) AS n_chunks,
+        |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ngram_repetition" ->
       """WITH w AS (
         |  SELECT doc_id,

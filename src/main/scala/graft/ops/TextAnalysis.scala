@@ -154,6 +154,32 @@ object TextAnalysis {
         array_join(col("chunk"), " ").as("chunk_text"))
   }
 
+  /** Pack chunk rows into fixed-token-budget training sequences — the
+    * padding-minimizing step after [[chunkByTokens]]. GPT-style streaming
+    * packing: within a shard, chunks concatenate in deterministic
+    * (doc_id, chunk_id) order and a new pack starts whenever the running
+    * token count would pass `budget` (each chunk belongs to the pack its
+    * first token falls in). Sharding (doc_id mod nShards) keeps the window
+    * partitioned — packing is embarrassingly parallel across shards, the
+    * way a 1000-executor job would run it; a global single-partition window
+    * would be the scale-killer Spark warns about.
+    *
+    * Input needs (doc_id, chunk_id, n_tokens);
+    * output adds (shard, pack_id) — aggregate by (shard, pack_id) for
+    * sequence-level stats.
+    */
+  def packChunks(chunks: DataFrame, budget: Int, nShards: Int): DataFrame = {
+    require(budget > 0 && nShards > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id", "chunk_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    chunks
+      .withColumn("shard", pmod(col("doc_id"), lit(nShards)).cast("int"))
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("cum_before") / budget).cast("int"))
+      .drop("cum_before")
+  }
+
   /** Assemble the full per-doc analysis frame. */
   def analyzeDocs(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

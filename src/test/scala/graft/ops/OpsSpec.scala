@@ -250,6 +250,20 @@ class OpsSpec extends AnyFunSuite {
     assert(TextAnalysis.chunkByTokens(covered, 8, 4).count() == 1)
   }
 
+  test("packChunks: shard-local streaming packing, pack = floor(cum_before/budget)") {
+    val chunks = Seq(
+      (0L, 0, 6), (0L, 1, 6), (2L, 0, 5), // shard 0: cum 0, 6, 12 → packs 0, 0, 1
+      (1L, 0, 4)                          // shard 1: pack 0
+    ).toDF("doc_id", "chunk_id", "n_tokens")
+    val out = TextAnalysis.packChunks(chunks, budget = 10, nShards = 2)
+      .select("shard", "doc_id", "chunk_id", "pack_id")
+      .orderBy("shard", "doc_id", "chunk_id")
+      .as[(Int, Long, Int, Int)].collect()
+    assert(out.toSeq == Seq(
+      (0, 0L, 0, 0), (0, 0L, 1, 0), (0, 2L, 0, 1),
+      (1, 1L, 0, 0)))
+  }
+
   test("multimodal: synth → decode stub roundtrip + feature shape") {
     val withMedia = MultiModal.withMediaColumn(docs.limit(100))
     val decoded = MultiModal.decodeMedia(spark, withMedia).collect()

@@ -150,7 +150,8 @@ object Bench {
     // multi-attempt like every other metric (the last remaining single-shot)
     var memV: graft.query.InMemoryIndex = null
     timedN("serve_load", 3) { memV = graft.query.InMemoryIndex.load(spark, idx) }
-    val mem = memV
+    var mem = memV
+    memV = null
     def serveBench(name: String, q: QuerySpec): Unit = {
       (1 to 5).foreach(_ => mem.search(q))
       timedN(name, 50) { mem.search(q) }
@@ -200,7 +201,7 @@ object Bench {
     // topology the north metric scales): 2 chunk-subset nodes sharing one
     // termdict, coordinator merges bounded partials — overhead vs the single
     // resident node is the scatter-gather cost a real fleet pays per shard
-    val fleet = {
+    var fleet: graft.query.ShardedServe.Fleet = {
       val numChunks = IndexBuild.readProps(idxDir).numChunks
       val shared = graft.query.InMemoryIndex.loadGlobalDf(spark, idx)
       new graft.query.ShardedServe.Fleet(
@@ -218,6 +219,13 @@ object Bench {
     // median-of-N per op (first run also pays plan compilation + scan cache;
     // keeping the median makes a single stolen window visible in the attempt
     // spread rather than in the headline number)
+    // Release the resident serving state FIRST: the node + fleet hold the
+    // 200k-doc postings and payload text (GBs), and the shingle-explosion
+    // ops below would otherwise run against a near-full old gen — measured
+    // as a ~3× dedup_jaccard inflation vs the same op standalone.
+    mem = null
+    fleet = null
+    System.gc()
     sectionProbes("pipeline") = graft.tools.CpuProbe.efficiency(cpus.toInt)
     val pipeAttempts = sys.env.getOrElse("GRAFT_BENCH_PIPE_ATTEMPTS", "3").toInt
     for (name <- Seq("q1_agg", "tokenize_tf", "dedup_jaccard", "dedup_minhash",

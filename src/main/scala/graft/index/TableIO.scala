@@ -72,6 +72,53 @@ object TableIO {
     fc.rename(tmp, p, Options.Rename.OVERWRITE)
   }
 
+  // In-process serialization of conditional commits: POSIX local-FS rename
+  // silently overwrites, so two racing threads could both "win" — the lock
+  // closes that hole for the sandbox/test backend. HDFS/S3 deployments get
+  // the real atomic no-overwrite rename / conditional put underneath.
+  private val commitLock = new Object
+
+  /** Conditional create — the Iceberg-style commit primitive: write `content`
+    * to `path` only when nothing is there yet; returns false when `path`
+    * already exists (a concurrent commit won and the caller must rebase).
+    * tmp file + no-overwrite rename, atomic on HDFS; cross-process local-FS
+    * races are out of scope (documented above).
+    */
+  def writeStringIfAbsent(path: String, content: String): Boolean = commitLock.synchronized {
+    val p = new Path(path)
+    val fs = fsOf(p)
+    if (fs.exists(p)) false
+    else {
+      if (p.getParent != null) fs.mkdirs(p.getParent)
+      val tmp = new Path(p.getParent,
+        s".${p.getName}.${java.lang.Long.toHexString(System.nanoTime())}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val fc = FileContext.getFileContext(p.toUri, conf())
+      try { fc.rename(tmp, p); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          fs.delete(tmp, false); false
+      }
+    }
+  }
+
+  /** Subdirectory names under `dir` (non-recursive); empty when absent. */
+  def listDirs(dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val fs = fsOf(p)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+  }
+
+  /** Modification time of a path, None when absent. */
+  def modificationTime(path: String): Option[Long] = {
+    val p = new Path(path)
+    val fs = fsOf(p)
+    if (!fs.exists(p)) None else Some(fs.getFileStatus(p).getModificationTime)
+  }
+
   /** Names of plain files under `dir` starting with `prefix` (non-recursive);
     * empty when the dir is absent. Backs the manifest's commit-file listing.
     */

@@ -19,12 +19,21 @@ import graft.index.TableIO
   *
   * Layout (all paths via Hadoop [[TableIO]], so HDFS/S3A work unchanged):
   * {{{
-  *   <table>/data/c-<id>/part-*.parquet    immutable data files of commit id
+  *   <table>/data/u-<nonce>/part-*.parquet immutable data files, one dir per
+  *                                         writer attempt (name is commit-
+  *                                         independent, Iceberg-style)
   *   <table>/snapshots/snap-<id 12d>.json  {"id":N,"parent":N-1,"files":[...]}
   * }}}
-  * Single-writer (same contract as [[graft.index.Manifest]]); a real Iceberg
-  * deployment swaps this object for the Iceberg catalog — the call sites
-  * ([[SnapshotIngest]]) only use the three properties above.
+  * MULTI-WRITER SAFE (optimistic concurrency, the Iceberg commit protocol):
+  * data files are staged once under a writer-unique dir — invisible until a
+  * manifest references them — and the snapshot manifest is written with a
+  * CONDITIONAL create ([[TableIO.writeStringIfAbsent]]). A writer that loses
+  * the race for snapshot id rebases (re-reads the new current file list) and
+  * retries with the next id; its staged data never moves or rewrites.
+  * Crashed writers leave unreferenced staging dirs; [[removeOrphans]] is the
+  * `remove_orphan_files` analog. A real Iceberg deployment swaps this object
+  * for the Iceberg catalog — the call sites ([[SnapshotIngest]]) only use
+  * the properties above.
   */
 object SnapshotTable {
 
@@ -53,27 +62,54 @@ object SnapshotTable {
   }
 
   /** Append `df` as one atomic commit; returns the new snapshot id.
-    * Data files land first (invisible to readers — no manifest references
-    * them yet); the snapshot manifest write is the commit point.
+    * Data files land first under a writer-unique staging dir (invisible to
+    * readers — no manifest references them yet); the CONDITIONAL snapshot
+    * manifest write is the commit point. Losing the race for an id costs
+    * one manifest rebase, never a data rewrite; a crash before the manifest
+    * write leaves an unreferenced staging dir ([[removeOrphans]] reclaims
+    * it, and nothing ever reads it).
     */
-  def append(spark: SparkSession, tableDir: String, df: DataFrame): Long = {
-    val id = currentId(tableDir).getOrElse(0L) + 1
-    val commitDir = s"$tableDir/data/c-$id"
-    // a crash AFTER the data write but BEFORE the manifest write leaves an
-    // orphan c-<id> dir that no manifest references; the retry (same id,
-    // single writer) must replace it, not fail on path-exists forever
-    TableIO.deleteRecursive(commitDir)
-    df.write.parquet(commitDir)
-    val newFiles = TableIO.listFiles(commitDir, "part-")
-      .sorted.map(n => s"data/c-$id/$n")
-    val parentFiles = currentId(tableDir) match {
-      case Some(p) => snapshot(tableDir, p).files
-      case None    => Nil
+  def append(spark: SparkSession, tableDir: String, df: DataFrame,
+      maxRebases: Int = 20): Long = {
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val dataRel = s"data/u-$nonce"
+    df.write.parquet(s"$tableDir/$dataRel")
+    val newFiles = TableIO.listFiles(s"$tableDir/$dataRel", "part-")
+      .sorted.map(n => s"$dataRel/$n")
+    var attempt = 0
+    while (attempt < maxRebases) {
+      val parent = currentId(tableDir)
+      val id = parent.getOrElse(0L) + 1
+      val parentFiles = parent.map(p => snapshot(tableDir, p).files).getOrElse(Nil)
+      val all = (parentFiles ++ newFiles).map(f => s""""$f"""").mkString(",")
+      if (TableIO.writeStringIfAbsent(snapPath(tableDir, id),
+          s"""{"id":$id,"parent":${id - 1},"files":[$all]}"""))
+        return id
+      attempt += 1 // a concurrent commit claimed this id — rebase and retry
     }
-    val all = (parentFiles ++ newFiles).map(f => s""""$f"""").mkString(",")
-    TableIO.writeStringAtomic(snapPath(tableDir, id),
-      s"""{"id":$id,"parent":${id - 1},"files":[$all]}""")
-    id
+    sys.error(s"snapshot commit conflict under $tableDir: " +
+      s"gave up after $maxRebases rebases")
+  }
+
+  /** Delete data dirs no snapshot references — crashed writers' staging
+    * dirs — once older than `graceMs` (the window protects writers that
+    * staged data but have not committed yet). The current snapshot's file
+    * set is a superset of every ancestor's (append-only table), so "not in
+    * the current snapshot" == "referenced by no snapshot". Returns the
+    * deleted dir names (`remove_orphan_files` analog).
+    */
+  def removeOrphans(tableDir: String, graceMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    val referenced: Set[String] = currentId(tableDir) match {
+      case Some(id) => snapshot(tableDir, id).files
+        .map(_.stripPrefix("data/").takeWhile(_ != '/')).toSet
+      case None => Set.empty
+    }
+    val now = System.currentTimeMillis()
+    TableIO.listDirs(s"$tableDir/data")
+      .filterNot(referenced)
+      .filter(d => TableIO.modificationTime(s"$tableDir/data/$d")
+        .exists(now - _ >= graceMs))
+      .map { d => TableIO.deleteRecursive(s"$tableDir/data/$d"); d }
   }
 
   /** Read the table at a snapshot (default: current). Exactly the manifest's

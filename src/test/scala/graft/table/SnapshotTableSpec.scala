@@ -49,23 +49,67 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.appendedSince(spark, tbl, s2).isEmpty)
     // data files of a later commit are invisible at the older snapshot even
     // though they share the directory tree (manifest-scoped scan, not a
-    // recursive directory listing)
-    assert(SnapshotTable.snapshot(tbl, s1).files.forall(_.contains(s"c-$s1/")))
+    // recursive directory listing): snap-2's file set strictly extends
+    // snap-1's, and every file of one commit lives in one staging dir
+    val f1 = SnapshotTable.snapshot(tbl, s1).files
+    val f2 = SnapshotTable.snapshot(tbl, s2).files
+    assert(f2.toSet.size > f1.size && f1.toSet.subsetOf(f2.toSet))
+    assert(f1.map(_.takeWhile(_ != '/')).distinct.sizeIs == 1)
   }
 
-  test("append retries over an orphan commit dir from a crashed attempt") {
+  test("orphan staging dir from a crashed writer: invisible to reads, reclaimed by removeOrphans") {
     val tbl = "/tmp/gsnap-orphan"
     rm(tbl)
     import spark.implicits._
     SnapshotTable.append(spark, tbl, Seq((1L, "a")).toDF("docId", "text"))
     // simulate a crash AFTER the data write, BEFORE the manifest write: an
-    // unreferenced data/c-2 dir exists; the retry must replace it, not fail
-    Seq((99L, "stale")).toDF("docId", "text").write.parquet(s"$tbl/data/c-2")
+    // unreferenced staging dir exists; commits ignore it, reads never see it
+    Seq((99L, "stale")).toDF("docId", "text").write.parquet(s"$tbl/data/u-deadbeef0000")
     val s2 = SnapshotTable.append(spark, tbl, Seq((2L, "b")).toDF("docId", "text"))
     assert(s2 == 2L)
     import org.apache.spark.sql.functions.col
     val ids = SnapshotTable.read(spark, tbl).select(col("docId")).as[Long].collect().sorted
     assert(ids.toSeq == Seq(1L, 2L), "stale orphan rows must not leak into the table")
+    // inside the grace window the orphan is protected (could be in-flight)
+    assert(SnapshotTable.removeOrphans(tbl).isEmpty)
+    // past the grace window it is reclaimed; referenced dirs survive
+    val gone = SnapshotTable.removeOrphans(tbl, graceMs = 0L)
+    assert(gone == Seq("u-deadbeef0000"))
+    assert(SnapshotTable.read(spark, tbl).count() == 2)
+  }
+
+  test("concurrent appends: optimistic commits all land, ids dense, no rows lost") {
+    val tbl = "/tmp/gsnap-race"
+    rm(tbl)
+    import spark.implicits._
+    val writers = 4
+    val perWriter = 3
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    val futs = (0 until writers).map { w =>
+      pool.submit(new java.util.concurrent.Callable[Seq[Long]] {
+        def call(): Seq[Long] = (0 until perWriter).map { i =>
+          val base = (w * perWriter + i) * 10L
+          SnapshotTable.append(spark, tbl,
+            Seq((base, s"w$w-$i")).toDF("docId", "text"))
+        }
+      })
+    }
+    val ids = futs.flatMap(_.get())
+    pool.shutdown()
+    // every commit got a distinct snapshot id and they are dense 1..N
+    assert(ids.sorted == (1L to (writers * perWriter)).toSeq)
+    assert(SnapshotTable.currentId(tbl).contains(writers * perWriter.toLong))
+    // no append lost: the current snapshot reads every writer's rows
+    val docIds = SnapshotTable.read(spark, tbl).select("docId").as[Long].collect().sorted
+    assert(docIds.toSeq == (0 until writers * perWriter).map(_ * 10L))
+    // lineage: each snapshot's file set strictly extends its parent's
+    (2L to (writers * perWriter)).foreach { id =>
+      val child = SnapshotTable.snapshot(tbl, id)
+      val parent = SnapshotTable.snapshot(tbl, id - 1)
+      assert(child.parent == id - 1)
+      assert(parent.files.toSet.subsetOf(child.files.toSet))
+      assert(child.files.size > parent.files.size)
+    }
   }
 
   test("snapshot-incremental consume == fresh build over the full table") {

@@ -370,10 +370,18 @@ class RankParitySpec extends AnyFunSuite {
     assert(got == exp && got.nonEmpty)
   }
 
-  test("randomized parity sweep: 25 seeded query shapes vs naive oracle") {
+  test("randomized parity sweep: 25 seeded query shapes — oracle == Spark == resident == fleet") {
     // deterministic-seeded sweep over term mixes (head/mid/tail ranks),
     // modes, caps, pagination, excludes, meta/year/date filters, phrase —
-    // the corner-case net that caught the BMW tie bug class
+    // the corner-case net that caught the BMW tie bug class. Every shape is
+    // checked FOUR ways: naive full-scan oracle, the distributed Spark path
+    // (assertParity), the resident single node, and the doc-sharded
+    // scatter-gather fleet — so a divergence in any serving topology on any
+    // shape class fails here, not in production.
+    val resident = InMemoryIndex.load(spark, idx)
+    val fleet = new ShardedServe.Fleet(
+      ShardedServe.chunkAssignment(numChunks = 2, nNodes = 2).map(cs =>
+        InMemoryIndex.load(spark, idx, chunks = Some(cs))))
     val rnd = new scala.util.Random(20260816L)
     (1 to 25).foreach { i =>
       val nTerms = 1 + rnd.nextInt(4)
@@ -393,6 +401,14 @@ class RankParitySpec extends AnyFunSuite {
         excludeWords = ex, metaFilters = mf, yearRange = yr, dateRange = dr,
         trackTotalHits = cap, from = from, pageSize = 20)
       assertParity(q, expectNonEmpty = false)
+      val sparkRes = Bm25Query.search(spark, idx, q)
+      Seq("resident" -> resident.search(q), "fleet" -> fleet.search(q)).foreach {
+        case (label, served) =>
+          assert(served.hits.map(h => (h.docId, h.score)) ==
+            sparkRes.hits.map(h => (h.docId, h.score)), s"$label diverged on $q")
+          assert(served.totalHits == sparkRes.totalHits &&
+            served.totalRelation == sparkRes.totalRelation, s"$label totals on $q")
+      }
     }
   }
 

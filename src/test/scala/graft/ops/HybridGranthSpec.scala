@@ -59,4 +59,58 @@ class HybridGranthSpec extends AnyFunSuite {
     assert(f("author0").head == "2000-01-01..2000-12-31")
     assert(f("author0") == f("author0").sorted)
   }
+
+  test("prose search end-to-end: flattened prose docs indexed, top hit carries the reference metadata") {
+    // mirrors tests/backend/test_search.py:925-1103 test_search_prose_content —
+    // a query for a subsection paragraph must surface that paragraph's search
+    // doc with its prose_content_type / prose_seq_num / prose_heading, and a
+    // main-prose query its own; metadata rides the index's meta map and the
+    // chunk_id is the doc url (the reference checks the same fields on the
+    // OpenSearch _source)
+    import org.apache.spark.sql.functions._
+    val prose = Granth.flattenProse(Granth.proseFromMarkdown(spark, 6))
+    val input = prose.select(
+      col("chunk_id").as("url"),
+      to_timestamp(lit("2024-01-01 00:00:00")).as("warc_ts"),
+      col("content").as("text"),
+      lit("hi").as("lang"),
+      map(
+        lit("prose_content_type"), col("prose_content_type"),
+        lit("prose_seq_num"), col("prose_seq_num").cast("string"),
+        lit("prose_heading"), col("prose_heading")).as("meta"))
+    val dir = "/tmp/gidx-prose-search"
+    val d = new java.io.File(dir)
+    if (d.exists()) scala.reflect.io.Directory(d).deleteRecursively()
+    graft.index.IndexBuild.build(spark, input, dir, numChunks = 1,
+      saltTargetPostings = 64)
+    val idx = graft.query.IndexHandle.load(dir)
+    val mem = graft.query.InMemoryIndex.load(spark, idx)
+    val metaOf: Long => Map[String, String] = id =>
+      spark.read.parquet(s"$dir/docstore").where(col("docId") === id)
+        .select("meta").as[Map[String, String]].head()
+    // subsection paragraph of granth 5 ("sub text 5-1"): verse seqs 1..4,
+    // prose section seq 5, its subsection seq 6 (seq continuity per
+    // granth_index.py:126-147)
+    val sub = mem.search(graft.query.QuerySpec("hi", "sub text 5 1"))
+    assert(sub.hits.nonEmpty)
+    assert(sub.hits.head.url == "5_p5_sub6_content_0")
+    val subMeta = metaOf(sub.hits.head.docId)
+    assert(subMeta("prose_content_type") == "subsection")
+    assert(subMeta("prose_seq_num") == "6")
+    assert(subMeta("prose_heading") == "Upodghat 5")
+    // main prose paragraph of granth 4 ("prose text 4-2" → content_1; g=4
+    // has 3+4%4=3 verses, so its prose section is seq 4)
+    val main = mem.search(graft.query.QuerySpec("hi", "prose text 4 2"))
+    assert(main.hits.nonEmpty)
+    assert(main.hits.head.url == "4_p4_content_1")
+    val mainMeta = metaOf(main.hits.head.docId)
+    assert(mainMeta("prose_content_type") == "main")
+    assert(mainMeta("prose_heading") == "Prastavana 4")
+    // the content-type is also filterable (terms filter on the meta facet):
+    // restricting to main prose drops every subsection hit
+    val filtered = mem.search(graft.query.QuerySpec("hi", "text 5",
+      metaFilters = Map("prose_content_type" -> Seq("main"))))
+    assert(filtered.hits.nonEmpty)
+    filtered.hits.foreach(h => assert(metaOf(h.docId)("prose_content_type") == "main"))
+  }
 }

@@ -788,6 +788,35 @@ object SparkEntry {
           lit("\nBuy now {click}\nlorem ipsum dolor sit amet.\nShort one.\nThis is a real sentence with enough words.")).as("text"))
       graft.ops.Hygiene.c4LineFilter(planted).orderBy("doc_id")
     }),
+    // the CAPSTONE composite: the full training-data prep pipeline as ONE
+    // lazy plan — C4 line filtering → exact dedup (planted copies dropped)
+    // → overlapping token chunking → shard-parallel sequence packing —
+    // oracled end-to-end in a single SQL statement, proving the operators
+    // COMPOSE (each stage's output schema feeds the next, one optimizer
+    // pass over the whole DAG, no materialization between stages)
+    "training_pipeline" -> ((s, dir) => {
+      // first line: the doc's own text terminated with '.' so the C4 filter
+      // KEEPS it (each doc's clean text stays unique — dedup then drops only
+      // the planted +2000000 copies, and chunking works over real volume)
+      val planted = documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(".\nBuy now {click}\nlorem ipsum dolor sit amet.\nShort one.\nThis is a real sentence with enough words.")).as("text"))
+      val clean = graft.ops.Hygiene.c4LineFilter(planted)
+        .select(col("doc_id"), col("clean_text").as("text"))
+      val dupped = clean.unionAll(
+        clean.where(col("doc_id") % 23 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      val kept = dupped.join(
+        graft.ops.Dedup.exactDuplicates(dupped).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      val chunks = graft.ops.TextAnalysis.chunkByTokens(kept,
+        maxTokens = 64, overlap = 16)
+      graft.ops.TextAnalysis.packChunks(chunks, budget = 256, nShards = 4)
+        .groupBy("shard", "pack_id")
+        .agg(count(lit(1)).cast("long").as("n_chunks"),
+          sum("n_tokens").as("n_tokens"))
+        .orderBy("shard", "pack_id")
+    }),
     // domain-level aggregation for wholesale quality filtering
     "domain_stats" -> ((s, dir) => {
       val planted = documents(s, dir).select(col("doc_id"),
@@ -1579,6 +1608,63 @@ object SparkEntry {
         |SELECT doc_id, chunk_id, CAST(len(chunk) AS INT) AS n_tokens,
         |       array_to_string(chunk, ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "training_pipeline" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text || '.' || chr(10) || 'Buy now {click}' || chr(10) ||
+        |    'lorem ipsum dolor sit amet.' || chr(10) || 'Short one.' || chr(10) ||
+        |    'This is a real sentence with enough words.' AS text
+        |  FROM documents),
+        |lns AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted),
+        |ex AS (SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS line_no
+        |       FROM lns),
+        |k AS (
+        |  SELECT doc_id, line_no, line,
+        |    (regexp_matches(trim(line), '[.!?"'']$')
+        |     AND len(list_filter(regexp_split_to_array(trim(line), '\s+'), x -> x <> '')) >= 3
+        |     AND NOT contains(lower(line), 'lorem ipsum')
+        |     AND NOT contains(lower(line), 'javascript')
+        |     AND NOT contains(lower(line), '{')
+        |     AND NOT contains(lower(line), 'cookie policy')
+        |     AND NOT contains(lower(line), 'terms of use')) AS kept
+        |  FROM ex),
+        |clean AS (
+        |  SELECT doc_id,
+        |    coalesce(string_agg(CASE WHEN kept THEN line END, chr(10) ORDER BY line_no), '')
+        |      AS text
+        |  FROM k GROUP BY doc_id),
+        |dupped AS (
+        |  SELECT doc_id, text FROM clean
+        |  UNION ALL SELECT doc_id + 2000000, text FROM clean WHERE doc_id % 23 = 0),
+        |hashed AS (SELECT doc_id, text, sha256(text) AS h FROM dupped),
+        |kept_docs AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text, min(doc_id) OVER (PARTITION BY h) AS keep_id FROM hashed)
+        |  WHERE doc_id = keep_id),
+        |w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+        |  FROM kept_docs),
+        |nw AS (
+        |  SELECT doc_id, ws, len(ws) AS n,
+        |         CASE WHEN len(ws) <= 0 THEN 0
+        |              WHEN len(ws) <= 16 THEN 1
+        |              ELSE 1 + (len(ws) - 16 - 1) // 48 END AS n_windows
+        |  FROM w),
+        |c AS (
+        |  SELECT doc_id, CAST(i AS INT) AS chunk_id,
+        |         len(ws[i * 48 + 1 : i * 48 + 64]) AS n_tokens
+        |  FROM nw, LATERAL unnest(generate_series(0, n_windows - 1)) AS t(i)),
+        |p AS (
+        |  SELECT doc_id, chunk_id, n_tokens,
+        |         CAST(doc_id % 4 AS INT) AS shard,
+        |         coalesce(sum(n_tokens) OVER (PARTITION BY doc_id % 4
+        |           ORDER BY doc_id, chunk_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM c)
+        |SELECT shard, CAST(cum_before // 256 AS INT) AS pack_id,
+        |       CAST(count(*) AS BIGINT) AS n_chunks,
+        |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "pack_chunks" ->
       """WITH w AS (
         |  SELECT doc_id,

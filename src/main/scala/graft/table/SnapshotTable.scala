@@ -112,6 +112,23 @@ object SnapshotTable {
       .map { d => TableIO.deleteRecursive(s"$tableDir/data/$d"); d }
   }
 
+  /** Time-travel retention: drop all snapshot manifests except the newest
+    * `keepLast` (the `expire_snapshots` analog). Data files stay — the
+    * table is append-only, so every file is referenced by the survivors.
+    * Reading or diffing AT an expired snapshot id then fails fast ("no
+    * snapshot") instead of silently answering from a widened scan;
+    * consumers resume from a retained snapshot. Returns the expired ids.
+    */
+  def expireSnapshots(tableDir: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val ids = TableIO.listFiles(snapDir(tableDir), "snap-")
+      .flatMap(n => n.stripPrefix("snap-").stripSuffix(".json").toLongOption)
+      .sorted
+    val drop = ids.dropRight(keepLast)
+    drop.foreach(id => TableIO.deleteRecursive(snapPath(tableDir, id)))
+    drop
+  }
+
   /** Read the table at a snapshot (default: current). Exactly the manifest's
     * file list is scanned — files of later commits are invisible even though
     * they share the directory tree.

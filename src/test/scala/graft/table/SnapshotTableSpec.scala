@@ -112,6 +112,28 @@ class SnapshotTableSpec extends AnyFunSuite {
     }
   }
 
+  test("expireSnapshots: retention keeps current reads, expired time travel fails fast") {
+    val tbl = "/tmp/gsnap-expire"
+    rm(tbl)
+    import spark.implicits._
+    (1 to 4).foreach(i =>
+      SnapshotTable.append(spark, tbl, Seq((i.toLong, s"d$i")).toDF("docId", "text")))
+    val expired = SnapshotTable.expireSnapshots(tbl, keepLast = 2)
+    assert(expired == Seq(1L, 2L))
+    // current + retained history still read correctly
+    assert(SnapshotTable.read(spark, tbl).count() == 4)
+    assert(SnapshotTable.read(spark, tbl, asOf = Some(3L)).count() == 3)
+    assert(SnapshotTable.appendedSince(spark, tbl, 3L).get.count() == 1)
+    // expired time travel fails fast instead of answering from a stale scan
+    val e = intercept[RuntimeException] {
+      SnapshotTable.read(spark, tbl, asOf = Some(1L))
+    }
+    assert(e.getMessage.contains("no snapshot"))
+    // appends continue from the retained chain
+    val s5 = SnapshotTable.append(spark, tbl, Seq((5L, "d5")).toDF("docId", "text"))
+    assert(s5 == 5L && SnapshotTable.read(spark, tbl).count() == 5)
+  }
+
   test("snapshot-incremental consume == fresh build over the full table") {
     val tbl = "/tmp/gsnap-tbl2"
     val idx = "/tmp/gsnap-idx"

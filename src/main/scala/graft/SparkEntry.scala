@@ -817,6 +817,28 @@ object SparkEntry {
           sum("n_tokens").as("n_tokens"))
         .orderBy("shard", "pack_id")
     }),
+    // the API metrics plane: format each synthetic query event as the
+    // reference's CSV line, parse it back with the exporter's tolerant
+    // parser, and roll up the --summary statistics — format→parse must
+    // round-trip for the oracle (which derives the rollup directly) to match
+    "metrics_summary" -> ((s, dir) => {
+      import graft.ops.Metrics
+      val d = documents(s, dir)
+      val id = col("doc_id")
+      val lines = d.select(Metrics.line(
+        expr("timestamp'2025-01-01 00:00:00' + make_interval(0, 0, 0, " +
+          "CAST(doc_id % 7 AS INT), CAST(doc_id % 24 AS INT), 0, 0)"),
+        concat(lit("10.0."), id % 4, lit("."), id % 200),
+        substring(col("text"), 1, 40),
+        when(id % 2 === 0, "lexical").otherwise("vector"),
+        (id % 5 === 0).cast("boolean"),
+        lit("['Pravachan'; 'Granth']"),
+        when(id % 3 === 0, "hi").when(id % 3 === 1, "gu").otherwise("en"),
+        lit(false), lit(20), (id % 3 + 1).cast("int"),
+        (id % 250).cast("double"), (id % 50).cast("int")).as("line"))
+      Metrics.summary(Metrics.parse(lines))
+        .orderBy("date", "search_type", "language")
+    }),
     // domain-level aggregation for wholesale quality filtering
     "domain_stats" -> ((s, dir) => {
       val planted = documents(s, dir).select(col("doc_id"),
@@ -1608,6 +1630,26 @@ object SparkEntry {
         |SELECT doc_id, chunk_id, CAST(len(chunk) AS INT) AS n_tokens,
         |       array_to_string(chunk, ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "metrics_summary" ->
+      """WITH m AS (
+        |  SELECT
+        |    strftime(TIMESTAMP '2025-01-01 00:00:00'
+        |      + (doc_id % 7) * INTERVAL 1 DAY
+        |      + (doc_id % 24) * INTERVAL 1 HOUR, '%Y-%m-%d') AS date,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'lexical' ELSE 'vector' END AS search_type,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'hi'
+        |         WHEN doc_id % 3 = 1 THEN 'gu' ELSE 'en' END AS language,
+        |    '10.0.' || (doc_id % 4) || '.' || (doc_id % 200) AS client_ip,
+        |    CAST(doc_id % 250 AS DOUBLE) AS latency_ms,
+        |    CAST(doc_id % 50 AS INT) AS total_results
+        |  FROM documents)
+        |SELECT date, search_type, language,
+        |  CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(sum(CASE WHEN total_results = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  CAST(count(DISTINCT client_ip) AS BIGINT) AS unique_ips,
+        |  round(avg(latency_ms), 6) AS avg_latency_ms,
+        |  round(avg(CAST(total_results AS DOUBLE)), 6) AS avg_results
+        |FROM m GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "training_pipeline" ->
       """WITH planted AS (
         |  SELECT doc_id, text || '.' || chr(10) || 'Buy now {click}' || chr(10) ||

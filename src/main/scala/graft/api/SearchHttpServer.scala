@@ -37,7 +37,11 @@ final class SearchHttpServer(
     /** delivery swap point for /api/feedback (reference: reCAPTCHA + Brevo
       * email, both external services); default: bounded in-memory buffer
       * (drop-oldest) exposed for tests/CLI flushing */
-    feedbackSink: String => Unit = SearchHttpServer.bufferFeedback) {
+    feedbackSink: String => Unit = SearchHttpServer.bufferFeedback,
+    /** per-query metrics delivery (reference: log_handle.metrics → a
+      * metrics.log the exporter parses); default: bounded in-memory buffer
+      * — a deployment points this at a rolling file appender */
+    metricsSink: String => Unit = SearchHttpServer.bufferMetrics) {
 
   private implicit val formats: Formats = DefaultFormats
 
@@ -73,7 +77,9 @@ final class SearchHttpServer(
         "highlighted" -> JString(h.highlighted))
     })
 
-  private def handleSearch(body: String): JValue = {
+  private def handleSearch(body: String, clientIp: String = "test"): JValue = {
+    val t0 = nowMs()
+    var totalHitsAll = 0L
     val j = parse(body)
     val query = (j \ "query").extractOrElse[String]("")
     val lang = langCode((j \ "language").extractOrElse[String]("hi"))
@@ -122,6 +128,7 @@ final class SearchHttpServer(
         pageSize = pageSize,
         from = (pageNumber - 1) * pageSize)
       val r = mem.search(q)
+      totalHitsAll += r.totalHits
       (JObject(
         "results" -> hitsJson(r),
         "total_hits" -> JLong(r.totalHits),
@@ -136,6 +143,17 @@ final class SearchHttpServer(
     // back to lexical scoring, with the decision surfaced for clients
     val hasAdvanced = exact || exclude.nonEmpty
     val isLexical = graft.ops.HybridRank.isLexicalQuery(query) || hasAdvanced
+    // per-query metrics line, reference CSV shape (search_api.py:447-451):
+    // search_type is the ROUTE (lexical/vector), totals sum both content
+    // types, page config reported from the Pravachan section like the
+    // reference
+    val (_, mPageSize, mPageNumber) = typeCfg("Pravachan")
+    metricsSink(graft.ops.Metrics.lineStr(
+      nowMs(), clientIp, query,
+      if (isLexical) "lexical" else "vector",
+      exact, categories.toString, lang, enableReranking = false,
+      mPageSize, mPageNumber,
+      latencyMs = (nowMs() - t0).toDouble, totalResults = totalHitsAll))
     JObject(
       "pravachan_results" -> prav,
       "granth_results" -> gran,
@@ -164,7 +182,9 @@ final class SearchHttpServer(
       else {
         val body = new String(ex.getRequestBody.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8)
-        respond(ex, 200, handleSearch(body))
+        val clientIp = Option(ex.getRemoteAddress)
+          .map(_.getAddress.getHostAddress).getOrElse("unknown")
+        respond(ex, 200, handleSearch(body, clientIp))
       }
     } catch {
       // malformed payloads are the client's fault (FastAPI's 422 analog)
@@ -265,5 +285,14 @@ object SearchHttpServer {
   val defaultFeedbackBuffer = new java.util.concurrent.LinkedBlockingQueue[String](10000)
   def bufferFeedback(row: String): Unit = {
     while (!defaultFeedbackBuffer.offer(row)) defaultFeedbackBuffer.poll()
+  }
+
+  /** Default metrics sink: same bounded drop-oldest queue shape as feedback
+    * (the reference writes metrics.log; scripts parse it offline —
+    * [[graft.ops.Metrics.parse]]/[[graft.ops.Metrics.summary]] here).
+    */
+  val defaultMetricsBuffer = new java.util.concurrent.LinkedBlockingQueue[String](100000)
+  def bufferMetrics(row: String): Unit = {
+    while (!defaultMetricsBuffer.offer(row)) defaultMetricsBuffer.poll()
   }
 }

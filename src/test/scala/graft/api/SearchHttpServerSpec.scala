@@ -182,6 +182,28 @@ class SearchHttpServerSpec extends AnyFunSuite {
     } finally s.stop()
   }
 
+  test("every /api/search logs one reference-shape metrics line to the sink") {
+    val sunk = scala.collection.mutable.ArrayBuffer[String]()
+    val s = new SearchHttpServer(mem, metricsSink = sunk += _)
+    s.start()
+    try {
+      val port = s.boundPort
+      val (ok, _) = post(port, "/api/search",
+        """{"query": "metrics, probe \"q\"", "language": "hindi", "exact_match": true}""")
+      assert(ok == 200)
+      assert(sunk.size == 1)
+      val parts = sunk.head.split(",")
+      // 12 positional fields (metrics_exporter parse contract) — commas in
+      // the query were escaped to ';'
+      assert(parts.length == 12, sunk.head)
+      assert(parts(2) == "metrics; probe 'q'")
+      assert(parts(3) == "lexical") // exact_match forces the lexical route
+      assert(parts(4) == "true" && parts(6) == "hi")
+      assert(parts(8) == "20" && parts(9) == "1")
+      assert(parts(10).toDouble >= 0.0 && parts(11).toLong >= 0L)
+    } finally s.stop()
+  }
+
   test("validation: non-positive page_number/page_size → 400; invalid JSON → 400; GET invalidate → 405") {
     withServer() { (_, port) =>
       val (c1, b1) = post(port, "/api/search",

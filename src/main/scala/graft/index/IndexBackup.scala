@@ -1,0 +1,73 @@
+package graft.index
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Index backup/restore — the engine analog of the reference's snapshot
+  * scripts (scripts/create_snapshots.sh / restore_snapshots.sh, which drive
+  * OpenSearch's snapshot API into a local dir and re-register it on
+  * restore).
+  *
+  * A backup is a plain copy of the index's artifact tree into
+  * `<backupRoot>/<name>/` via Hadoop FS (so index on HDFS → backup on S3
+  * works unchanged), plus a `BACKUP_DONE` marker written LAST — a backup
+  * without the marker is incomplete (crashed mid-copy) and restore refuses
+  * it. Restore copies into a FRESH index dir (refuses to overwrite), after
+  * which the restored index serves byte-identical results.
+  *
+  * Consistency: like the reference scripts, back up a quiesced index (no
+  * concurrent mutation) — the copy is not a point-in-time snapshot of a
+  * moving tree. [[graft.table.SnapshotTable]] is the layer that provides
+  * true point-in-time semantics on the INPUT side.
+  */
+object IndexBackup {
+
+  private def conf(): Configuration =
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  private def marker(dir: String) = s"$dir/BACKUP_DONE"
+
+  /** Copy the whole index tree to `<backupRoot>/<name>`; returns the backup
+    * dir. Fails if the target already exists (backups are immutable).
+    */
+  def backup(indexDir: String, backupRoot: String, name: String): String = {
+    val dst = s"$backupRoot/$name"
+    require(!TableIO.exists(dst), s"backup $dst already exists (immutable)")
+    require(TableIO.exists(s"$indexDir/stats.json"),
+      s"$indexDir is not a finalized index (no stats.json)")
+    val c = conf()
+    val srcPath = new Path(indexDir)
+    val dstPath = new Path(dst)
+    val srcFs = srcPath.getFileSystem(c)
+    val dstFs = dstPath.getFileSystem(c)
+    dstFs.mkdirs(dstPath.getParent)
+    FileUtil.copy(srcFs, srcPath, dstFs, dstPath, false, c)
+    TableIO.writeStringAtomic(marker(dst),
+      s"""{"source":"$indexDir","name":"$name"}""")
+    dst
+  }
+
+  /** Restore a completed backup into a fresh index dir. */
+  def restore(backupDir: String, indexDir: String): Unit = {
+    require(TableIO.exists(marker(backupDir)),
+      s"$backupDir has no BACKUP_DONE marker — incomplete backup, refusing")
+    require(!TableIO.exists(indexDir),
+      s"restore target $indexDir already exists, refusing to overwrite")
+    val c = conf()
+    val srcPath = new Path(backupDir)
+    val dstPath = new Path(indexDir)
+    FileUtil.copy(srcPath.getFileSystem(c), srcPath,
+      dstPath.getFileSystem(c), dstPath, false, c)
+    // the marker is backup metadata, not an index artifact
+    TableIO.deleteRecursive(s"$indexDir/BACKUP_DONE")
+  }
+
+  /** Completed backups under a root, newest name last. */
+  def list(backupRoot: String): Seq[String] =
+    TableIO.listDirs(backupRoot)
+      .filter(n => TableIO.exists(marker(s"$backupRoot/$n")))
+      .sorted
+}

@@ -107,4 +107,29 @@ class AdversarialCorpusSpec extends AnyFunSuite {
       assert(r.hits.isEmpty && r.totalHits == 0L, s"query '$s'")
     }
   }
+
+  test("backup/restore round-trip: restored index serves identical results; incomplete backup refused") {
+    val mem = InMemoryIndex.load(spark, idx)
+    val broot = "/tmp/gidx-backups"
+    rm(broot); rm("/tmp/gidx-restored")
+    val bdir = IndexBackup.backup(dir, broot, "b1")
+    assert(IndexBackup.list(broot) == Seq("b1"))
+    // mutate the ORIGINAL after the backup (delete the flood doc)
+    IndexBuild.deleteByQuery(spark, dir, col("docId") === 4L)
+    assert(Bm25Query.search(spark, IndexHandle.load(dir),
+      QuerySpec("hi", "spam")).hits.isEmpty)
+    // restore → pre-mutation results, resident-served
+    IndexBackup.restore(bdir, "/tmp/gidx-restored")
+    val restored = InMemoryIndex.load(spark, IndexHandle.load("/tmp/gidx-restored"))
+    val q = QuerySpec("hi", "सामान्य वाक्य", mode = "any")
+    assert(restored.search(q).hits.map(h => (h.docId, h.score)) ==
+      mem.search(q).hits.map(h => (h.docId, h.score)))
+    assert(restored.search(QuerySpec("hi", "spam")).hits.map(_.docId) == Seq(4L))
+    // an incomplete backup (no marker) is refused
+    TableIO.deleteRecursive(s"$bdir/BACKUP_DONE")
+    val e = intercept[IllegalArgumentException] {
+      IndexBackup.restore(bdir, "/tmp/gidx-restored2")
+    }
+    assert(e.getMessage.contains("incomplete"))
+  }
 }

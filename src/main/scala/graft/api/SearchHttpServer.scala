@@ -148,10 +148,15 @@ final class SearchHttpServer(
     // types, page config reported from the Pravachan section like the
     // reference
     val (_, mPageSize, mPageNumber) = typeCfg("Pravachan")
+    // categories in the reference's str(list) shape, key-sorted so the
+    // logged field is deterministic (a Map's toString is not)
+    val catStr = "[" +
+      categories.toSeq.sortBy(_._1).flatMap(_._2).map(v => s"'$v'").mkString(", ") +
+      "]"
     metricsSink(graft.ops.Metrics.lineStr(
       nowMs(), clientIp, query,
       if (isLexical) "lexical" else "vector",
-      exact, categories.toString, lang, enableReranking = false,
+      exact, catStr, lang, enableReranking = false,
       mPageSize, mPageNumber,
       latencyMs = (nowMs() - t0).toDouble, totalResults = totalHitsAll))
     JObject(

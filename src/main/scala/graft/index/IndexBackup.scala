@@ -1,8 +1,7 @@
 package graft.index
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
-import org.apache.spark.sql.SparkSession
+import org.apache.hadoop.fs.{FileUtil, Path}
 
 /** Index backup/restore — the engine analog of the reference's snapshot
   * scripts (scripts/create_snapshots.sh / restore_snapshots.sh, which drive
@@ -23,10 +22,7 @@ import org.apache.spark.sql.SparkSession
   */
 object IndexBackup {
 
-  private def conf(): Configuration =
-    SparkSession.getActiveSession
-      .map(_.sessionState.newHadoopConf())
-      .getOrElse(new Configuration())
+  private def conf(): Configuration = TableIO.conf()
 
   private def marker(dir: String) = s"$dir/BACKUP_DONE"
 
@@ -65,7 +61,10 @@ object IndexBackup {
     TableIO.deleteRecursive(s"$indexDir/BACKUP_DONE")
   }
 
-  /** Completed backups under a root, newest name last. */
+  /** Completed backups under a root, lexicographically name-sorted (use
+    * sortable names like `b-2025-01-01`; for arbitrary names order by the
+    * marker's [[TableIO.modificationTime]] instead).
+    */
   def list(backupRoot: String): Seq[String] =
     TableIO.listDirs(backupRoot)
       .filter(n => TableIO.exists(marker(s"$backupRoot/$n")))

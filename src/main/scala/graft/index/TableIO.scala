@@ -18,8 +18,13 @@ import org.apache.spark.sql.SparkSession
   */
 object TableIO {
 
-  private def conf(): Configuration =
+  // getActiveSession is thread-local: a writer-pool thread (the blessed
+  // multi-writer path) sees None there, so fall through to the process-wide
+  // default session before giving up — otherwise commits on such threads
+  // would lose every spark.hadoop.* setting (S3 credentials, defaultFS)
+  private[index] def conf(): Configuration =
     SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())
 
@@ -59,15 +64,20 @@ object TableIO {
     }
   }
 
-  /** Write a small control file atomically (tmp + overwrite-rename). */
-  def writeStringAtomic(path: String, content: String): Unit = {
-    val p = new Path(path)
-    val fs = fsOf(p)
+  private def writeTmp(fs: FileSystem, p: Path, suffix: String,
+      content: String): Path = {
     if (p.getParent != null) fs.mkdirs(p.getParent)
-    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    val tmp = new Path(p.getParent, s".${p.getName}$suffix.tmp")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    tmp
+  }
+
+  /** Write a small control file atomically (tmp + overwrite-rename). */
+  def writeStringAtomic(path: String, content: String): Unit = {
+    val p = new Path(path)
+    val tmp = writeTmp(fsOf(p), p, "", content)
     val fc = FileContext.getFileContext(p.toUri, conf())
     fc.rename(tmp, p, Options.Rename.OVERWRITE)
   }
@@ -89,12 +99,8 @@ object TableIO {
     val fs = fsOf(p)
     if (fs.exists(p)) false
     else {
-      if (p.getParent != null) fs.mkdirs(p.getParent)
-      val tmp = new Path(p.getParent,
-        s".${p.getName}.${java.lang.Long.toHexString(System.nanoTime())}.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+      val tmp = writeTmp(fs, p,
+        s".${java.lang.Long.toHexString(System.nanoTime())}", content)
       val fc = FileContext.getFileContext(p.toUri, conf())
       try { fc.rename(tmp, p); true }
       catch {

@@ -38,16 +38,25 @@ object Metrics {
       pageNumber.cast("string"), latencyMs.cast("string"),
       totalResults.cast("string"))
 
+  // shared, thread-safe (unlike SimpleDateFormat) — zero per-request
+  // allocation on the serving hot path
+  private val tsFormatter =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+
   /** Plain-Scala formatter with the identical shape — the serving node's
-    * per-request hot path (no Spark involvement per query).
+    * per-request hot path (no Spark involvement per query). `zone` defaults
+    * to the server's local zone like the reference's `datetime.now()`
+    * logging; pass the Spark session zone for parse-side date-bucket
+    * consistency in a non-local-TZ deployment.
     */
   def lineStr(tsMillis: Long, clientIp: String, query: String,
       searchType: String, exactMatch: Boolean, categories: String,
       language: String, enableReranking: Boolean, pageSize: Int,
-      pageNumber: Int, latencyMs: Double, totalResults: Long): String = {
-    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
-    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
-    s"${fmt.format(new java.util.Date(tsMillis))},$clientIp," +
+      pageNumber: Int, latencyMs: Double, totalResults: Long,
+      zone: java.time.ZoneId = java.time.ZoneId.systemDefault()): String = {
+    val ts = tsFormatter.format(
+      java.time.Instant.ofEpochMilli(tsMillis).atZone(zone))
+    s"$ts,$clientIp," +
       s"${escapeStr(query)},$searchType,$exactMatch,${escapeStr(categories)}," +
       s"$language,$enableReranking,$pageSize,$pageNumber,$latencyMs,$totalResults"
   }
@@ -73,10 +82,11 @@ object Metrics {
         element_at(col("p"), 6).as("categories"),
         element_at(col("p"), 7).as("language"),
         (lower(element_at(col("p"), 8)) === "true").as("enable_reranking"),
-        expr("try_cast(p[8] AS int)").as("page_size"),
-        expr("try_cast(p[9] AS int)").as("page_number"),
-        expr("try_cast(p[10] AS double)").as("latency_ms"),
-        expr("try_cast(p[11] AS int)").as("total_results"))
+        // one indexing base (1-based element_at) for the WHOLE projection
+        expr("try_cast(element_at(p, 9) AS int)").as("page_size"),
+        expr("try_cast(element_at(p, 10) AS int)").as("page_number"),
+        expr("try_cast(element_at(p, 11) AS double)").as("latency_ms"),
+        expr("try_cast(element_at(p, 12) AS int)").as("total_results"))
       .where(col("ts").isNotNull && col("page_size").isNotNull &&
         col("page_number").isNotNull && col("latency_ms").isNotNull &&
         col("total_results").isNotNull)

@@ -87,6 +87,9 @@ object SnapshotTable {
         return id
       attempt += 1 // a concurrent commit claimed this id — rebase and retry
     }
+    // the writer is alive and KNOWS the commit failed — reclaim the staged
+    // data now instead of leaving it for the orphan-GC grace window
+    TableIO.deleteRecursive(s"$tableDir/$dataRel")
     sys.error(s"snapshot commit conflict under $tableDir: " +
       s"gave up after $maxRebases rebases")
   }

@@ -183,19 +183,22 @@ class SearchHttpServerSpec extends AnyFunSuite {
   }
 
   test("every /api/search logs one reference-shape metrics line to the sink") {
-    val sunk = scala.collection.mutable.ArrayBuffer[String]()
-    val s = new SearchHttpServer(mem, metricsSink = sunk += _)
+    // sink runs on the server's pool thread; the queue gives the test
+    // thread a happens-before edge (an ArrayBuffer would be a data race)
+    val sunk = new java.util.concurrent.LinkedBlockingQueue[String]()
+    val s = new SearchHttpServer(mem, metricsSink = sunk.put(_))
     s.start()
     try {
       val port = s.boundPort
       val (ok, _) = post(port, "/api/search",
         """{"query": "metrics, probe \"q\"", "language": "hindi", "exact_match": true}""")
       assert(ok == 200)
-      assert(sunk.size == 1)
-      val parts = sunk.head.split(",")
+      val line = sunk.poll(5, java.util.concurrent.TimeUnit.SECONDS)
+      assert(line != null)
+      val parts = line.split(",")
       // 12 positional fields (metrics_exporter parse contract) — commas in
       // the query were escaped to ';'
-      assert(parts.length == 12, sunk.head)
+      assert(parts.length == 12, line)
       assert(parts(2) == "metrics; probe 'q'")
       assert(parts(3) == "lexical") // exact_match forces the lexical route
       assert(parts(4) == "true" && parts(6) == "hi")

@@ -17,7 +17,7 @@ class MetricsSpec extends AnyFunSuite {
       searchType = "lexical", exactMatch = true,
       categories = "['A', 'B']", language = "hi",
       enableReranking = false, pageSize = 20, pageNumber = 2,
-      latencyMs = 12.5, totalResults = 7)
+      latencyMs = 12.5, totalResults = 7, zone = java.time.ZoneOffset.UTC)
     assert(line ==
       "2025-01-01 00:00:00,10.1.2.3,hello; 'world' nextline,lexical,true," +
         "['A'; 'B'],hi,false,20,2,12.5,7")
@@ -36,7 +36,7 @@ class MetricsSpec extends AnyFunSuite {
 
   test("parse skips malformed lines like the exporter (short, bad ts, bad numbers)") {
     val good = Metrics.lineStr(1735689600000L, "1.2.3.4", "q", "lexical",
-      exactMatch = false, "[]", "hi", enableReranking = false, 20, 1, 3.0, 0)
+      exactMatch = false, "[]", "hi", enableReranking = false, 20, 1, 3.0, 0, java.time.ZoneOffset.UTC)
     val lines = Seq(
       good,
       "too,short,line",                                             // <12 fields
@@ -53,7 +53,8 @@ class MetricsSpec extends AnyFunSuite {
     val mk = (id: Long) => Metrics.lineStr(
       1735689600000L + (id % 2) * 86400000L, s"10.0.0.${id % 3}", s"q$id",
       if (id % 2 == 0) "lexical" else "vector", exactMatch = false, "[]",
-      "hi", enableReranking = false, 20, 1, (id % 10).toDouble, (id % 4).toInt)
+      "hi", enableReranking = false, 20, 1, (id % 10).toDouble, (id % 4).toInt,
+      java.time.ZoneOffset.UTC)
     val parsed = Metrics.parse((0L until 24L).map(mk).toDF("line"))
     val rows = Metrics.summary(parsed)
       .orderBy("date", "search_type").collect()

@@ -40,7 +40,10 @@ object IndexBackup {
     val srcFs = srcPath.getFileSystem(c)
     val dstFs = dstPath.getFileSystem(c)
     dstFs.mkdirs(dstPath.getParent)
-    FileUtil.copy(srcFs, srcPath, dstFs, dstPath, false, c)
+    // FileUtil.copy can report failure via `false` without throwing — a
+    // failed copy must never earn the completeness marker
+    require(FileUtil.copy(srcFs, srcPath, dstFs, dstPath, false, c),
+      s"copy $indexDir -> $dst reported failure")
     TableIO.writeStringAtomic(marker(dst),
       s"""{"source":"$indexDir","name":"$name"}""")
     dst
@@ -55,8 +58,9 @@ object IndexBackup {
     val c = conf()
     val srcPath = new Path(backupDir)
     val dstPath = new Path(indexDir)
-    FileUtil.copy(srcPath.getFileSystem(c), srcPath,
-      dstPath.getFileSystem(c), dstPath, false, c)
+    require(FileUtil.copy(srcPath.getFileSystem(c), srcPath,
+      dstPath.getFileSystem(c), dstPath, false, c),
+      s"copy $backupDir -> $indexDir reported failure")
     // the marker is backup metadata, not an index artifact
     TableIO.deleteRecursive(s"$indexDir/BACKUP_DONE")
   }

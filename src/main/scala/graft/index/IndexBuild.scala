@@ -109,9 +109,22 @@ object IndexBuild extends Serializable {
       d = d.withColumn("text", graft.functions.GraftFunctions.extract_text(col("html")))
     if (!d.columns.contains("docId"))
       d = if (d.columns.contains("doc_id")) d.withColumnRenamed("doc_id", "docId")
-          // mask to non-negative: posting codecs require docId >= 0 (deltas
-          // from prevLastDoc = 0), and xxhash64 is negative for half of inputs
-          else d.withColumn("docId", xxhash64(col("url")).bitwiseAND(lit(Long.MaxValue)))
+          else {
+            // url-derived ids: recrawls (the same url at several warc_ts —
+            // routine in crawl tables) would collide and crash the posting
+            // writer's strictly-increasing-docId invariant deep in the build.
+            // Latest capture wins (standard crawl-index semantics); one
+            // url-keyed shuffle, only on this derived-id path.
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy("url")
+              .orderBy(col("warc_ts").desc)
+            d.withColumn("__rn", row_number().over(w))
+              .where(col("__rn") === 1).drop("__rn")
+              // mask to non-negative: posting codecs require docId >= 0
+              // (deltas from prevLastDoc = 0), and xxhash64 is negative for
+              // half of inputs
+              .withColumn("docId", xxhash64(col("url")).bitwiseAND(lit(Long.MaxValue)))
+          }
     if (!d.columns.contains("meta")) {
       d = if (d.columns.contains("source"))
         d.withColumn("meta", map(lit("source"), col("source")))
@@ -159,6 +172,16 @@ object IndexBuild extends Serializable {
             r.inputChecksum == current.getOrElse(c, Manifest.emptySig(storePositions)))
         }
       }
+    }
+    // resuming into an existing index with a DIFFERENT chunking would leave
+    // the old layout's chunk>=numChunks partitions on disk (and in the
+    // manifest as "done"), duplicating every doc they hold — refuse
+    if (TableIO.exists(s"$outDir/props.json")) {
+      val prev = IndexBuild.readProps(outDir)
+      require(prev.numChunks == numChunks || Manifest.rows(outDir).isEmpty,
+        s"$outDir was built with numChunks=${prev.numChunks}; rebuilding with " +
+          s"numChunks=$numChunks would leave stale chunk partitions — use the " +
+          "recorded chunking or a fresh directory")
     }
     IndexBuild.writeProps(outDir, IndexProps(storePositions, numChunks, saltTargetPostings))
     // the term exchange needs MANY more partitions than cores: each partition
@@ -253,8 +276,17 @@ object IndexBuild extends Serializable {
         }
 
         val (nDocs, nTokens, inputSig) = phase(s"stats agg c$k") {
+          // same scan also validates meta keys: "year"/"has_date" are
+          // DERIVED facet keys (from warc_ts) — user meta under those names
+          // would merge into the derived lists and corrupt year/date filters
           val r = tokenized.agg(count(lit(1)), coalesce(sum($"dl"), lit(0L)),
-            coalesce(expr(Manifest.RowHashExpr), lit(0L))).collect()(0)
+            coalesce(expr(Manifest.RowHashExpr), lit(0L)),
+            coalesce(sum(size(array_intersect(map_keys($"meta"),
+              array(lit("year"), lit("has_date"))))), lit(0L))).collect()(0)
+          require(r.getLong(3) == 0L,
+            s"chunk $k: ${r.getLong(3)} meta entries use the reserved facet " +
+              "keys 'year'/'has_date' (derived from warc_ts at build time) — " +
+              "rename them in the input")
           (r.getLong(0), r.getLong(1),
             Manifest.sig(storePositions, r.getLong(0), r.getLong(2)))
         }
@@ -439,7 +471,10 @@ object IndexBuild extends Serializable {
       // materialize the remainder OUTSIDE the dir being overwritten (a lazy
       // self-overwriting read would corrupt the chunk)
       val tmp = s"$outDir/tmp_rewrite_chunk_$k"
-      store.where($"chunk" === k && !pred)
+      // three-valued logic: a NULL predicate (e.g. a missing meta key) must
+      // KEEP the doc — bare `!pred` is NULL there and would silently delete
+      // every non-matching doc the predicate can't evaluate
+      store.where($"chunk" === k && !coalesce(pred, lit(false)))
         .select($"docId", $"url", $"warc_ts", $"text", $"lang", $"meta")
         .write.mode(SaveMode.Overwrite).parquet(tmp)
       val remaining = spark.read.parquet(tmp)

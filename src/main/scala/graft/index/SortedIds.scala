@@ -39,12 +39,13 @@ object SortedIds {
       java.util.Arrays.copyOf(merged, n)
   }
 
-  /** Intersection of k sorted arrays (AND across filter keys). */
+  /** Intersection of k sorted arrays (AND across filter keys), smallest
+    * first so the accumulator only shrinks.
+    */
   def intersectAll(lists: Array[Array[Long]]): Array[Long] = {
     if (lists.isEmpty) return Array.emptyLongArray
-    var acc = lists.minBy(_.length)
-    lists.sortBy(_.length).drop(1).foreach { l => acc = intersect2(acc, l) }
-    acc
+    val byLen = lists.sortBy(_.length)
+    byLen.drop(1).foldLeft(byLen.head)(intersect2)
   }
 
   private def intersect2(a: Array[Long], b: Array[Long]): Array[Long] = {

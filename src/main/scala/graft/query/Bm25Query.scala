@@ -63,8 +63,10 @@ object IndexHandle {
   def load(dir: String): IndexHandle = {
     val txt = graft.index.TableIO.readString(s"$dir/stats.json")
       .getOrElse(sys.error(s"no stats.json under $dir — index not finalized"))
+    // [^"]+ not \w+: lang codes like "pt-br"/"zh-hant" must not silently
+    // drop out of stats (n=0 would zero every BM25 score for that lang)
     val m = java.util.regex.Pattern
-      .compile("\"(\\w+)\":\\s*\\{\"docs\":\\s*(\\d+),\\s*\"totalTokens\":\\s*(\\d+)\\}")
+      .compile("\"([^\"]+)\":\\s*\\{\"docs\":\\s*(\\d+),\\s*\"totalTokens\":\\s*(\\d+)\\}")
       .matcher(txt)
     val b = Map.newBuilder[String, (Long, Long)]
     while (m.find()) b += m.group(1) -> (m.group(2).toLong, m.group(3).toLong)
@@ -186,7 +188,7 @@ object Bm25Query {
         val facetList =
           if (facetFut == null) Array.empty[QueryCore.FacetRow]
           else scala.concurrent.Await.result(facetFut, scala.concurrent.duration.Duration.Inf)
-        val facetByChunk = facetList.groupBy(_._1)
+        val facetByChunk = QueryCore.decodeFacets(facetList).groupBy(_._1)
         postList.groupBy(_._1).iterator.flatMap { case (chunk, posts) =>
           QueryCore.segmentKernel(ctx, info, posts, facetByChunk.getOrElse(chunk, Array.empty))
         }.toArray
@@ -198,7 +200,8 @@ object Bm25Query {
         postingRows
           .groupByKey(_._1)
           .cogroup(facetRowsDs.groupByKey(_._1)) { (_: Int, posts, facets) =>
-            QueryCore.segmentKernel(ctx, info, posts.toArray, facets.toArray)
+            QueryCore.segmentKernel(ctx, info, posts.toArray,
+              QueryCore.decodeFacets(facets.toSeq))
           }
           .collect()
       }
@@ -435,7 +438,8 @@ object Bm25Query {
     rows.as[QueryCore.PostRow]
       .groupByKey(_._1)
       .cogroup(facetRowsDs.groupByKey(_._1)) { (_: Int, posts, facets) =>
-        QueryCore.segmentKernel(ctx, info, posts.toArray, facets.toArray)
+        QueryCore.segmentKernel(ctx, info, posts.toArray,
+          QueryCore.decodeFacets(facets.toSeq))
           .flatMap(_.top.iterator)
       }
       .toDF()

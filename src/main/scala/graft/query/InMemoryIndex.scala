@@ -92,24 +92,25 @@ final class InMemoryIndex(
         (0, t, df, blob, if (ctx.phrase) posBlob else null)
       }
     }
-    val metaFacetList: Array[QueryCore.FacetRow] = ctx.facetSel.flatMap { case (key, vs) =>
+    // resident docId arrays feed the kernel DIRECTLY — no per-query
+    // encode/decode round-trip on the serving hot path
+    val metaFacetList: Array[QueryCore.FacetIds] = ctx.facetSel.flatMap { case (key, vs) =>
       vs.flatMap { v =>
         facets.get((q.lang, key, v)).map { ids =>
-          // re-encode-free path: wrap as a pre-decoded facet row
-          (0, key, ids.length.toLong, encodeIds(ids))
+          (0, key, ids.length.toLong, ids)
         }
       }
     }.toArray
     // Q5 date-filter rows: relabel matching (key, value) lists with the
     // synthetic keys the kernel's OR-filter consumes (same as the Spark read
     // layer, Bm25Query.facetReadDf)
-    val dateFacetList: Array[QueryCore.FacetRow] = ctx.dateSel match {
+    val dateFacetList: Array[QueryCore.FacetIds] = ctx.dateSel match {
       case None => Array.empty
       case Some((sOpt, eOpt)) =>
-        val rows = scala.collection.mutable.ArrayBuffer[QueryCore.FacetRow]()
+        val rows = scala.collection.mutable.ArrayBuffer[QueryCore.FacetIds]()
         def scan(key: String)(label: String => Option[String]): Unit =
           facetsByKey.getOrElse((q.lang, key), Array.empty).foreach { case (value, ids) =>
-            label(value).foreach(l => rows += ((0, l, ids.length.toLong, encodeIds(ids))))
+            label(value).foreach(l => rows += ((0, l, ids.length.toLong, ids)))
           }
         scan("date")(v =>
           if (sOpt.forall(v >= _) && eOpt.forall(v <= _)) Some(QueryCore.DateInKey) else None)
@@ -178,14 +179,6 @@ final class InMemoryIndex(
       .collect()
       .map { case (id, url, text) => id -> (url, text) }
       .toMap
-  }
-
-  private def encodeIds(ids: Array[Long]): Array[Byte] = {
-    val deltas = new Array[Long](ids.length)
-    var prev = 0L
-    var i = 0
-    while (i < ids.length) { deltas(i) = ids(i) - prev; prev = ids(i); i += 1 }
-    graft.index.VByte.encode(deltas)
   }
 
   /** The /metadata payload of the reference API
@@ -343,7 +336,19 @@ object InMemoryIndex {
     import spark.implicits._
     var bytes = 0L
     val postings = new java.util.HashMap[(String, String), (Long, Array[Byte], Array[Byte])]()
-    val segRead0 = spark.read.parquet(idx.segmentsPath)
+    // a doc-shard (chunk-subset) load needs the PER-CHUNK tables: the
+    // compacted rewrite carries chunk = -1, which a chunk filter would
+    // silently reduce to an empty node — read the originals, which
+    // compaction keeps alongside the *_compact dirs
+    val segSrc =
+      if (chunks.isDefined && idx.segmentsPath.endsWith("_compact"))
+        s"${idx.dir}/segments"
+      else idx.segmentsPath
+    val facetSrc =
+      if (chunks.isDefined && idx.facetsPath.endsWith("_compact"))
+        s"${idx.dir}/facets"
+      else idx.facetsPath
+    val segRead0 = spark.read.parquet(segSrc)
     val segRead = chunks match {
       case Some(cs) => segRead0.where(col("chunk").isin(cs.toSeq: _*))
       case None     => segRead0
@@ -370,7 +375,7 @@ object InMemoryIndex {
         syncPostings.put(key, (df.toLong, blob, posBlob))
       }
     bytes += byteSum.get()
-    val facetRead0 = spark.read.parquet(idx.facetsPath)
+    val facetRead0 = spark.read.parquet(facetSrc)
     val facetRead = chunks match {
       case Some(cs) => facetRead0.where(col("chunk").isin(cs.toSeq: _*))
       case None     => facetRead0

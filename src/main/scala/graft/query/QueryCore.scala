@@ -15,6 +15,17 @@ object QueryCore {
   /** One facet row: (chunk, key, df, docIdsBlob). */
   type FacetRow = (Int, String, Long, Array[Byte])
 
+  /** A facet row with its docId list already decoded — the kernel's input.
+    * The Spark path decodes collected blobs once ([[decodeFacets]]); the
+    * resident path passes its in-memory arrays directly (no per-query
+    * encode/decode round-trip on the serving hot path).
+    */
+  type FacetIds = (Int, String, Long, Array[Long])
+
+  def decodeFacets(rows: Iterable[FacetRow]): Array[FacetIds] =
+    rows.iterator.map(r => (r._1, r._2, r._3, SortedIds.decode(r._4, r._3.toInt)))
+      .toArray
+
   /** Synthetic facet keys carrying the Q5 date-filter components — the read
     * layers relabel matching facet rows with these before the kernel runs:
     * docs whose `date` is in range; docs with NO date; docs whose
@@ -54,6 +65,12 @@ object QueryCore {
       else Analyzer.analyze(q.query, q.lang).map(t => (termIndex(t.term), t.pos))
     val excludeTerms = q.excludeWords
       .flatMap(w => Analyzer.terms(w, q.lang)).distinct.toArray
+    // a metaFilter on "year" PLUS a yearRange would put two value lists
+    // under one key — the kernel (and the facet-join path) would OR them
+    // while the naive oracle ANDs two predicates; refuse the ambiguity
+    require(!(q.metaFilters.contains("year") && q.yearRange.isDefined),
+      "metaFilters(\"year\") combined with yearRange is ambiguous — " +
+        "express the year constraint once")
     val facetSel: Seq[(String, Seq[String])] =
       q.metaFilters.toSeq ++ q.yearRange.map { case (a, b) =>
         "year" -> (a to b).map(_.toString)
@@ -74,7 +91,7 @@ object QueryCore {
 
   /** One segment's kernel over its posting/facet rows. */
   def segmentKernel(ctx: Ctx, info: Array[(String, Int, Double)],
-      postList: Array[PostRow], facetList: Array[FacetRow]): Iterator[SegmentResult] = {
+      postList: Array[PostRow], facetList: Array[FacetIds]): Iterator[SegmentResult] = {
     val (dateRows, metaRows) = facetList.partition(r => DateKeys.contains(r._2))
     val metaAllowed: Option[Array[Long]] =
       if (ctx.nFilters == 0) None
@@ -83,7 +100,7 @@ object QueryCore {
         if (byKey.size < ctx.nFilters) Some(Array.emptyLongArray)
         else {
           val lists = byKey.values.map { rowsOfKey =>
-            SortedIds.unionAll(rowsOfKey.map(r => SortedIds.decode(r._4, r._3.toInt)).toSeq)
+            SortedIds.unionAll(rowsOfKey.map(_._4).toSeq)
           }.toArray
           Some(SortedIds.intersectAll(lists))
         }
@@ -92,7 +109,7 @@ object QueryCore {
     val dateAllowed: Option[Array[Long]] = ctx.dateSel.map { case (sOpt, eOpt) =>
       val byKey = dateRows.groupBy(_._2)
       def u(k: String): Array[Long] = SortedIds.unionAll(
-        byKey.getOrElse(k, Array.empty[FacetRow]).map(r => SortedIds.decode(r._4, r._3.toInt)).toSeq)
+        byKey.getOrElse(k, Array.empty[FacetIds]).map(_._4).toSeq)
       val inRange = u(DateInKey)
       var noDate = u(NoDateKey)
       // docs missing a series bound fail the corresponding range condition

@@ -407,4 +407,105 @@ class IndexBuildSpec extends AnyFunSuite {
     assert(latest(3).inputChecksum == "v3:fresh",
       "a rebuild committed after a clock step-back must supersede the stale commit")
   }
+
+  test("deleteByQuery with a NULL-evaluating predicate keeps non-matching docs (3VL)") {
+    import org.apache.spark.sql.functions._
+    val corpus = Webtext.synthesize(spark, 400, partitions = 3).toDF()
+      // plant a meta key on SOME docs only — for the rest the delete
+      // predicate evaluates to NULL, which must mean KEEP, not delete
+      .withColumn("meta", when(col("docId") % 10 === 0,
+        map_concat(col("meta"), map(lit("source"), lit("feedX"))))
+        .otherwise(col("meta")))
+    rm("/tmp/gidx-nullpred")
+    IndexBuild.build(spark, corpus, "/tmp/gidx-nullpred", numChunks = 2,
+      saltTargetPostings = 64)
+    IndexBuild.deleteByQuery(spark, "/tmp/gidx-nullpred",
+      element_at(col("meta"), "source") === "feedX")
+    val left = spark.read.parquet("/tmp/gidx-nullpred/docstore")
+      .select("docId").collect().map(_.getLong(0)).toSet
+    assert(left.size == 360, s"expected 360 survivors, got ${left.size}")
+    assert(left.forall(_ % 10 != 0))
+  }
+
+  test("re-building with a different numChunks into an existing index is refused") {
+    val corpus = Webtext.synthesize(spark, 300, partitions = 2).toDF()
+    rm("/tmp/gidx-chunkswap")
+    IndexBuild.build(spark, corpus, "/tmp/gidx-chunkswap", numChunks = 4,
+      saltTargetPostings = 64)
+    val e = intercept[IllegalArgumentException] {
+      IndexBuild.build(spark, corpus, "/tmp/gidx-chunkswap", numChunks = 2,
+        saltTargetPostings = 64)
+    }
+    assert(e.getMessage.contains("numChunks"))
+  }
+
+  test("doc-sharded fleet load of a COMPACTED index reads per-chunk tables, results identical") {
+    import graft.query._
+    val corpus = Webtext.synthesize(spark, 800, partitions = 3).toDF()
+    rm("/tmp/gidx-compactfleet")
+    IndexBuild.build(spark, corpus, "/tmp/gidx-compactfleet", numChunks = 2,
+      saltTargetPostings = 64)
+    val idx0 = IndexHandle.load("/tmp/gidx-compactfleet")
+    val full = InMemoryIndex.load(spark, idx0)
+    IndexBuild.compact(spark, "/tmp/gidx-compactfleet")
+    val idx = IndexHandle.load("/tmp/gidx-compactfleet")
+    assert(idx.segmentsPath.endsWith("_compact")) // compacted view preferred
+    val nodes = ShardedServe.chunkAssignment(2, 2).map(cs =>
+      InMemoryIndex.load(spark, idx, chunks = Some(cs)))
+    assert(nodes.forall(_.loadedBytes > 0), "chunk-subset nodes must not be empty")
+    val q = QuerySpec("hi", Webtext.GoldenPhrase("hi").mkString(" "), mode = "any")
+    val fleet = ShardedServe.search(nodes, q)
+    val direct = full.search(q)
+    assert(fleet.hits.map(h => (h.docId, h.score)) ==
+      direct.hits.map(h => (h.docId, h.score)))
+    assert(fleet.totalHits == direct.totalHits)
+  }
+
+  test("url-derived docIds: recrawled urls dedup to the latest capture") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = Seq(
+      ("https://r.example/a", "2024-01-01 00:00:00", "old capture text alpha"),
+      ("https://r.example/a", "2024-06-01 00:00:00", "new capture text beta"),
+      ("https://r.example/b", "2024-03-01 00:00:00", "only capture gamma"))
+      .toDF("url", "ts", "text")
+      .select(col("url"), to_timestamp(col("ts")).as("warc_ts"), col("text"),
+        lit("hi").as("lang"))
+    rm("/tmp/gidx-recrawl")
+    IndexBuild.build(spark, base, "/tmp/gidx-recrawl", numChunks = 1,
+      saltTargetPostings = 64)
+    val store = spark.read.parquet("/tmp/gidx-recrawl/docstore")
+      .select("url", "text").as[(String, String)].collect().toMap
+    assert(store.size == 2)
+    assert(store("https://r.example/a") == "new capture text beta")
+    // the superseded capture's tokens are not in the index
+    val idx = graft.query.IndexHandle.load("/tmp/gidx-recrawl")
+    val mem = graft.query.InMemoryIndex.load(spark, idx)
+    assert(mem.search(graft.query.QuerySpec("hi", "alpha")).hits.isEmpty)
+    assert(mem.search(graft.query.QuerySpec("hi", "beta")).hits.nonEmpty)
+  }
+
+  test("reserved facet keys in user meta fail the build fast") {
+    import org.apache.spark.sql.functions._
+    val corpus = Webtext.synthesize(spark, 100, partitions = 2).toDF()
+      .withColumn("meta", map_concat(col("meta"), map(lit("year"), lit("1999"))))
+    rm("/tmp/gidx-reserved")
+    val e = intercept[Exception] {
+      IndexBuild.build(spark, corpus, "/tmp/gidx-reserved", numChunks = 1,
+        saltTargetPostings = 64)
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("reserved facet")), chain(e).mkString(" | "))
+  }
+
+  test("metaFilters(year) combined with yearRange is refused as ambiguous") {
+    val e = intercept[IllegalArgumentException] {
+      graft.query.QueryCore.context(graft.query.QuerySpec("hi", "x",
+        metaFilters = Map("year" -> Seq("2020")),
+        yearRange = Some((2021, 2022))), 10L, 5.0)
+    }
+    assert(e.getMessage.contains("ambiguous"))
+  }
 }

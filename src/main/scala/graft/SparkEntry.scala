@@ -1298,13 +1298,18 @@ object SparkEntry {
         |rare AS (SELECT sh.* FROM sh
         |         JOIN (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle) f USING (shingle)
         |         WHERE f.df <= 1000),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        |inter AS (
+        |  SELECT c.id_a, c.id_b, count(*) AS inter
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.id_a
+        |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b,
         |       round(inter / CAST(sa.set_size + sb.set_size - inter AS DOUBLE), 6) AS jaccard
-        |FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
         |WHERE inter / CAST(sa.set_size + sb.set_size - inter AS DOUBLE) >= 0.7
         |ORDER BY id_a, id_b""".stripMargin,
     "ann_cosine_topk" ->

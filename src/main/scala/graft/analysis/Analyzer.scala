@@ -116,10 +116,18 @@ object Analyzer extends Serializable {
     * mirroring Lucene MappingCharFilter.
     */
   // first chars of any mapping source, per table — cheap guard that avoids a
-  // substring allocation per scanned character on the hot path
-  private val firstCharCache = new java.util.concurrent.ConcurrentHashMap[Map[String, String], Set[Char]]()
+  // substring allocation per scanned character on the hot path. Precomputed
+  // per known table and matched by REFERENCE (a map-keyed cache would hash
+  // the whole unordered map on every charFilter call — per-document cost on
+  // the build's hottest loop)
+  private lazy val hindiStarts: Set[Char] = hindiMap.keySet.map(_.charAt(0))
+  private lazy val gujaratiStarts: Set[Char] = gujaratiMap.keySet.map(_.charAt(0))
+  private lazy val mixedStarts: Set[Char] = mixedMap.keySet.map(_.charAt(0))
   private def firstChars(table: Map[String, String]): Set[Char] =
-    firstCharCache.computeIfAbsent(table, t => t.keySet.map(_.charAt(0)))
+    if (table eq hindiMap) hindiStarts
+    else if (table eq gujaratiMap) gujaratiStarts
+    else if (table eq mixedMap) mixedStarts
+    else table.keySet.map(_.charAt(0))
 
   def charFilter(text: String, table: Map[String, String]): (String, Array[Int]) = {
     if (table.isEmpty) return (text, null)

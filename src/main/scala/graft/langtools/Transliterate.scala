@@ -87,14 +87,24 @@ object Transliterate {
       case "gu" => (guCons, guMatras, guVowels)
       case _    => (Seq.empty: Rules, latinVowels, latinVowels)
     }
-    // enumerate (candidate, cost) by recursive descent with longest-match
+    // enumerate (candidate, cost) by recursive descent with longest-match,
+    // BOUNDED: each suffix position keeps only its `beam` best tails by
+    // (cost, string). Costs are per-unit additive and suffix-independent, so
+    // k-best composition is exact when beam >= topk — but a long word would
+    // otherwise materialize the full alternative cross-product (4^units)
+    // before sorting, which is an OOM on adversarial query input. Memoized
+    // per position: work is O(positions × alts × beam log beam).
+    val beam = math.max(topk, 16)
+    val memo = new java.util.HashMap[Int, Seq[(String, Int)]]()
     def expand(pos: Int, atStart: Boolean): Seq[(String, Int)] = {
       if (pos >= w.length) return Seq(("", 0))
+      val cached = if (atStart) null else memo.get(pos)
+      if (cached != null) return cached
       val table: Rules =
         if (isVowel(w.charAt(pos))) { if (atStart) vowels else matras }
         else cons
       val hit = table.find { case (k, _) => w.startsWith(k, pos) }
-      hit match {
+      val all = hit match {
         case Some((k, alts)) =>
           val rest = expand(pos + k.length, atStart = false)
           for {
@@ -106,6 +116,13 @@ object Transliterate {
           // matches how a human would leave unmapped characters)
           expand(pos + 1, atStart = false).map { case (t, c) => (w.charAt(pos) + t, c) }
       }
+      // dedup by string keeping the cheapest cost (the final ordering and
+      // distinct only ever use a string's minimum cost)
+      val best = all.groupBy(_._1).view
+        .map { case (s, es) => (s, es.iterator.map(_._2).min) }.toSeq
+        .sortBy { case (v, c) => (c, v) }.take(beam)
+      if (!atStart) memo.put(pos, best)
+      best
     }
     expand(0, atStart = true)
       .sortBy { case (v, c) => (c, v) }

@@ -56,25 +56,31 @@ object Dedup {
     docs.select(col(idCol).as("doc_id"), explode(toShingles(col(textCol))).as("shingle"))
   }
 
-  /** Exact n-gram Jaccard near-duplicates via shingle inverted index.
-    * maxShingleDf prunes head shingles (a shingle in >maxShingleDf docs
-    * contributes O(df²) candidate pairs — the classic skew bomb).
+  /** n-gram Jaccard near-duplicates: CANDIDATES from the shingle inverted
+    * index (pairs sharing ≥1 rare shingle; maxShingleDf prunes head shingles
+    * whose O(df²) pair blowup is the classic skew bomb), then each candidate
+    * VERIFIED with the exact full-set Jaccard — the reported score is always
+    * the true Jaccard, never an artifact of the pruning. Recall caveat
+    * (inherent to df-pruned candidate generation): a pair whose EVERY shared
+    * shingle is corpus-frequent produces no candidate; near-dup pairs share
+    * long runs of rare shingles, so this is the standard trade.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
       maxShingleDf: Long = 1000): DataFrame = {
     val sh = shingles(docs, n)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
     val rare = sh.join(
       sh.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") <= maxShingleDf),
       "shingle")
-    val pairs = rare.as("a").join(rare.as("b"),
+    val cands = rare.as("a").join(rare.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
-      .withColumn("jaccard", col("inter") / (col("size_a") + col("size_b") - col("inter")))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val ng = n
+    val jUdf = udf((ta: String, tb: String) => exactJaccard(ta, tb, ng))
+    cands
+      .join(docs.select(col("doc_id").as("id_a"), col("text").as("text_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("text").as("text_b")), "id_b")
+      .withColumn("jaccard", jUdf(col("text_a"), col("text_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -196,6 +202,10 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist()
+    // unpersist must target the DataFrame persist() was CALLED on — a
+    // projection over it is a different plan and unpersisting that is a
+    // silent no-op (cascade=false), leaking one cached label table per round
+    var cached = labels
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -208,7 +218,8 @@ object Dedup {
       // materialize `next` BEFORE dropping its parents — unpersisting first
       // would make every later round recompute the whole join chain
       changed = next.where(col("label") < col("prev")).count()
-      labels.unpersist()
+      cached.unpersist()
+      cached = next
       labels = next.select("id", "label") // backed by the cached `next`
       iter += 1
     }

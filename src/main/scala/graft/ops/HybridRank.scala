@@ -16,14 +16,21 @@ object HybridRank {
 
   /** @param lexical (doc_id, score)   @param vector (doc_id, score) */
   def fuse(lexical: DataFrame, vector: DataFrame, k: Int): DataFrame = {
-    val lmax = lexical.agg(max("score")).collect()(0)
-    val vmax = vector.agg(max("score")).collect()(0)
-    val lMax = if (lmax.isNullAt(0)) 1.0 else math.max(lmax.getDouble(0), 1e-12)
-    val vMax = if (vmax.isNullAt(0)) 1.0 else math.max(vmax.getDouble(0), 1e-12)
-    val l = lexical.dropDuplicates("doc_id")
-      .select(col("doc_id"), (col("score") / lMax).as("l_norm"))
-    val v = vector.dropDuplicates("doc_id")
-      .select(col("doc_id"), (col("score") / vMax).as("v_norm"))
+    // dedup keeps the MAX score per doc (dropDuplicates keeps an arbitrary
+    // row — partition-order-dependent ranking); the normalization max rides
+    // the same plan as a broadcast cross join, so the whole fusion is ONE
+    // Spark action and Catalyst's exchange reuse computes each side's
+    // aggregation once (no driver-side collect jobs re-running the inputs)
+    def side(df: DataFrame, norm: String): DataFrame = {
+      val deduped = df.groupBy("doc_id").agg(max("score").as("score"))
+      val m = deduped.agg(max("score").as("m"))
+      deduped.crossJoin(F.broadcast(m))
+        .select(col("doc_id"),
+          (col("score") / coalesce(greatest(col("m"), lit(1e-12)), lit(1.0)))
+            .as(norm))
+    }
+    val l = side(lexical, "l_norm")
+    val v = side(vector, "v_norm")
     l.join(v, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         round(lit(LexicalWeight) * coalesce(col("l_norm"), lit(0.0)) +

@@ -37,7 +37,11 @@ object Hygiene {
     // '&' must collapse before the '?&' join is repaired.
     val clean = regexp_replace(regexp_replace(regexp_replace(
       noTrack, "&&+", "&"), "\\?&", "?"), "[?&]$", "")
-    concat(scheme, lit("://"), host, clean)
+    // scheme-less input: every extract above returns "" and all such urls
+    // would collapse to the literal "://" — one canonical key merging
+    // genuinely distinct resources; pass them through unchanged instead
+    when(url.contains("://"), concat(scheme, lit("://"), host, clean))
+      .otherwise(url)
   }
 
   /** Hostname of a URL (lowercased, port stripped). */

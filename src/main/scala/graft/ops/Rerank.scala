@@ -29,6 +29,7 @@ object Rerank {
     * cross-encoder session call per batch for the reference's semantics.
     */
   def crossScore(queryTerms: Set[String], text: String, lang: String): Double = {
+    if (text == null) return 0.0 // a null passage scores 0, never NPEs the job
     val ts = Analyzer.terms(text.take(TruncateChars), lang).toSet
     if (queryTerms.isEmpty || ts.isEmpty) 0.0
     else {

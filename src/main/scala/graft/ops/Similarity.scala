@@ -74,18 +74,19 @@ object Similarity {
     code
   }
 
-  /** LSH-bucketed approximate NN: corpus bucketed by sign-hash; each query
-    * probes its own bucket plus all buckets within `probeHamming` bit flips
-    * (multiprobe — trades probe fan-out for recall without growing the index).
+  /** Shared body of every sign-hash ANN variant: bucket the corpus with
+    * `code`, explode each query into its multiprobe bucket set (own code
+    * plus all codes within `probeHamming` flips), broadcast-join on bucket,
+    * score, dedupe probes by max, rank per query. The hash FUNCTION is the
+    * only thing the variants differ in — one body keeps them in lockstep.
     */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      bits: Int = 10, seed: Long = 7L, probeHamming: Int = 1): DataFrame = {
+  private def bucketedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      code: Seq[Float] => Long, bits: Int, probeHamming: Int): DataFrame = {
     val b = bits
-    val s = seed
     val ph = probeHamming
-    val codeUdf = udf((v: Seq[Float]) => lshCode(v, b, s))
+    val codeUdf = udf((v: Seq[Float]) => code(v))
     val probesUdf = udf { (v: Seq[Float]) =>
-      val c = lshCode(v, b, s)
+      val c = code(v)
       var codes = Set(c)
       for (_ <- 1 to ph) codes = codes ++ codes.flatMap(x => (0 until b).map(i => x ^ (1L << i)))
       codes.toSeq.sorted
@@ -102,6 +103,29 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "vec_id", "sim", "rank")
+  }
+
+  private def bucketedNearDupPairs(corpus: DataFrame, threshold: Double,
+      code: Seq[Float] => Long): DataFrame = {
+    val codeUdf = udf((v: Seq[Float]) => code(v))
+    val bucketed = corpus.select(col("vec_id"), col("embedding"),
+      codeUdf(col("embedding")).as("bucket"))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        cosineUdf(col("a.embedding"), col("b.embedding")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** LSH-bucketed approximate NN: corpus bucketed by sign-hash; each query
+    * probes its own bucket plus all buckets within `probeHamming` bit flips
+    * (multiprobe — trades probe fan-out for recall without growing the index).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      bits: Int = 10, seed: Long = 7L, probeHamming: Int = 1): DataFrame = {
+    val b = bits
+    val s = seed
+    bucketedTopK(corpus, queries, k, v => lshCode(v, b, s), b, probeHamming)
   }
 
   /** Axis-aligned sign code: bit i = sign of dimension i. A degenerate but
@@ -132,26 +156,7 @@ object Similarity {
   def lshTopKAxis(corpus: DataFrame, queries: DataFrame, k: Int,
       bits: Int = 6, probeHamming: Int = 1): DataFrame = {
     val b = bits
-    val ph = probeHamming
-    val codeUdf = udf((v: Seq[Float]) => axisCode(v, b))
-    val probesUdf = udf { (v: Seq[Float]) =>
-      val c = axisCode(v, b)
-      var codes = Set(c)
-      for (_ <- 1 to ph) codes = codes ++ codes.flatMap(x => (0 until b).map(i => x ^ (1L << i)))
-      codes.toSeq.sorted
-    }
-    val bucketed = corpus.withColumn("bucket", codeUdf(col("embedding")))
-    val qProbes = queries.withColumnRenamed("vec_id", "query_id")
-      .withColumnRenamed("embedding", "q_embedding")
-      .withColumn("bucket", explode(probesUdf(col("q_embedding"))))
-    val scored = bucketed.join(broadcast(qProbes), "bucket")
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        cosineUdf(col("embedding"), col("q_embedding")).as("sim"))
-      .groupBy("query_id", "vec_id").agg(max("sim").as("sim"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("query_id", "vec_id", "sim", "rank")
+    bucketedTopK(corpus, queries, k, v => axisCode(v, b), b, probeHamming)
   }
 
   /** IVF-style ANN (inverted-file index, the structure behind FAISS IVF and
@@ -208,14 +213,7 @@ object Similarity {
   def embeddingNearDupPairsAxis(corpus: DataFrame, threshold: Double,
       bits: Int = 6): DataFrame = {
     val b = bits
-    val codeUdf = udf((v: Seq[Float]) => axisCode(v, b))
-    val bucketed = corpus.select(col("vec_id"), col("embedding"),
-      codeUdf(col("embedding")).as("bucket"))
-    bucketed.as("a").join(bucketed.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        cosineUdf(col("a.embedding"), col("b.embedding")).as("sim"))
-      .filter(col("sim") >= threshold)
+    bucketedNearDupPairs(corpus, threshold, v => axisCode(v, b))
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold (bucketed the
@@ -225,14 +223,7 @@ object Similarity {
       bits: Int = 8, seed: Long = 7L): DataFrame = {
     val b = bits
     val s = seed
-    val codeUdf = udf((v: Seq[Float]) => lshCode(v, b, s))
-    val bucketed = corpus.select(col("vec_id"), col("embedding"),
-      codeUdf(col("embedding")).as("bucket"))
-    bucketed.as("a").join(bucketed.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        cosineUdf(col("a.embedding"), col("b.embedding")).as("sim"))
-      .filter(col("sim") >= threshold)
+    bucketedNearDupPairs(corpus, threshold, v => lshCode(v, b, s))
   }
 
   /** Exact near-dup pairs (n² — oracle/baseline at small scale only). */

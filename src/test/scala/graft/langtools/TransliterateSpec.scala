@@ -35,6 +35,18 @@ class TransliterateSpec extends AnyFunSuite {
     assert(a == b && a.length <= 10 && a.distinct == a)
   }
 
+  test("variants bounded on adversarial-length words (beam, not cross-product)") {
+    // 30 alternation units would be 4^30 combinations exhaustively — the
+    // memoized k-best expansion must return the top-k without materializing
+    // them
+    val w = "ta" * 30
+    val t0 = System.nanoTime()
+    val vs = Transliterate.variants(w, "hi", 10)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(vs.nonEmpty && vs.size <= 10 && vs.distinct == vs)
+    assert(ms < 5000.0, s"variants took $ms ms")
+  }
+
   test("3-phase flow: phase selection and ordering") {
     val df1 = Map("dup" -> 7L)
     // phase 1: top-5 variant found

@@ -20,6 +20,16 @@ class HybridGranthSpec extends AnyFunSuite {
     assert(order == Seq(2L, 1L, 4L, 3L))
   }
 
+  test("fuse is deterministic under duplicate doc_ids: max score wins") {
+    val lex = Seq((7L, 0.2), (7L, 0.9), (1L, 0.9)).toDF("doc_id", "score")
+    val vec = Seq((7L, 0.5), (7L, 0.1)).toDF("doc_id", "score")
+    val out = HybridRank.fuse(lex, vec, k = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc 7: lexical max 0.9 (norm 1.0), vector max 0.5 (norm 1.0)
+    assert(out(7L) == 1.0)
+    assert(out(1L) == 0.6)
+  }
+
   test("routing predicate mirrors reference is_lexical_query semantics") {
     assert(HybridRank.isLexicalQuery("शांति"))
     assert(HybridRank.isLexicalQuery("one two three"))

@@ -39,6 +39,11 @@ class HygieneSpec extends AnyFunSuite {
       Seq("https://example.org:8443/x", "ftp://example.org:21/x"))
   }
 
+  test("canonicalUrl: scheme-less urls pass through unchanged (never merge distinct resources)") {
+    assert(canon("www.example.com/a", "other.org/b", "https://ok.com/x#f") ==
+      Seq("www.example.com/a", "other.org/b", "https://ok.com/x"))
+  }
+
   test("hostOf / registrableDomain") {
     val r = Seq("https://A.B.Example.co:8080/p?q=1")
       .toDF("url")

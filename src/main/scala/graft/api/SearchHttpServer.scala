@@ -47,6 +47,7 @@ final class SearchHttpServer(
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   @volatile private var cache: Option[(JValue, Long)] = None
+  @volatile private var cacheVersion: Long = 0L
 
   private def supplier(): Map[String, Map[String, Seq[String]]] =
     metadataSupplier.map(_())
@@ -107,6 +108,13 @@ final class SearchHttpServer(
       if (pageSize <= 0 || pageNumber <= 0)
         throw new IllegalArgumentException(
           s"$name page_size and page_number must be positive")
+      // OpenSearch's max_result_window analog — also closes the Int-overflow
+      // hole where from + pageSize wraps negative and a negative-capacity
+      // top-k heap silently returns an empty page with 200 OK
+      if (pageNumber.toLong * pageSize > SearchHttpServer.MaxResultWindow)
+        throw new IllegalArgumentException(
+          s"$name page beyond max_result_window " +
+            s"(page_number * page_size must be <= ${SearchHttpServer.MaxResultWindow})")
       if (!enabled)
         return (JObject("results" -> JArray(Nil), "total_hits" -> JInt(0),
           "page_size" -> JInt(pageSize), "page_number" -> JInt(pageNumber)), Nil)
@@ -168,6 +176,10 @@ final class SearchHttpServer(
 
   private def metadataJson(): JValue = {
     val now = nowMs()
+    // version guard: an invalidation that lands while a computation is in
+    // flight must win — without it the in-flight thread would re-populate
+    // the cache with PRE-invalidation data for a full TTL
+    val versionAtStart = cacheVersion
     cache match {
       case Some((data, ts)) if now - ts < ttlSeconds * 1000 => data
       case _ =>
@@ -176,13 +188,21 @@ final class SearchHttpServer(
             k -> (JArray(vs.toList.map(JString(_))): JValue)
           }): JValue)
         })
-        cache = Some((data, now))
+        if (cacheVersion == versionAtStart) cache = Some((data, now))
         data
     }
   }
 
+  // JDK HttpServer context matching is longest-PREFIX: without this guard
+  // /api/searchXYZ would run the search handler and /api/cache/invalidateX
+  // would clear the cache instead of 404ing
+  private def exactPath(ex: HttpExchange, path: String): Boolean =
+    if (ex.getRequestURI.getPath == path) true
+    else { respond(ex, 404, JObject("detail" -> JString("Not Found"))); false }
+
   server.createContext("/api/search", new HttpHandler {
     def handle(ex: HttpExchange): Unit = try {
+      if (!exactPath(ex, "/api/search")) return
       if (ex.getRequestMethod != "POST") respond(ex, 405, JObject("detail" -> JString("POST only")))
       else {
         val body = new String(ex.getRequestBody.readAllBytes(),
@@ -203,6 +223,7 @@ final class SearchHttpServer(
 
   server.createContext("/api/metadata", new HttpHandler {
     def handle(ex: HttpExchange): Unit = try {
+      if (!exactPath(ex, "/api/metadata")) return
       respond(ex, 200, metadataJson())
     } catch {
       case e: Exception =>
@@ -212,9 +233,11 @@ final class SearchHttpServer(
 
   server.createContext("/api/cache/invalidate", new HttpHandler {
     def handle(ex: HttpExchange): Unit = try {
+      if (!exactPath(ex, "/api/cache/invalidate")) return
       if (ex.getRequestMethod != "POST")
         respond(ex, 405, JObject("detail" -> JString("POST only")))
       else {
+        cacheVersion += 1
         cache = None
         respond(ex, 200, JObject("message" -> JString("Metadata cache invalidated successfully")))
       }
@@ -234,6 +257,7 @@ final class SearchHttpServer(
     */
   server.createContext("/api/feedback", new HttpHandler {
     def handle(ex: HttpExchange): Unit = try {
+      if (!exactPath(ex, "/api/feedback")) return
       if (ex.getRequestMethod != "POST")
         respond(ex, 405, JObject("detail" -> JString("POST only")))
       else {
@@ -256,6 +280,10 @@ final class SearchHttpServer(
         }
       }
     } catch {
+      // malformed payloads are the client's fault, same mapping as /api/search
+      case e @ (_: IllegalArgumentException | _: MappingException |
+                _: com.fasterxml.jackson.core.JacksonException) =>
+        respond(ex, 400, JObject("detail" -> JString(s"Validation error: ${e.getMessage}")))
       case e: Exception =>
         respond(ex, 500, JObject("detail" -> JString(s"Internal server error: ${e.getMessage}")))
     } finally ex.close()
@@ -287,6 +315,9 @@ object SearchHttpServer {
   /** Default feedback sink: a bounded in-memory queue, oldest rows dropped
     * when full (delivery never starts failing on a long-lived node).
     */
+  /** Deepest servable page (OpenSearch index.max_result_window default). */
+  val MaxResultWindow: Long = 10000L
+
   val defaultFeedbackBuffer = new java.util.concurrent.LinkedBlockingQueue[String](10000)
   def bufferFeedback(row: String): Unit = {
     while (!defaultFeedbackBuffer.offer(row)) defaultFeedbackBuffer.poll()

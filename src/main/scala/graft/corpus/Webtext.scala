@@ -144,9 +144,17 @@ object Webtext {
     val m = Math.floorMod(i, 101L)
     if (m == 5L) words.insertAll(math.min(7, words.length), phrase)
     else if (m == 6L) words.insertAll(math.min(7, words.length), phrase.reverse)
-    // nasal conjunct variant in ~10% of hi docs
-    if (lang == "hi" && toUnit(mix(seed, i, 3000L)) < 0.10)
-      words.insert(Math.floorMod(mix(seed, i, 3001L), words.length.toLong).toInt, NasalVariantDoc)
+    // nasal conjunct variant in ~10% of hi docs. The insert must not land
+    // INSIDE the just-planted phrase span — it would split the consecutive
+    // phrase and break the m==5 positive fixture for that (seed, i)
+    if (lang == "hi" && toUnit(mix(seed, i, 3000L)) < 0.10) {
+      var at = Math.floorMod(mix(seed, i, 3001L), words.length.toLong).toInt
+      if (m == 5L || m == 6L) {
+        val pStart = math.min(7, words.length - phrase.length)
+        if (at > pStart && at < pStart + phrase.length) at = pStart + phrase.length
+      }
+      words.insert(at, NasalVariantDoc)
+    }
 
     // sentences (danda for hi/gu) and paragraphs
     val sentEnd = if (lang == "en") "." else " ।"

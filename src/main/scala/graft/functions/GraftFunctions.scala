@@ -53,11 +53,14 @@ object GraftFunctions {
   val analyze_tokens = udf((text: String, lang: String) =>
     Analyzer.analyze(text, lang).map(t => (t.term, t.pos)).toSeq)
 
-  /** uuid5 of a string (URL namespace). */
-  val uuid5_url = udf((name: String) => Uuid5.uuid5(name))
+  /** uuid5 of a string (URL namespace); null in → null out (a NULL url row
+    * must not abort the whole query — SQL scalar-function semantics). */
+  val uuid5_url = udf((name: String) =>
+    if (name == null) null else Uuid5.uuid5(name))
 
-  /** byte-identical text extraction from the html payload. */
-  val extract_text = udf((html: Array[Byte]) => Webtext.extractText(html))
+  /** byte-identical text extraction from the html payload; null-safe. */
+  val extract_text = udf((html: Array[Byte]) =>
+    if (html == null) null else Webtext.extractText(html))
 
   def registerAll(spark: SparkSession): Unit = {
     spark.udf.register("analyze_terms", analyze_terms)

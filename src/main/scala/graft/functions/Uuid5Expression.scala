@@ -28,7 +28,11 @@ case class Uuid5Expr(child: Expression) extends UnaryExpression {
 }
 
 object Uuid5Expr {
-  /** Column-level entry point (Spark 4 Column↔Expression bridge). */
+  /** Column-level entry point (Spark 4 Column↔Expression bridge). Non-string
+    * inputs are cast here — like [[CosineSimExpr]]'s entry point — so a
+    * bigint column fails into a clean cast at plan time instead of a
+    * ClassCastException mid-job.
+    */
   def uuid5(c: Column): Column =
-    ColumnBridge.column(Uuid5Expr(ColumnBridge.expression(c)))
+    ColumnBridge.column(Uuid5Expr(ColumnBridge.expression(c.cast("string"))))
 }

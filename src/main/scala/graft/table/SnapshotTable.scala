@@ -76,6 +76,13 @@ object SnapshotTable {
     df.write.parquet(s"$tableDir/$dataRel")
     val newFiles = TableIO.listFiles(s"$tableDir/$dataRel", "part-")
       .sorted.map(n => s"$dataRel/$n")
+    if (newFiles.isEmpty) {
+      // an empty input (0-partition DataFrame writes no part files) commits
+      // nothing: a manifest with "files":[] would make read(asOf) throw on
+      // schema inference forever after — no-op instead
+      TableIO.deleteRecursive(s"$tableDir/$dataRel")
+      return currentId(tableDir).getOrElse(0L)
+    }
     var attempt = 0
     while (attempt < maxRebases) {
       val parent = currentId(tableDir)

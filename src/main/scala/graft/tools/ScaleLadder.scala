@@ -39,14 +39,15 @@ object ScaleLadder {
 
   def synthEmbeddings(spark: SparkSession, n: Long, dim: Int = 16): DataFrame = {
     import spark.implicits._
+    // base vectors only — twins come EXCLUSIVELY from synthTwinRows (a
+    // twin branch here would double-emit ids >= 10M when n crosses 10M,
+    // inflating pair counts and skewing the ladder ratio)
+    require(n <= 10000000L,
+      s"synthEmbeddings: n=$n would collide base ids with the twin id space (>= 10M)")
     spark.range(0, n, 1, 32).select(col("id")).as[Long].map { i =>
-      // every 17th vector gets a slightly-perturbed twin at i + 10_000_000:
-      // guaranteed near-dup pairs at every scale
-      val base = if (i >= 10000000L && (i - 10000000L) % 17 == 0) i - 10000000L else i
-      val perturb = if (base == i) 0.0 else 0.05
       val v = Array.tabulate(dim) { d =>
-        val u = Webtext.toUnit(Webtext.mix(0xE5B3L, base, d.toLong)) * 2.0 - 1.0
-        (u + perturb * Webtext.toUnit(Webtext.mix(0xA11CL, i, d.toLong))).toFloat
+        val u = Webtext.toUnit(Webtext.mix(0xE5B3L, i, d.toLong)) * 2.0 - 1.0
+        u.toFloat
       }
       (i, Math.floorMod(i, 4L).toInt, v)
     }.toDF("vec_id", "label", "embedding")

@@ -207,6 +207,24 @@ class SearchHttpServerSpec extends AnyFunSuite {
     } finally s.stop()
   }
 
+  test("near-miss paths 404 (prefix contexts), deep pages 400, malformed feedback 400") {
+    withServer() { (_, port) =>
+      // JDK HttpServer matches contexts by longest prefix — near-miss paths
+      // must 404, not run the handler (or clear the cache!)
+      assert(post(port, "/api/searchXYZ", "{}")._1 == 404)
+      assert(get(port, "/api/metadata_v2")._1 == 404)
+      assert(post(port, "/api/cache/invalidatestale", "")._1 == 404)
+      // max_result_window: a page whose from+size overflows Int must 400,
+      // never silently return an empty 200 page
+      val (deep, _) = post(port, "/api/search",
+        """{"query": "x", "search_types": {"Pravachan":
+          | {"page_size": 20, "page_number": 107374183}}}""".stripMargin)
+      assert(deep == 400)
+      // malformed feedback JSON is the client's fault
+      assert(post(port, "/api/feedback", "{not json")._1 == 400)
+    }
+  }
+
   test("validation: non-positive page_number/page_size → 400; invalid JSON → 400; GET invalidate → 405") {
     withServer() { (_, port) =>
       val (c1, b1) = post(port, "/api/search",

@@ -28,15 +28,22 @@ object Bench {
   /** (total jiffies, steal jiffies) from /proc/stat. */
   private def cpuStat(): (Long, Long) = {
     val f = scala.io.Source.fromFile("/proc/stat").getLines().next().split("\\s+")
-    val vals = f.drop(1).map(_.toLong)
+    // first 8 fields only (user..steal): guest/guest_nice are already
+    // counted inside user/nice, and double-counting them inflates the
+    // denominator and understates steal% on guest-running hosts
+    val vals = f.drop(1).take(8).map(_.toLong)
     (vals.sum, vals(7))
   }
 
   def main(args: Array[String]): Unit = {
+    // the one-line JSON protocol must parse regardless of host locale —
+    // f"%.3f" under a comma-decimal locale would emit invalid JSON
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val benchDocs = sys.env.getOrElse("GRAFT_BENCH_DOCS", "200000").toLong
     val attempts = sys.env.getOrElse("GRAFT_BENCH_ATTEMPTS", "3").toInt
+    require(attempts >= 1, s"GRAFT_BENCH_ATTEMPTS must be >= 1, got $attempts")
     // tmpfs shuffle dir: bench numbers should measure the engine, not the VM
     // disk; real clusters put shuffle on local NVMe
     val localDir = s"/dev/shm/graft-spark-${ProcessHandle.current().pid()}"
@@ -228,13 +235,14 @@ object Bench {
     System.gc()
     sectionProbes("pipeline") = graft.tools.CpuProbe.efficiency(cpus.toInt)
     val pipeAttempts = sys.env.getOrElse("GRAFT_BENCH_PIPE_ATTEMPTS", "3").toInt
+    require(pipeAttempts >= 1, s"GRAFT_BENCH_PIPE_ATTEMPTS must be >= 1, got $pipeAttempts")
     for (name <- Seq("q1_agg", "tokenize_tf", "dedup_jaccard", "dedup_minhash",
         "ann_cosine_topk", "fwd_fill", "quality_score")) {
       val fn = SparkEntry.queries(name)
       timedN(name, pipeAttempts) { fn(spark, sfDir).count() }
     }
 
-    rm(idxDir); rm(corpusDir); rm("/dev/shm/graft_bench_warm"); rm(localDir) // tmpfs hygiene
+    rm(idxDir); rm(corpusDir); rm("/dev/shm/graft_bench_warm") // tmpfs hygiene
     // machine-capacity probe: delivered parallel efficiency at this thread
     // count right now (1.0 = linear; see graft.tools.CpuProbe) — lets a
     // reader separate engine performance from host contention at bench time
@@ -256,5 +264,6 @@ object Bench {
     val total = results.values.sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","bench_docs":$benchDocs,"docs_per_sec":$docsPerSec%.1f,"serve_qps":$serveQps%.1f,"serve_qps_fleet":$serveQpsFleet%.1f,"serve_qps_threads":$qpsThreads,"build_attempts":$attemptsJson,"build_best_steal_pct":${best._2}%.1f,"build_best_cpu_probe":${best._3}%.3f,"metric_attempts":$metricAttemptsJson,"section_probes":$probesJson,"cpu_probe_eff":$probe%.3f}""")
     spark.stop()
+    rm(localDir) // the live spark.local.dir must outlive the session
   }
 }

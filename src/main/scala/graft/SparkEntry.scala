@@ -1039,6 +1039,12 @@ object SparkEntry {
          |       WHERE v.rnk <= 5)
          |SELECT variant, df FROM p1 ORDER BY df DESC, variant""".stripMargin
     },
+    // Known approximation: DuckDB's damerau_levenshtein is unrestricted DL
+    // while the engine's suggester implements OSA (Lucene's suggest
+    // distance). The two differ only on transposition-plus-edit
+    // interactions; for this fixed query's variant set and the en
+    // dictionary the scores coincide (empirically green) — the OSA kernel
+    // itself is additionally pinned by golden vectors in spec.
     "transliterate_phase3" -> {
       val vs = graft.langtools.Transliterate.variants("spakr", "latin", 10)
       val vals = vs.map(v => s"('$v')").mkString(", ")

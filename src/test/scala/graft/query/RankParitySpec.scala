@@ -307,6 +307,14 @@ class RankParitySpec extends AnyFunSuite {
     if (got.totalHits == 0) {
       assert(got.suggestions.contains(real), s"expected $real in ${got.suggestions}")
     }
+    // the PRODUCTION suggester agrees across its two deployments: the
+    // distributed Spark path and the resident node's dictionary scan (both
+    // run OSA over the same termdict candidates)
+    val mem = InMemoryIndex.load(spark, idx, withDocs = false)
+    Seq(misspelled, real, real.drop(1) + "x").foreach { q =>
+      assert(Bm25Query.suggest(spark, idx, "hi", q) == mem.suggest("hi", q),
+        s"suggest paths diverge on '$q'")
+    }
   }
 
   test("BMW pivot ties: multi-term any-mode with pruning engaged (cap exceeded)") {

@@ -72,6 +72,11 @@ final class PostingListWriter {
     df += 1
     cf += tf
     if (positions != null) {
+      // the reader consumes exactly tf positions per doc — a length mismatch
+      // would shift the position stream off-frame for every LATER doc in the
+      // list, corrupting phrase verification with no error
+      require(positions.length == tf,
+        s"doc $docId: positions.length ${positions.length} != tf $tf")
       var prev = 0
       var i = 0
       while (i < positions.length) {

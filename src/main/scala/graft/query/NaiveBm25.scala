@@ -26,12 +26,16 @@ object NaiveBm25 {
     require(terms.nonEmpty, "empty analyzed query")
     val termSeq = terms.map(_._1).toSeq
 
-    val docs0 = docstore.where(col("lang") === q.lang)
-    val docsF = applyFilters(docs0, q)
-
     val corpus = docstore.where(col("lang") === q.lang) // stats over full lang corpus
+    val docsF = applyFilters(corpus, q)
+
     val statsRow = corpus.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).collect()(0)
     val n = statsRow.getLong(0)
+    // an empty language corpus has a NULL avgdl — the engine returns an
+    // empty page there, so the oracle must yield zero rows, not NPE
+    if (n == 0L)
+      return corpus.select(col("docId"), lit(0.0).as("score"),
+        lit(0L).as("matched")).limit(0)
     val avgdl = statsRow.getDouble(1)
 
     val toks = corpus
@@ -96,7 +100,17 @@ object NaiveBm25 {
   private def applyFilters(docs: DataFrame, q: QuerySpec): DataFrame = {
     var d = docs
     q.metaFilters.foreach { case (k, vs) =>
-      d = d.where(element_at(col("meta"), k).isin(vs: _*))
+      // "year"/"has_date" are DERIVED facets (the build rejects them as
+      // user meta keys) — the oracle must resolve them the same way the
+      // engine's facet index does, not against the meta map (where they
+      // are always null)
+      val valueCol = k match {
+        case "year"     => year(col("warc_ts")).cast("string")
+        case "has_date" =>
+          when(element_at(col("meta"), "date").isNotNull, "1").otherwise("0")
+        case _          => element_at(col("meta"), k)
+      }
+      d = d.where(valueCol.isin(vs: _*))
     }
     q.yearRange.foreach { case (a, z) =>
       d = d.where(year(col("warc_ts")).between(a, z))

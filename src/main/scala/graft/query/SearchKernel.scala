@@ -113,12 +113,18 @@ object SearchKernel {
       return SegmentResult(Array.empty, 0L, capped = false)
     val live = terms.filter(!_.it.exhausted)
     if (live.isEmpty) return SegmentResult(Array.empty, 0L, capped = false)
-    if (mode == "all" && live.length < terms.length)
-      return SegmentResult(Array.empty, 0L, capped = false)
+    // (mode == "all" with any exhausted iterator already returned above)
     val plan =
       if (!phrase) Array.empty[(Int, Int)]
-      else if (phrasePlan.nonEmpty) phrasePlan
-      else terms.indices.map(i => (i, terms(i).qPos)).toArray
+      else {
+        // a plan synthesized from DEDUPED terms would drop repeated-word
+        // occurrences ("a b a" would verify only "a b") — phrase callers
+        // must pass the full analyzed plan (QueryCore always does)
+        require(phrasePlan.nonEmpty,
+          "phrase = true requires an explicit phrasePlan (one entry per " +
+            "analyzed occurrence, repeated words included)")
+        phrasePlan
+      }
     if (mode == "all") runAnd(terms, avgdl, phrase, plan, excluded, allowed, k, trackTotalHits)
     else runWand(live, avgdl, excluded, allowed, k, trackTotalHits)
   }

@@ -81,6 +81,11 @@ class RankParitySpec extends AnyFunSuite {
 
   test("G7: year-range filter on warc_ts") {
     assertParity(QuerySpec("hi", hiPhrase, yearRange = Some((2020, 2020))))
+    // a terms filter on the DERIVED "year" facet (not user meta): the
+    // engine serves it from the warc_ts-derived facet lists, and the naive
+    // oracle must resolve it from warc_ts the same way
+    assertParity(QuerySpec("hi", hiPhrase,
+      metaFilters = Map("year" -> Seq("2020", "2021"))))
   }
 
   test("Q5 full date-range: (date in range) OR (no date AND series overlap)") {

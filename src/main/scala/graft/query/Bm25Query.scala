@@ -488,23 +488,34 @@ object Bm25Query {
     // dictionary source: the materialized termdict table (one pruned scan —
     // no per-query segment aggregation); segments agg only as a fallback for
     // pre-termdict indexes
-    val dict = termDictDf(spark, idx, lang)
+    val qSeq = qTerms.toSeq
+    // ONE Spark job for the whole (possibly multi-term) query: a single
+    // dict scan filtered to the query terms' first-char buckets, each dict
+    // row exploded against only the query terms sharing its first char,
+    // per-term top-`size` via a window — a 3-term misspelled query no
+    // longer pays 3x job-scheduling latency.
+    val qArr = array(qSeq.map(lit(_)): _*)
+    val maxLen = greatest(length(col("term")), length(col("qword"))).cast("double")
+    val rows = termDictDf(spark, idx, lang)
       .where(length(col("term")) >= 3)
-    qTerms.toSeq.flatMap { w =>
-      val maxLen = greatest(length(col("term")), lit(w.length)).cast("double")
-      dict
-        .where(col("term").startsWith(w.substring(0, 1)) && col("term") =!= w)
-        .where(levenshtein(lit(w), col("term")) <=
-          floor(lit(2.0 * (1.0 - minScore)) * maxLen))
-        .withColumn("score", lit(1.0) - osaUdf(lit(w), col("term")) / maxLen)
-        .where(col("score") >= minScore)
-        .orderBy(col("score").desc, col("df").desc, col("term"))
-        .limit(size)
-        .select("term")
-        .as[String]
-        .collect() // exactly `size` rows
-        .toSeq
-    }.distinct
+      .where(substring(col("term"), 1, 1).isin(qSeq.map(_.substring(0, 1)).distinct: _*))
+      .withColumn("qword", explode(filter(qArr, q =>
+        substring(q, 1, 1) === substring(col("term"), 1, 1) && q =!= col("term"))))
+      .where(levenshtein(col("qword"), col("term")) <=
+        floor(lit(2.0 * (1.0 - minScore)) * maxLen))
+      .withColumn("score", lit(1.0) - osaUdf(col("qword"), col("term")) / maxLen)
+      .where(col("score") >= minScore)
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qword"))
+        .orderBy(col("score").desc, col("df").desc, col("term"))))
+      .where(col("rank") <= size)
+      .select(col("qword"), col("rank"), col("term"))
+      .as[(String, Int, String)]
+      .collect() // ≤ size rows per query term
+    val byTerm = rows.groupBy(_._1)
+    // emit in the original per-term order (term iteration order, then rank)
+    // — identical to the former one-job-per-term loop's output
+    qSeq.flatMap(w => byTerm.getOrElse(w, Array.empty).sortBy(_._2).map(_._3)).distinct
   }
 
   /** (term, df) rows of a language's dictionary — termdict scan when the

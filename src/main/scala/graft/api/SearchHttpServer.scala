@@ -41,7 +41,13 @@ final class SearchHttpServer(
     /** per-query metrics delivery (reference: log_handle.metrics → a
       * metrics.log the exporter parses); default: bounded in-memory buffer
       * — a deployment points this at a rolling file appender */
-    metricsSink: String => Unit = SearchHttpServer.bufferMetrics) {
+    metricsSink: String => Unit = SearchHttpServer.bufferMetrics,
+    /** granth book store for /api/granth/verse + /api/granth/prose; absent →
+      * those endpoints 404 like an empty granth_index */
+    granthStore: Option[GranthStore] = None,
+    /** ANN engine for /api/similar-documents; absent → 503 (deployment has
+      * no embedding column loaded) */
+    similarDocs: Option[SimilarDocs] = None) {
 
   private implicit val formats: Formats = DefaultFormats
 
@@ -288,6 +294,149 @@ final class SearchHttpServer(
         respond(ex, 500, JObject("detail" -> JString(s"Internal server error: ${e.getMessage}")))
     } finally ex.close()
   })
+
+  // ---- path-parameter + query-parameter endpoints (search_api.py:460-646) ----
+
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8)
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).map(_.split("&").toSeq).getOrElse(Nil)
+      .flatMap(_.split("=", 2) match {
+        case Array(k, v) => Some(dec(k) -> dec(v))
+        case Array(k) if k.nonEmpty => Some(dec(k) -> "")
+        case _ => None
+      }).toMap
+
+  /** Path suffix after `prefix/` for {id}-style routes; None (404 already
+    * sent) when the suffix is missing — same guard discipline as
+    * [[exactPath]] against JDK prefix matching.
+    */
+  private def pathParam(ex: HttpExchange, prefix: String): Option[String] = {
+    val p = ex.getRequestURI.getPath
+    if (p.startsWith(prefix + "/") && p.length > prefix.length + 1)
+      Some(dec(p.substring(prefix.length + 1)))
+    else { respond(ex, 404, JObject("detail" -> JString("Not Found"))); None }
+  }
+
+  private def jstrOrNull(v: Option[String]): JValue =
+    v.map(JString(_): JValue).getOrElse(JNull)
+
+  /** One result row in the reference's `_extract_results` shape
+    * (index_searcher.py:301-357) from a full docstore payload.
+    */
+  private def payloadJson(d: graft.query.DocPayload, score: Double): JValue = JObject(
+    "document_id" -> JLong(d.docId),
+    "original_filename" -> JString(d.url),
+    "filename" -> JString(d.url.substring(d.url.lastIndexOf('/') + 1)),
+    "page_number" -> (d.meta.get("page_number").flatMap(_.toIntOption)
+      .map(JInt(_): JValue).getOrElse(JNull)),
+    // paragraph-chunked corpora carry paragraph_id in meta; flat corpora
+    // fall back to the chunk id itself (one doc = one paragraph unit)
+    "paragraph_id" -> JLong(
+      d.meta.get("paragraph_id").flatMap(_.toLongOption).getOrElse(d.docId)),
+    "content_snippet" -> JString(d.text),
+    "score" -> JDouble(score),
+    "metadata" -> JObject(d.meta.toList.sortBy(_._1)
+      .map { case (k, v) => k -> (JString(v): JValue) }),
+    "file_url" -> JString(d.meta.getOrElse("file_url", "")),
+    "date" -> jstrOrNull(d.meta.get("date")),
+    "series_start_date" -> jstrOrNull(d.meta.get("series_start_date")),
+    "series_end_date" -> jstrOrNull(d.meta.get("series_end_date")))
+
+  private def endpoint(ctx: String)(body: HttpExchange => Unit): Unit =
+    server.createContext(ctx, new HttpHandler {
+      def handle(ex: HttpExchange): Unit = try body(ex)
+      catch {
+        case e: IllegalArgumentException =>
+          respond(ex, 400, JObject("detail" -> JString(s"Validation error: ${e.getMessage}")))
+        case e: Exception =>
+          respond(ex, 500, JObject("detail" -> JString(s"Internal server error: ${e.getMessage}")))
+      } finally ex.close()
+    })
+
+  /** GET /api/context/{chunk_id} — previous/current/next paragraph
+    * (search_api.py:487-501; two-step get + neighbor term query becomes the
+    * node's resident facet lookup, [[graft.query.SearchNode.context]]).
+    * Unknown id → 404 (the reference's `if not current → 404` intent).
+    */
+  endpoint("/api/context") { ex =>
+    pathParam(ex, "/api/context").foreach { idStr =>
+      queryParams(ex) // language accepted for parity; the chunk knows its lang
+      idStr.toLongOption.flatMap(mem.context) match {
+        case None =>
+          respond(ex, 404, JObject("detail" -> JString("Context not found for the given ID.")))
+        case Some((cur, prev, next)) =>
+          def side(p: Option[graft.query.DocPayload]): JValue =
+            p.map(payloadJson(_, 0.0)).getOrElse(JNull)
+          respond(ex, 200, JObject(
+            "previous" -> side(prev),
+            "current" -> payloadJson(cur, 0.0),
+            "next" -> side(next)))
+      }
+    }
+  }
+
+  /** GET /api/similar-documents/{doc_id} — ANN by the doc's own vector with
+    * self-exclusion (search_api.py:460-485). No-vector/unknown doc → 200
+    * with zero results, like the reference's ([], 0).
+    */
+  endpoint("/api/similar-documents") { ex =>
+    pathParam(ex, "/api/similar-documents").foreach { idStr =>
+      similarDocs match {
+        case None =>
+          respond(ex, 503, JObject("detail" ->
+            JString("similar-documents not configured (no embedding column loaded)")))
+        case Some(sd) =>
+          val pairs = idStr.toLongOption.map(sd.similar(_, size = 10)).getOrElse(Nil)
+          val payloads = mem.docPayloads(pairs.map(_._1))
+          val results = pairs.flatMap { case (id, sim) =>
+            payloads.get(id).map(payloadJson(_, sim))
+          }
+          respond(ex, 200, JObject(
+            "total_results" -> JInt(results.size),
+            "results" -> JArray(results.toList)))
+      }
+    }
+  }
+
+  /** GET /api/granth/verse?original_filename=&verse_seq_num= — full nested
+    * verse + granth metadata (search_api.py:503-567).
+    */
+  endpoint("/api/granth/verse") { ex =>
+    if (exactPath(ex, "/api/granth/verse")) {
+      val qp = queryParams(ex)
+      (qp.get("original_filename"), qp.get("verse_seq_num").flatMap(_.toIntOption)) match {
+        case (Some(fn), Some(seq)) =>
+          granthStore.map(_.verseJson(fn, seq)).getOrElse(
+            Left(s"Granth document not found: $fn")) match {
+            case Left(detail) => respond(ex, 404, JObject("detail" -> JString(detail)))
+            case Right(json) => respond(ex, 200, json)
+          }
+        case _ => respond(ex, 400, JObject("detail" ->
+          JString("Validation error: original_filename and integer verse_seq_num are required")))
+      }
+    }
+  }
+
+  /** GET /api/granth/prose?original_filename=&prose_seq_num= — prose section
+    * or subsection-with-parent-context (search_api.py:568-646).
+    */
+  endpoint("/api/granth/prose") { ex =>
+    if (exactPath(ex, "/api/granth/prose")) {
+      val qp = queryParams(ex)
+      (qp.get("original_filename"), qp.get("prose_seq_num").flatMap(_.toIntOption)) match {
+        case (Some(fn), Some(seq)) =>
+          granthStore.map(_.proseJson(fn, seq)).getOrElse(
+            Left(s"Granth document not found: $fn")) match {
+            case Left(detail) => respond(ex, 404, JObject("detail" -> JString(detail)))
+            case Right(json) => respond(ex, 200, json)
+          }
+        case _ => respond(ex, 400, JObject("detail" ->
+          JString("Validation error: original_filename and integer prose_seq_num are required")))
+      }
+    }
+  }
 
   private implicit class RichExchange(ex: HttpExchange) {
     def sendResponseBody(code: Int, bytes: Array[Byte]): Unit = {

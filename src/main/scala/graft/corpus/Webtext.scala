@@ -192,7 +192,10 @@ object Webtext {
     val meta = Map(
       "category" -> (if (Math.floorMod(i, 3L) == 0L) "Granth" else "Pravachan"),
       "Author" -> s"author${Math.floorMod(i, 7L)}",
-      "Anuyog" -> s"anuyog${Math.floorMod(i, 4L)}") ++ dateMeta
+      "Anuyog" -> s"anuyog${Math.floorMod(i, 4L)}",
+      // the url's topic directory as a faceted source key — gives the serve
+      // deployment same-source prev/next for /api/context (flat-corpus mode)
+      "source" -> s"topic${Math.floorMod(i, 20L)}") ++ dateMeta
     WebDoc(i, url, ts, htmlFor(i, text), text, lang, meta)
   }
 

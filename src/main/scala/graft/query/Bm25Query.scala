@@ -28,6 +28,13 @@ case class QuerySpec(
 
 case class Hit(docId: Long, score: Double, url: String, lang: String, highlighted: String)
 
+/** Full docstore row for point-read endpoints (context, similar-documents) —
+  * the reference's `_source` of an indexed chunk (index_searcher.py:301-357
+  * _extract_results reads original_filename/paragraph_id/metadata from it).
+  */
+case class DocPayload(docId: Long, url: String, text: String, lang: String,
+    meta: Map[String, String])
+
 case class SearchResult(hits: Seq[Hit], totalHits: Long, totalRelation: String,
     suggestions: Seq[String])
 

@@ -181,6 +181,79 @@ final class InMemoryIndex(
       .toMap
   }
 
+  /** Full-row point-read for the context / similar-documents endpoints —
+    * same docId-sorted row-group pruning as [[fetchDocs]], plus lang + meta
+    * (the reference reads these off the chunk's `_source`). Not on the
+    * search hot path, so no cache tier.
+    */
+  def docPayloads(ids: Seq[Long]): Map[Long, DocPayload] = {
+    if (ids.isEmpty) return Map.empty
+    import spark.implicits._
+    spark.read.parquet(s"${idx.dir}/docstore")
+      .where(col("docId").isin(ids: _*))
+      .select("docId", "url", "text", "lang", "meta")
+      .as[(Long, String, String, String, Map[String, String])]
+      .collect()
+      .map(r => r._1 -> DocPayload(r._1, r._2, r._3, r._4, r._5))
+      .toMap
+  }
+
+  /** Previous/next chunk ids for the /api/context endpoint, from the RESIDENT
+    * facet lists (no docstore scan — the reference's indexed term query on
+    * (document_id, paragraph_id±1), index_searcher.py:600-610, maps to a
+    * sorted-list intersection here):
+    *   - corpora that chunk documents into paragraphs (meta carries
+    *     document_id + numeric paragraph_id): neighbor = the doc in the
+    *     document_id facet list that also appears in the paragraph_id (p±1)
+    *     list — two-pointer intersection of sorted docId arrays;
+    *   - flat corpora (webtext): neighbors are the adjacent docIds of the
+    *     same `source` facet list (exactly the oracled `neighbor_context`
+    *     window semantics), found by binary search. On a chunk-subset fleet
+    *     node the doc itself may live on another shard — the insertion point
+    *     still yields this shard's nearest same-source docIds on either
+    *     side, and the coordinator takes max(prev)/min(next) across shards.
+    */
+  private[query] def neighborIds(lang: String, docId: Long,
+      meta: Map[String, String]): (Option[Long], Option[Long]) = {
+    def firstIntersect(a: Array[Long], b: Array[Long]): Option[Long] = {
+      var i = 0; var j = 0
+      while (i < a.length && j < b.length) {
+        if (a(i) == b(j)) return Some(a(i))
+        else if (a(i) < b(j)) i += 1
+        else j += 1
+      }
+      None
+    }
+    (meta.get("document_id"),
+     meta.get("paragraph_id").flatMap(p => p.toLongOption)) match {
+      case (Some(d), Some(p)) =>
+        val docList = facets.getOrElse((lang, "document_id", d), Array.empty[Long])
+        def byPara(pv: Long): Option[Long] =
+          firstIntersect(docList,
+            facets.getOrElse((lang, "paragraph_id", pv.toString), Array.empty[Long]))
+        (byPara(p - 1), byPara(p + 1))
+      case _ =>
+        meta.get("source") match {
+          case Some(src) =>
+            val ids = facets.getOrElse((lang, "source", src), Array.empty[Long])
+            val i = java.util.Arrays.binarySearch(ids, docId)
+            val ip = if (i >= 0) i else -(i + 1) // insertion point on misses
+            val prev = if (ip > 0) Some(ids(ip - 1)) else None
+            val nextIdx = if (i >= 0) i + 1 else ip
+            val next = if (nextIdx < ids.length) Some(ids(nextIdx)) else None
+            (prev, next)
+          case None => (None, None)
+        }
+    }
+  }
+
+  def context(chunkId: Long): Option[(DocPayload, Option[DocPayload], Option[DocPayload])] =
+    docPayloads(Seq(chunkId)).get(chunkId).map { cur =>
+      val (p, n) = neighborIds(cur.lang, cur.docId, cur.meta)
+      val fetched = docPayloads(p.toSeq ++ n.toSeq)
+      (cur, p.flatMap(fetched.get), n.flatMap(fetched.get))
+    }
+
   /** The /metadata payload of the reference API
     * (search_api.py:112-162 get_metadata_api + common/opensearch.py
     * get_metadata): per content type, per "<Key>_<lang>" composite key, the

@@ -30,6 +30,12 @@ trait SearchNode {
   def search(q: QuerySpec): SearchResult
   def facetMetadata(fields: Set[String],
       contentKey: String = "category"): Map[String, Map[String, Seq[String]]]
+  /** /api/context: (current, previous, next) chunk payloads, None when the
+    * chunk id is unknown (reference get_paragraph_context,
+    * index_searcher.py:567-628). */
+  def context(chunkId: Long): Option[(DocPayload, Option[DocPayload], Option[DocPayload])]
+  /** Point-read full docstore rows (for endpoint payload assembly). */
+  def docPayloads(ids: Seq[Long]): Map[Long, DocPayload]
 }
 
 object ShardedServe {
@@ -56,6 +62,29 @@ object ShardedServe {
           }
         })
     def search(q: QuerySpec): SearchResult = ShardedServe.search(nodes, q, Some(pool))
+
+    // docstore parquet is shared storage every node can point-read — any
+    // node fetches any doc; only the facet-derived NEIGHBOR lookup is
+    // shard-local (each node sees its chunks' facet lists)
+    def docPayloads(ids: Seq[Long]): Map[Long, DocPayload] = nodes.head.docPayloads(ids)
+
+    /** Context on a doc-sharded fleet: the current chunk's payload is a
+      * shared-docstore point-read; neighbor candidates come from every
+      * shard's local facet lists and merge as max(prev)/min(next) — chunks
+      * partition docs, so in paragraph mode exactly one shard finds each
+      * neighbor, and in source mode the per-shard nearest-on-either-side
+      * candidates bracket the true neighbors. Result is identical to a
+      * single full node's.
+      */
+    def context(chunkId: Long): Option[(DocPayload, Option[DocPayload], Option[DocPayload])] =
+      docPayloads(Seq(chunkId)).get(chunkId).map { cur =>
+        val cands = nodes.map(_.neighborIds(cur.lang, cur.docId, cur.meta))
+        val prev = cands.flatMap(_._1).reduceOption(_ max _)
+        val next = cands.flatMap(_._2).reduceOption(_ min _)
+        val fetched = docPayloads(prev.toSeq ++ next.toSeq)
+        (cur, prev.flatMap(fetched.get), next.flatMap(fetched.get))
+      }
+
     def facetMetadata(fields: Set[String],
         contentKey: String): Map[String, Map[String, Seq[String]]] =
       nodes.map(_.facetMetadata(fields, contentKey))

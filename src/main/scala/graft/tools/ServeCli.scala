@@ -45,7 +45,16 @@ object ServeCli {
             .map(cs => graft.query.InMemoryIndex.load(spark, idx, chunks = Some(cs),
               sharedGlobalDf = Some(shared))))
       }
-    val server = new graft.api.SearchHttpServer(mem, port = port)
+    // granth books: resident store through the real markdown parser (same
+    // corpus as the oracled granth_flatten queries)
+    val granths = graft.api.GranthStore.synthetic(
+      sys.env.getOrElse("GRAFT_SERVE_GRANTHS", "8").toInt)
+    // similar-documents: embeddings table keyed by doc id (model swap point
+    // — a deployment points this at bge-m3 vectors of the docstore text)
+    val similar = sys.env.get("GRAFT_SERVE_EMB").map(p =>
+      new graft.api.SimilarDocs(spark, spark.read.parquet(p)))
+    val server = new graft.api.SearchHttpServer(mem, port = port,
+      granthStore = Some(granths), similarDocs = similar)
     server.start()
     println(s"[serve] listening on http://127.0.0.1:${server.boundPort}/api/search")
     if (sys.env.get("GRAFT_SERVE_ONESHOT").contains("1")) {
@@ -59,11 +68,28 @@ object ServeCli {
       val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
       println(s"[serve] self-test /api/search -> ${resp.statusCode()}: " +
         resp.body().take(400))
-      val meta = client.send(java.net.http.HttpRequest.newBuilder()
-        .uri(java.net.URI.create(s"http://127.0.0.1:${server.boundPort}/api/metadata"))
-        .GET().build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+      def get(path: String): java.net.http.HttpResponse[String] =
+        client.send(java.net.http.HttpRequest.newBuilder()
+          .uri(java.net.URI.create(s"http://127.0.0.1:${server.boundPort}$path"))
+          .GET().build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+      val meta = get("/api/metadata")
       println(s"[serve] self-test /api/metadata -> ${meta.statusCode()}: " +
         meta.body().take(400))
+      // chunk 40 sits mid-topic (topic0: 0,20,40,…) → prev+next populated
+      val ctx = get("/api/context/40?language=hi")
+      println(s"[serve] self-test /api/context/40 -> ${ctx.statusCode()}: " +
+        ctx.body().take(300))
+      val verse = get("/api/granth/verse?original_filename=granth0.md&verse_seq_num=1")
+      println(s"[serve] self-test /api/granth/verse -> ${verse.statusCode()}: " +
+        verse.body().take(300))
+      val prose = get("/api/granth/prose?original_filename=granth0.md&prose_seq_num=4")
+      println(s"[serve] self-test /api/granth/prose -> ${prose.statusCode()}: " +
+        prose.body().take(300))
+      similar.foreach { _ =>
+        val sim = get("/api/similar-documents/5")
+        println(s"[serve] self-test /api/similar-documents/5 -> ${sim.statusCode()}: " +
+          sim.body().take(300))
+      }
       server.stop()
       spark.stop()
     } else {

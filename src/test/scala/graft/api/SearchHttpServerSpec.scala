@@ -277,4 +277,160 @@ class SearchHttpServerSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- /api/context (reference test_search_api.py:509-560, 871-965) ----
+
+  test("GET /api/context/{id}: flat corpus — same-source neighbors, boundaries, 404") {
+    withServer() { (_, port) =>
+      // topic0 docs are 0, 20, 40, … (synthesize url topic = i % 20)
+      val (code, body) = get(port, "/api/context/40?language=hi")
+      assert(code == 200)
+      val j = parse(body)
+      assert((j \ "current" \ "document_id").extract[Long] == 40L)
+      assert((j \ "previous" \ "document_id").extract[Long] == 20L)
+      assert((j \ "next" \ "document_id").extract[Long] == 60L)
+      // reference _extract_results fields present on each entry
+      Seq("original_filename", "filename", "content_snippet", "metadata", "score")
+        .foreach(f => assert((j \ "current" \ f) != JNothing, f))
+      // document start boundary: no previous
+      val j0 = parse(get(port, "/api/context/0")._2)
+      assert((j0 \ "previous") == JNull)
+      assert((j0 \ "next" \ "document_id").extract[Long] == 20L)
+      // unknown chunk → 404; missing id segment → 404
+      assert(get(port, "/api/context/99999")._1 == 404)
+      assert(get(port, "/api/context")._1 == 404)
+      assert(get(port, "/api/context/")._1 == 404)
+    }
+  }
+
+  test("context: paragraph-chunked corpus uses (document_id, paragraph_id±1); fleet == single node") {
+    import org.apache.spark.sql.functions._
+    val dir = "/tmp/gidx-api-para"
+    graft.index.TableIO.deleteRecursive(dir)
+    // interleave two documents: docId i → document book(i%2), paragraph i/2
+    // (so the neighbor is docId±2, NOT docId±1 — proves the facet path)
+    val corpus = Webtext.synthesize(spark, 40).toDF()
+      // chunks of one document share its language (reference: a PDF is one
+      // language) — facet lists are lang-scoped, so pin the corpus to hi
+      .withColumn("lang", lit("hi"))
+      .withColumn("meta", map_concat(col("meta"),
+        map(lit("document_id"), concat(lit("book"), col("docId") % 2),
+          lit("paragraph_id"), (col("docId") / 2).cast("long").cast("string"))))
+    graft.index.IndexBuild.build(spark, corpus, dir, numChunks = 2)
+    val h = IndexHandle.load(dir)
+    val single = InMemoryIndex.load(spark, h)
+    val Some((cur, prev, next)) = single.context(6L)
+    assert(cur.docId == 6L && cur.meta("document_id") == "book0")
+    assert(prev.map(_.docId) == Some(4L), "previous = book0 paragraph 2")
+    assert(next.map(_.docId) == Some(8L), "next = book0 paragraph 4")
+    // first paragraph of a document: no previous even though docId-2 exists
+    val Some((_, p0, n0)) = single.context(1L) // book1 paragraph 0
+    assert(p0.isEmpty && n0.map(_.docId) == Some(3L))
+    // doc-sharded fleet returns the identical context
+    val shared = InMemoryIndex.loadGlobalDf(spark, h)
+    val fleet = new graft.query.ShardedServe.Fleet(
+      graft.query.ShardedServe.chunkAssignment(2, 2).map(cs =>
+        InMemoryIndex.load(spark, h, chunks = Some(cs), sharedGlobalDf = Some(shared))))
+    Seq(0L, 1L, 6L, 7L, 38L, 39L).foreach { id =>
+      val s = single.context(id).map { case (c, p, n) =>
+        (c.docId, p.map(_.docId), n.map(_.docId)) }
+      val f = fleet.context(id).map { case (c, p, n) =>
+        (c.docId, p.map(_.docId), n.map(_.docId)) }
+      assert(s == f, s"fleet context parity for chunk $id")
+    }
+  }
+
+  // ---- /api/granth/verse + /api/granth/prose (search_api.py:503-646) ----
+
+  private lazy val granths = GranthStore.synthetic(4)
+
+  private def withGranthServer[T](f: Int => T): T = {
+    val s = new SearchHttpServer(mem, granthStore = Some(granths))
+    s.start()
+    try f(s.boundPort) finally s.stop()
+  }
+
+  test("GET /api/granth/verse: nested verse + granth metadata; 404s; param validation") {
+    withGranthServer { port =>
+      val (code, body) = get(port,
+        "/api/granth/verse?original_filename=granth2.md&verse_seq_num=1")
+      assert(code == 200)
+      val j = parse(body)
+      assert((j \ "granth_id").extract[Long] == 2L)
+      assert((j \ "granth_name").extract[String] == "granth2")
+      assert((j \ "metadata" \ "Author").extract[String] == "author2")
+      assert((j \ "verse" \ "seq_num").extract[Int] == 1)
+      assert((j \ "verse" \ "verse").extract[String] == "verse text 2-1")
+      assert((j \ "verse" \ "type").extract[String] == "Gatha")
+      assert((j \ "verse" \ "teeka").extract[Seq[String]] ==
+        Seq("teeka 2-1-1", "teeka 2-1-2"))
+      // analyzed-match tolerance: extension variation still resolves
+      assert(get(port,
+        "/api/granth/verse?original_filename=granth2&verse_seq_num=1")._1 == 200)
+      val (c404, b404) = get(port,
+        "/api/granth/verse?original_filename=granth2.md&verse_seq_num=99")
+      assert(c404 == 404 && b404.contains("seq_num 99"))
+      assert(get(port,
+        "/api/granth/verse?original_filename=nope.md&verse_seq_num=1")._1 == 404)
+      assert(get(port, "/api/granth/verse?original_filename=granth2.md")._1 == 400)
+      assert(get(port, "/api/granth/verseX?original_filename=granth2.md&verse_seq_num=1")._1 == 404)
+    }
+  }
+
+  test("GET /api/granth/prose: main section, and subsection with parent context") {
+    withGranthServer { port =>
+      val e = granths.lookup("granth2.md").get
+      val sec = e.prose.head
+      val sub = sec.subsections.head
+      val (code, body) = get(port,
+        s"/api/granth/prose?original_filename=granth2.md&prose_seq_num=${sec.seqNum}")
+      assert(code == 200)
+      val j = parse(body)
+      assert((j \ "prose" \ "heading").extract[String] == sec.heading)
+      assert((j \ "prose" \ "subsections").extract[Seq[JValue]].nonEmpty)
+      // subsection seq → {**subsection, parent_seq_num, parent_heading}
+      val (cs, bs) = get(port,
+        s"/api/granth/prose?original_filename=granth2.md&prose_seq_num=${sub.seqNum}")
+      assert(cs == 200)
+      val js = parse(bs)
+      assert((js \ "prose" \ "heading").extract[String] == sub.heading)
+      assert((js \ "prose" \ "parent_seq_num").extract[Int] == sec.seqNum)
+      assert((js \ "prose" \ "parent_heading").extract[String] == sec.heading)
+      assert(get(port,
+        "/api/granth/prose?original_filename=granth2.md&prose_seq_num=999")._1 == 404)
+    }
+  }
+
+  // ---- /api/similar-documents (search_api.py:460-485) ----
+
+  test("GET /api/similar-documents/{id}: ANN neighbors, self excluded, scores descending") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val sd = new SimilarDocs(spark, emb)
+    val s = new SearchHttpServer(mem, similarDocs = Some(sd))
+    s.start()
+    try {
+      val port = s.boundPort
+      val (code, body) = get(port, "/api/similar-documents/5?language=hi")
+      assert(code == 200)
+      val j = parse(body)
+      val results = (j \ "results").extract[Seq[JObject]]
+      assert((j \ "total_results").extract[Int] == results.size)
+      assert(results.nonEmpty && results.size <= 10)
+      val idsScores = results.map(o =>
+        ((o \ "document_id").extract[Long], (o \ "score").extract[Double]))
+      assert(!idsScores.exists(_._1 == 5L), "source doc must be excluded")
+      assert(idsScores == idsScores.sortBy(-_._2), "best-first order")
+      // endpoint == the oracled IVF path directly
+      assert(idsScores.map(_._1) == sd.similar(5L, 10).map(_._1))
+      // unknown doc / no vector → 200 with zero results (reference ([], 0))
+      val j0 = parse(get(port, "/api/similar-documents/100000")._2)
+      assert((j0 \ "total_results").extract[Int] == 0)
+    } finally s.stop()
+  }
+
+  test("similar-documents without an embedding column → 503") {
+    withServer() { (_, port) =>
+      assert(get(port, "/api/similar-documents/5")._1 == 503)
+    }
+  }
 }

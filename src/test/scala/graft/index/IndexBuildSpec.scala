@@ -414,13 +414,13 @@ class IndexBuildSpec extends AnyFunSuite {
       // plant a meta key on SOME docs only — for the rest the delete
       // predicate evaluates to NULL, which must mean KEEP, not delete
       .withColumn("meta", when(col("docId") % 10 === 0,
-        map_concat(col("meta"), map(lit("source"), lit("feedX"))))
+        map_concat(col("meta"), map(lit("feed"), lit("feedX"))))
         .otherwise(col("meta")))
     rm("/tmp/gidx-nullpred")
     IndexBuild.build(spark, corpus, "/tmp/gidx-nullpred", numChunks = 2,
       saltTargetPostings = 64)
     IndexBuild.deleteByQuery(spark, "/tmp/gidx-nullpred",
-      element_at(col("meta"), "source") === "feedX")
+      element_at(col("meta"), "feed") === "feedX")
     val left = spark.read.parquet("/tmp/gidx-nullpred/docstore")
       .select("docId").collect().map(_.getLong(0)).toSet
     assert(left.size == 360, s"expected 360 survivors, got ${left.size}")

@@ -47,9 +47,21 @@ final class SearchHttpServer(
     granthStore: Option[GranthStore] = None,
     /** ANN engine for /api/similar-documents; absent → 503 (deployment has
       * no embedding column loaded) */
-    similarDocs: Option[SimilarDocs] = None) {
+    similarDocs: Option[SimilarDocs] = None,
+    /** fleet-internal scatter surface: set on shard NODES so a
+      * [[graft.query.ProcFleet]] coordinator can pull bounded partials /
+      * facet metadata / neighbor candidates over sockets
+      * (/api/internal/...). Absent on public-only deployments → 404.
+      */
+    internalNode: Option[graft.query.InMemoryIndex] = None) {
 
   private implicit val formats: Formats = DefaultFormats
+
+  // disable Nagle on response sockets BEFORE the first server is created
+  // (ServerConfig reads the property once, at class init): with it off, the
+  // fleet's small per-query RPCs hit the classic Nagle+delayed-ACK ~40 ms
+  // stall — measured 86 q/s vs 3.3k through the same path with it on
+  locally { SearchHttpServer.ensureNoDelay() }
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   @volatile private var cache: Option[(JValue, Long)] = None
@@ -438,6 +450,45 @@ final class SearchHttpServer(
     }
   }
 
+  // ---- fleet-internal scatter RPC (shard nodes only) ----
+  // The process-fleet analog of the in-process scatter: a coordinator POSTs
+  // the wire-encoded query and gets this shard's bounded partial heaps back
+  // (scores as raw IEEE bits — bit-exact merge, graft.query.Wire).
+  internalNode.foreach { node =>
+    def internal(path: String)(f: String => String): Unit =
+      endpoint(path) { ex =>
+        if (exactPath(ex, path)) {
+          if (ex.getRequestMethod != "POST")
+            respond(ex, 405, JObject("detail" -> JString("POST only")))
+          else {
+            val body = new String(ex.getRequestBody.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8)
+            val bytes = f(body).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            ex.getResponseHeaders.set("Content-Type", "application/json")
+            ex.sendResponseBody(200, bytes)
+          }
+        }
+      }
+    internal("/api/internal/partials") { body =>
+      graft.query.Wire.encodePartials(
+        node.searchPartial(graft.query.Wire.decodeQuery(body)))
+    }
+    internal("/api/internal/facets") { body =>
+      val j = parse(body)
+      val fields = (j \ "fields") match {
+        case JArray(vs) => vs.collect { case JString(s) => s }.toSet
+        case _ => Set.empty[String]
+      }
+      val ck = (j \ "contentKey").extractOrElse[String]("category")
+      graft.query.Wire.encodeFacetMeta(node.facetMetadata(fields, ck))
+    }
+    internal("/api/internal/neighbors") { body =>
+      val (lang, docId, meta) = graft.query.Wire.decodeNeighborReq(body)
+      val (p, n) = node.neighborIds(lang, docId, meta)
+      graft.query.Wire.encodeNeighbors(p, n)
+    }
+  }
+
   private implicit class RichExchange(ex: HttpExchange) {
     def sendResponseBody(code: Int, bytes: Array[Byte]): Unit = {
       ex.sendResponseHeaders(code, bytes.length)
@@ -449,8 +500,11 @@ final class SearchHttpServer(
 
   // concurrent request handling (the default HttpServer executor is the
   // calling thread); searches only read immutable resident structures
+  // procs/2: a fleet SHARD node must sustain the coordinator's full client
+  // concurrency (qps bench drives cpus/2 threads) — procs/4 serialized
+  // scatter RPCs behind too few workers
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(
-    math.max(Runtime.getRuntime.availableProcessors() / 4, 2))
+    math.max(Runtime.getRuntime.availableProcessors() / 2, 4))
   server.setExecutor(pool)
 
   def start(): Unit = server.start()
@@ -461,6 +515,12 @@ final class SearchHttpServer(
 }
 
 object SearchHttpServer {
+
+  private val noDelaySet = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private[api] def ensureNoDelay(): Unit =
+    if (noDelaySet.compareAndSet(false, true))
+      System.setProperty("sun.net.httpserver.nodelay", "true")
+
   /** Default feedback sink: a bounded in-memory queue, oldest rows dropped
     * when full (delivery never starts failing on a long-lived node).
     */

@@ -213,7 +213,7 @@ final class InMemoryIndex(
     *     still yields this shard's nearest same-source docIds on either
     *     side, and the coordinator takes max(prev)/min(next) across shards.
     */
-  private[query] def neighborIds(lang: String, docId: Long,
+  def neighborIds(lang: String, docId: Long,
       meta: Map[String, String]): (Option[Long], Option[Long]) = {
     def firstIntersect(a: Array[Long], b: Array[Long]): Option[Long] = {
       var i = 0; var j = 0

@@ -1,0 +1,205 @@
+package graft.query
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods.{compact, parse, render}
+
+/** Wire codec for the fleet's internal scatter RPC — the payloads a real
+  * multi-process fleet moves over sockets. Queries and bounded partial heaps
+  * only; payload text never crosses nodes (the coordinator point-reads the
+  * ≤ pageSize winners from the shared docstore, same as the in-process
+  * [[ShardedServe.Fleet]]).
+  *
+  * Scores travel as raw IEEE-754 bits (one long), not decimal text: partial
+  * merge order is (score desc, docId asc), so the socket hop must be
+  * BIT-EXACT for a process fleet to return byte-identical pages to a single
+  * node — gated by ProcFleetSpec.
+  */
+object Wire {
+
+  def encodeQuery(q: QuerySpec): String = compact(render(JObject(
+    "lang" -> JString(q.lang),
+    "query" -> JString(q.query),
+    "mode" -> JString(q.mode),
+    "phrase" -> JBool(q.phrase),
+    "excludeWords" -> JArray(q.excludeWords.toList.map(JString(_))),
+    "metaFilters" -> JObject(q.metaFilters.toList.map { case (k, vs) =>
+      k -> (JArray(vs.toList.map(JString(_))): JValue) }),
+    "yearRange" -> q.yearRange.map { case (a, b) =>
+      JArray(List(JInt(a), JInt(b))): JValue }.getOrElse(JNull),
+    "dateRange" -> q.dateRange.map { case (s, e) =>
+      JObject(
+        "start" -> s.map(JInt(_): JValue).getOrElse(JNull),
+        "end" -> e.map(JInt(_): JValue).getOrElse(JNull)): JValue
+    }.getOrElse(JNull),
+    "pageSize" -> JInt(q.pageSize),
+    "from" -> JInt(q.from),
+    "trackTotalHits" -> JLong(q.trackTotalHits))))
+
+  def decodeQuery(s: String): QuerySpec = {
+    val j = parse(s)
+    def str(f: String): String = (j \ f) match { case JString(v) => v; case _ => "" }
+    def optInt(v: JValue): Option[Int] = v match {
+      case JInt(n) => Some(n.toInt); case JLong(n) => Some(n.toInt); case _ => None }
+    QuerySpec(
+      lang = str("lang"),
+      query = str("query"),
+      mode = str("mode"),
+      phrase = (j \ "phrase") == JBool(true),
+      excludeWords = (j \ "excludeWords") match {
+        case JArray(vs) => vs.collect { case JString(v) => v }; case _ => Nil },
+      metaFilters = (j \ "metaFilters") match {
+        case JObject(fs) => fs.map { case (k, v) => k -> (v match {
+          case JArray(vs) => vs.collect { case JString(x) => x }: Seq[String]
+          case _ => Nil }) }.toMap
+        case _ => Map.empty },
+      yearRange = (j \ "yearRange") match {
+        case JArray(List(a, b)) => for (x <- optInt(a); y <- optInt(b)) yield (x, y)
+        case _ => None },
+      dateRange = (j \ "dateRange") match {
+        case o: JObject => Some((optInt(o \ "start"), optInt(o \ "end")))
+        case _ => None },
+      pageSize = optInt(j \ "pageSize").getOrElse(20),
+      from = optInt(j \ "from").getOrElse(0),
+      trackTotalHits = (j \ "trackTotalHits") match {
+        case JInt(n) => n.toLong; case JLong(n) => n; case _ => 1000L })
+  }
+
+  def encodePartials(parts: Array[SegmentResult]): String = compact(render(JObject(
+    "partials" -> JArray(parts.toList.map { p =>
+      JObject(
+        "top" -> JArray(p.top.toList.map(d => JArray(List(
+          JLong(d.docId),
+          JLong(java.lang.Double.doubleToRawLongBits(d.score)))))),
+        "hits" -> JLong(p.hitCount),
+        "capped" -> JBool(p.capped)): JValue
+    }))))
+
+  def decodePartials(s: String): Array[SegmentResult] = (parse(s) \ "partials") match {
+    case JArray(ps) => ps.map { p =>
+      val top = (p \ "top") match {
+        case JArray(ds) => ds.map {
+          case JArray(List(id, bits)) => ScoredDoc(asLong(id),
+            java.lang.Double.longBitsToDouble(asLong(bits)))
+          case other => sys.error(s"bad wire doc: $other")
+        }.toArray
+        case _ => Array.empty[ScoredDoc]
+      }
+      SegmentResult(top, asLong(p \ "hits"), (p \ "capped") == JBool(true))
+    }.toArray
+    case _ => Array.empty
+  }
+
+  def encodeFacetMeta(m: Map[String, Map[String, Seq[String]]]): String =
+    compact(render(JObject(m.toList.sortBy(_._1).map { case (ct, inner) =>
+      ct -> (JObject(inner.toList.sortBy(_._1).map { case (k, vs) =>
+        k -> (JArray(vs.toList.map(JString(_))): JValue) }): JValue) })))
+
+  def decodeFacetMeta(s: String): Map[String, Map[String, Seq[String]]] =
+    parse(s) match {
+      case JObject(cts) => cts.map { case (ct, inner) =>
+        ct -> (inner match {
+          case JObject(ks) => ks.map { case (k, v) => k -> (v match {
+            case JArray(vs) => vs.collect { case JString(x) => x }: Seq[String]
+            case _ => Nil }) }.toMap
+          case _ => Map.empty[String, Seq[String]] })
+      }.toMap
+      case _ => Map.empty
+    }
+
+  def encodeNeighborReq(lang: String, docId: Long, meta: Map[String, String]): String =
+    compact(render(JObject(
+      "lang" -> JString(lang),
+      "docId" -> JLong(docId),
+      "meta" -> JObject(meta.toList.sortBy(_._1).map { case (k, v) =>
+        k -> (JString(v): JValue) }))))
+
+  def decodeNeighborReq(s: String): (String, Long, Map[String, String]) = {
+    val j = parse(s)
+    val lang = (j \ "lang") match { case JString(v) => v; case _ => "" }
+    val meta = (j \ "meta") match {
+      case JObject(fs) => fs.collect { case (k, JString(v)) => k -> v }.toMap
+      case _ => Map.empty[String, String] }
+    (lang, asLong(j \ "docId"), meta)
+  }
+
+  def encodeNeighbors(prev: Option[Long], next: Option[Long]): String =
+    compact(render(JObject(
+      "prev" -> prev.map(JLong(_): JValue).getOrElse(JNull),
+      "next" -> next.map(JLong(_): JValue).getOrElse(JNull))))
+
+  def decodeNeighbors(s: String): (Option[Long], Option[Long]) = {
+    val j = parse(s)
+    def opt(v: JValue): Option[Long] = v match {
+      case JInt(n) => Some(n.toLong); case JLong(n) => Some(n); case _ => None }
+    (opt(j \ "prev"), opt(j \ "next"))
+  }
+
+  private def asLong(v: JValue): Long = v match {
+    case JInt(n) => n.toLong
+    case JLong(n) => n
+    case other => sys.error(s"expected integer, got $other")
+  }
+}
+
+/** Multi-PROCESS fleet coordinator: the in-process [[ShardedServe.Fleet]]
+  * promoted to real scatter — each doc shard is a separate JVM
+  * ([[graft.tools.ServeCli]] with GRAFT_SERVE_CHUNKS) exposing its bounded
+  * partials over HTTP (/api/internal/partials), and the coordinator runs the
+  * HEAD shard in-process (one fewer hop per query, same as the thread
+  * fleet's head-on-calling-thread) while tail shards answer over sockets
+  * with JSON-serialized heaps.
+  *
+  * Identical results to a single full node for the same reasons as the
+  * thread fleet (global-df idf, disjoint doc shards, pure interleave merge)
+  * PLUS bit-exact score transport ([[Wire]]) — gated end-to-end over real
+  * sockets by ProcFleetSpec.
+  */
+final class ProcFleet(local: InMemoryIndex, peers: Seq[String]) extends SearchNode {
+
+  private val client = java.net.http.HttpClient.newHttpClient()
+
+  private def postAsync(url: String, body: String)
+      : java.util.concurrent.CompletableFuture[String] =
+    client.sendAsync(
+      java.net.http.HttpRequest.newBuilder()
+        .uri(java.net.URI.create(url))
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+      .thenApply(r =>
+        if (r.statusCode() == 200) r.body()
+        else sys.error(s"peer $url -> ${r.statusCode()}: ${r.body().take(200)}"))
+
+  def search(q: QuerySpec): SearchResult = {
+    val body = Wire.encodeQuery(q)
+    // scatter to tail shards first, then run the head shard while they work
+    val futs = peers.map(p => postAsync(s"$p/api/internal/partials", body))
+    val localPart = local.searchPartial(q)
+    val remote = futs.flatMap(f => Wire.decodePartials(f.join()))
+    local.materialize(q, localPart ++ remote.toArray)
+  }
+
+  def facetMetadata(fields: Set[String],
+      contentKey: String): Map[String, Map[String, Seq[String]]] = {
+    val req = compact(render(JObject(
+      "fields" -> JArray(fields.toList.sorted.map(JString(_))),
+      "contentKey" -> JString(contentKey))))
+    val futs = peers.map(p => postAsync(s"$p/api/internal/facets", req))
+    val localMeta = local.facetMetadata(fields, contentKey)
+    ShardedServe.unionFacetMeta(localMeta +: futs.map(f => Wire.decodeFacetMeta(f.join())))
+  }
+
+  def docPayloads(ids: Seq[Long]): Map[Long, DocPayload] = local.docPayloads(ids)
+
+  def context(chunkId: Long): Option[(DocPayload, Option[DocPayload], Option[DocPayload])] =
+    docPayloads(Seq(chunkId)).get(chunkId).map { cur =>
+      val req = Wire.encodeNeighborReq(cur.lang, cur.docId, cur.meta)
+      val futs = peers.map(p => postAsync(s"$p/api/internal/neighbors", req))
+      val cands = local.neighborIds(cur.lang, cur.docId, cur.meta) +:
+        futs.map(f => Wire.decodeNeighbors(f.join()))
+      val prev = cands.flatMap(_._1).reduceOption(_ max _)
+      val next = cands.flatMap(_._2).reduceOption(_ min _)
+      val fetched = docPayloads(prev.toSeq ++ next.toSeq)
+      (cur, prev.flatMap(fetched.get), next.flatMap(fetched.get))
+    }
+}

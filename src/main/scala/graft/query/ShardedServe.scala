@@ -87,17 +87,24 @@ object ShardedServe {
 
     def facetMetadata(fields: Set[String],
         contentKey: String): Map[String, Map[String, Seq[String]]] =
-      nodes.map(_.facetMetadata(fields, contentKey))
-        .foldLeft(Map.empty[String, Map[String, Seq[String]]]) { (acc, m) =>
-          (acc.keySet ++ m.keySet).map { ct =>
-            val a = acc.getOrElse(ct, Map.empty)
-            val b = m.getOrElse(ct, Map.empty)
-            ct -> (a.keySet ++ b.keySet).map { k =>
-              k -> (a.getOrElse(k, Nil) ++ b.getOrElse(k, Nil)).distinct.sorted
-            }.toMap
-          }.toMap
-        }
+      ShardedServe.unionFacetMeta(nodes.map(_.facetMetadata(fields, contentKey)))
   }
+
+  /** Union of per-shard facet metadata (chunks partition docs, so a
+    * (type, key, value) co-occurs globally iff it co-occurs on ≥1 shard) —
+    * shared by the thread fleet and the process fleet coordinator.
+    */
+  def unionFacetMeta(maps: Seq[Map[String, Map[String, Seq[String]]]])
+      : Map[String, Map[String, Seq[String]]] =
+    maps.foldLeft(Map.empty[String, Map[String, Seq[String]]]) { (acc, m) =>
+      (acc.keySet ++ m.keySet).map { ct =>
+        val a = acc.getOrElse(ct, Map.empty)
+        val b = m.getOrElse(ct, Map.empty)
+        ct -> (a.keySet ++ b.keySet).map { k =>
+          k -> (a.getOrElse(k, Nil) ++ b.getOrElse(k, Nil)).distinct.sorted
+        }.toMap
+      }.toMap
+    }
 
   /** Round-robin chunk assignment for `nNodes` doc shards of an index with
     * `numChunks` chunks (node i serves chunks ≡ i mod nNodes).

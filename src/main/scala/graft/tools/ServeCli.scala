@@ -30,8 +30,32 @@ object ServeCli {
     // per chunk subset, scatter-gather behind the same API) instead of one
     // full resident node
     val shards = sys.env.getOrElse("GRAFT_SERVE_SHARDS", "1").toInt
+    // GRAFT_SERVE_CHUNKS="1,3" boots this process as ONE doc shard of a
+    // multi-process fleet: it loads only those chunks and exposes the
+    // internal scatter RPC for a ProcFleet coordinator
+    val chunkSubset: Option[Set[Int]] =
+      sys.env.get("GRAFT_SERVE_CHUNKS").map(_.split(",").map(_.trim.toInt).toSet)
+    // GRAFT_FLEET_PEERS="http://127.0.0.1:7001,…" makes this process the
+    // fleet COORDINATOR: its own (chunk-subset) node is the head shard,
+    // peers answer over sockets
+    val fleetPeers: Seq[String] =
+      sys.env.get("GRAFT_FLEET_PEERS").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+    require(fleetPeers.isEmpty || chunkSubset.isDefined,
+      "GRAFT_FLEET_PEERS needs GRAFT_SERVE_CHUNKS: the coordinator serves its " +
+        "own doc shard — a full-node coordinator would double-count peer docs")
+    var internalNode: Option[graft.query.InMemoryIndex] = None
     val mem: graft.query.SearchNode =
-      if (shards <= 1) graft.query.InMemoryIndex.load(spark, idx)
+      if (chunkSubset.isDefined || fleetPeers.nonEmpty) {
+        val local = graft.query.InMemoryIndex.load(spark, idx, chunks = chunkSubset)
+        internalNode = Some(local)
+        if (fleetPeers.isEmpty) local
+        else new graft.query.ProcFleet(local, fleetPeers)
+      }
+      else if (shards <= 1) {
+        val local = graft.query.InMemoryIndex.load(spark, idx)
+        internalNode = Some(local)
+        local
+      }
       else {
         val numChunks = graft.index.IndexBuild.readProps(idxDir).numChunks
         println(s"[serve] doc-sharded fleet: $shards nodes over $numChunks chunks")
@@ -54,7 +78,8 @@ object ServeCli {
     val similar = sys.env.get("GRAFT_SERVE_EMB").map(p =>
       new graft.api.SimilarDocs(spark, spark.read.parquet(p)))
     val server = new graft.api.SearchHttpServer(mem, port = port,
-      granthStore = Some(granths), similarDocs = similar)
+      granthStore = Some(granths), similarDocs = similar,
+      internalNode = internalNode)
     server.start()
     println(s"[serve] listening on http://127.0.0.1:${server.boundPort}/api/search")
     if (sys.env.get("GRAFT_SERVE_ONESHOT").contains("1")) {

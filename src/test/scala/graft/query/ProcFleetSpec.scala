@@ -1,0 +1,110 @@
+package graft.query
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.corpus.{SparkTestSession, Webtext}
+
+/** Multi-process fleet over real sockets == single full node, byte-for-byte:
+  * the ProcFleet coordinator (head shard in-process) scatters to a shard
+  * node behind an actual HTTP server and merges its JSON-serialized partial
+  * heaps — the full wire path a multi-JVM deployment pays, minus only the
+  * process boundary (Bench runs the separate-JVM variant as
+  * serve_qps_fleet_proc).
+  */
+class ProcFleetSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private lazy val fixture: (InMemoryIndex, ProcFleet, graft.api.SearchHttpServer) = {
+    val dir = "/tmp/gidx-procfleet"
+    graft.index.TableIO.deleteRecursive(dir)
+    graft.index.IndexBuild.build(spark, Webtext.synthesize(spark, 600).toDF(), dir,
+      numChunks = 2)
+    val h = IndexHandle.load(dir)
+    val single = InMemoryIndex.load(spark, h)
+    val shared = InMemoryIndex.loadGlobalDf(spark, h)
+    val peerNode = InMemoryIndex.load(spark, h, chunks = Some(Set(1)),
+      sharedGlobalDf = Some(shared))
+    val peerServer = new graft.api.SearchHttpServer(peerNode,
+      internalNode = Some(peerNode))
+    peerServer.start()
+    val local = InMemoryIndex.load(spark, h, chunks = Some(Set(0)),
+      sharedGlobalDf = Some(shared))
+    val proc = new ProcFleet(local, Seq(s"http://127.0.0.1:${peerServer.boundPort}"))
+    (single, proc, peerServer)
+  }
+
+  test("wire codec round-trips a fully-loaded QuerySpec and bit-exact partials") {
+    val q = QuerySpec("hi", "कुछ शब्द \"quoted\"", mode = "any", phrase = true,
+      excludeWords = Seq("नहीं", "x"),
+      metaFilters = Map("category" -> Seq("Granth"), "Author" -> Seq("a1", "a2")),
+      yearRange = Some((2019, 2021)),
+      dateRange = Some((Some(2019), None)),
+      pageSize = 7, from = 14, trackTotalHits = 50L)
+    assert(Wire.decodeQuery(Wire.encodeQuery(q)) == q)
+    // open-start date range and defaults
+    val q2 = QuerySpec("gu", "a", dateRange = Some((None, Some(2020))))
+    assert(Wire.decodeQuery(Wire.encodeQuery(q2)) == q2)
+    // scores whose decimal rendering would not round-trip must still be
+    // BIT-exact over the wire (raw IEEE bits)
+    val parts = Array(
+      SegmentResult(Array(ScoredDoc(3L, 0.1 + 0.2), ScoredDoc(9L, 1.0 / 3.0)),
+        hitCount = 17L, capped = true),
+      SegmentResult(Array.empty[ScoredDoc], 0L, capped = false))
+    val back = Wire.decodePartials(Wire.encodePartials(parts))
+    assert(back.length == 2 && back(0).hitCount == 17L && back(0).capped)
+    assert(java.lang.Double.doubleToRawLongBits(back(0).top(0).score) ==
+      java.lang.Double.doubleToRawLongBits(0.1 + 0.2))
+    assert(back(0).top.map(_.docId).toSeq == Seq(3L, 9L))
+    assert(back(1).top.isEmpty && !back(1).capped)
+  }
+
+  test("25-shape sweep over sockets: ProcFleet == single full node (pages, scores, totals, suggestions)") {
+    val (single, proc, _) = fixture
+    val rnd = new scala.util.Random(20260817L)
+    (1 to 25).foreach { _ =>
+      val nTerms = 1 + rnd.nextInt(4)
+      val terms = Seq.fill(nTerms)(Webtext.word("hi", rnd.nextInt(5000)))
+      val mode = if (rnd.nextBoolean()) "all" else "any"
+      val phrase = mode == "all" && rnd.nextInt(5) == 0
+      val cap = Seq(10L, 50L, 1000L)(rnd.nextInt(3))
+      val from = if (rnd.nextInt(3) == 0) 10 else 0
+      val ex = if (rnd.nextInt(4) == 0) Seq(Webtext.word("hi", rnd.nextInt(100))) else Nil
+      val mf: Map[String, Seq[String]] =
+        if (rnd.nextInt(4) == 0) Map("category" -> Seq("Pravachan")) else Map.empty
+      val yr = if (rnd.nextInt(5) == 0) Some((2020, 2020)) else None
+      val dr = if (rnd.nextInt(4) == 0)
+        Some((Some(2019 + rnd.nextInt(2)): Option[Int], Some(2020 + rnd.nextInt(2)): Option[Int]))
+      else None
+      val q = QuerySpec("hi", terms.mkString(" "), mode = mode, phrase = phrase,
+        excludeWords = ex, metaFilters = mf, yearRange = yr, dateRange = dr,
+        trackTotalHits = cap, from = from, pageSize = 20)
+      val a = single.search(q)
+      val b = proc.search(q)
+      assert(b.hits.map(h => (h.docId, h.score)) == a.hits.map(h => (h.docId, h.score)),
+        s"socket fleet diverged on $q")
+      assert(b.totalHits == a.totalHits && b.totalRelation == a.totalRelation,
+        s"totals on $q")
+      assert(b.suggestions == a.suggestions, s"suggestions on $q")
+    }
+  }
+
+  test("facet metadata and context parity over sockets") {
+    val (single, proc, _) = fixture
+    assert(proc.facetMetadata(Set("Author", "Anuyog", "year"), "category") ==
+      single.facetMetadata(Set("Author", "Anuyog", "year"), "category"))
+    Seq(0L, 40L, 599L, 41L).foreach { id =>
+      val a = single.context(id).map { case (c, p, n) =>
+        (c.docId, p.map(_.docId), n.map(_.docId)) }
+      val b = proc.context(id).map { case (c, p, n) =>
+        (c.docId, p.map(_.docId), n.map(_.docId)) }
+      assert(a == b, s"context parity for $id")
+    }
+  }
+
+  test("suggest parity over sockets: misspelled term resolves identically") {
+    val (single, proc, _) = fixture
+    val w = Webtext.word("hi", 3)
+    val misspelled = w.dropRight(1) + "ख़" // unlikely suffix → zero hits
+    val q = QuerySpec("hi", misspelled)
+    assert(proc.search(q).suggestions == single.search(q).suggestions)
+  }
+}

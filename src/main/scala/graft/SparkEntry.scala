@@ -482,10 +482,42 @@ object SparkEntry {
       graft.ops.Paragraphs.combineLinesSql(lines)
     }),
 
+    // ---- advanced 3-phase paragraph pipeline, ORACLED restriction: on a
+    // prose-only fixture (no QA/centered/indented/low-conf lines; terminator
+    // lines short, others full-width) the REAL FSM degenerates exactly to
+    // "split the doc's line sequence after each terminator line, page
+    // breaks healed by the phase-3 prose merge" — which DuckDB recomputes
+    // with a running-sum window. The full battery (QA/verse/heading/
+    // low-conf) runs as advanced_paragraphs_full below. ----
+    "advanced_paragraphs" -> ((s, dir) => {
+      import s.implicits._
+      import graft.ops.AdvancedParagraphs
+      val words = split(col("text"), " ")
+      val lines = documents(s, dir)
+        .select(col("doc_id"), words.as("w"))
+        .select(col("doc_id"), explode(sequence(lit(0),
+          least(lit(7), ((size(col("w")) - 1) / 6).cast("int")))).as("i"), col("w"))
+        .select(col("doc_id").as("docId"),
+          (col("i") / 4 + 1).cast("int").as("page"),
+          pmod(col("i"), lit(4)).cast("int").as("lineNum"),
+          concat(array_join(slice(col("w"), col("i") * 6 + 1, lit(6)), " "),
+            when(pmod(col("doc_id") + col("i"), lit(3)) === 0, lit("।"))
+              .otherwise(lit(""))).as("text"),
+          lit(10).as("xStart"),
+          // terminator lines end short of the right margin (so the FSM's
+          // hasSentenceTerminator && isNotRightJustified break fires);
+          // others run to the full prose width
+          when(pmod(col("doc_id") + col("i"), lit(3)) === 0, lit(60))
+            .otherwise(lit(100)).as("xEnd"))
+        .as[AdvancedParagraphs.OcrLine]
+      AdvancedParagraphs.generate(s, lines, AdvancedParagraphs.Hindi)
+        .toDF().orderBy("docId", "paraId")
+    }),
+
     // ---- advanced 3-phase paragraph pipeline (F6+A4+T3-T5); rows-only:
     // order-dependent FSM with reprocess-on-transition, gated by
     // AdvancedParagraphsSpec goldens ----
-    "advanced_paragraphs" -> ((s, dir) => {
+    "advanced_paragraphs_full" -> ((s, dir) => {
       import s.implicits._
       import graft.ops.AdvancedParagraphs
       // deterministic synthetic OCR lines from documents: 6-word lines over
@@ -626,8 +658,12 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
         .orderBy("id_a", "id_b")
     }),
-    "dedup_simhash" -> ((s, dir) => { // rows-only: sketch hashes are ours
+    "dedup_simhash" -> ((s, dir) => {
+      // FULLY ORACLED since the sketch moved to md5-derived bit vectors
+      // (Dedup.md5Low60): DuckDB recomputes token hashes, the 60 bit
+      // majorities, the 4×15-bit block join and the xor hamming verify
       Dedup.simhashPairs(Dedup.withPlantedDups(documents(s, dir)), maxHamming = 6)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
         .orderBy("id_a", "id_b")
     }),
 
@@ -692,6 +728,17 @@ object SparkEntry {
       val emb = embeddings(s, dir)
       Similarity.ivfTopK(emb, emb.where(col("vec_id") < 5), k = 10,
         nlist = 16, nProbe = 4)
+        .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"),
+          col("rank").cast("long").as("nn_rank"))
+        .orderBy("query_id", "nn_rank")
+    }),
+    "ann_hnsw_topk" -> ((s, dir) => {
+      // Q9 HNSW (the reference's actual kNN structure,
+      // opensearch-config.yaml:152-160): one graph per partition, queries
+      // fan out, window merge. Rows-only: the graph walk is ours — HnswSpec
+      // gates recall ≥ 0.95 vs exact cosineTopK and run-to-run determinism
+      val emb = embeddings(s, dir)
+      graft.ops.Hnsw.hnswTopK(emb, emb.where(col("vec_id") < 5), k = 10)
         .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"),
           col("rank").cast("long").as("nn_rank"))
         .orderBy("query_id", "nn_rank")
@@ -1217,6 +1264,30 @@ object SparkEntry {
         |  FROM flagged)
         |SELECT doc_id, para_id, string_agg(line, ' ' ORDER BY line_num) AS text
         |FROM grp GROUP BY doc_id, para_id ORDER BY doc_id, para_id""".stripMargin,
+    // Prose-only FSM restriction: paragraph = maximal line run ending at a
+    // planted-terminator line (short xEnd → isNotRightJustified → the FSM
+    // break); page-end breaks heal in the phase-3 prose merge, so the merged
+    // paragraph's page is its FIRST line's page. Running-sum grouping — a
+    // fully independent re-derivation of generate()'s output on this fixture.
+    "advanced_paragraphs" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS w FROM documents),
+        |ls AS (SELECT doc_id, unnest(range(0, least(7, (len(w) - 1) // 6) + 1)) AS i, w
+        |       FROM w),
+        |lines AS (
+        |  SELECT doc_id, i, CAST(i // 4 + 1 AS INT) AS page,
+        |         array_to_string(w[i * 6 + 1 : i * 6 + 6], ' ') ||
+        |           CASE WHEN (doc_id + i) % 3 = 0 THEN '।' ELSE '' END AS line,
+        |         CASE WHEN (doc_id + i) % 3 = 0 THEN 1 ELSE 0 END AS term
+        |  FROM ls),
+        |grp AS (
+        |  SELECT doc_id, i, page, line,
+        |         COALESCE(SUM(term) OVER (PARTITION BY doc_id ORDER BY i
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pid
+        |  FROM lines)
+        |SELECT doc_id AS "docId", CAST(MIN(page) AS INT) AS page,
+        |       CAST(pid AS INT) AS "paraId",
+        |       string_agg(line, ' ' ORDER BY i) AS text
+        |FROM grp GROUP BY doc_id, pid ORDER BY "docId", "paraId"""".stripMargin,
     "header_reject" ->
       """WITH paras AS (
         |  SELECT doc_id, CAST(doc_id % 3 AS INT) AS para_num,
@@ -1363,6 +1434,37 @@ object SparkEntry {
         |FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
         |WHERE inter / CAST(sa.set_size + sb.set_size - inter AS DOUBLE) >= 0.7
         |ORDER BY id_a, id_b""".stripMargin,
+    // SimHash recomputed from scratch: per-token 60-bit hash = first 15 hex
+    // digits of md5 (folded digit-by-digit), per-doc bit majorities, 4×15-bit
+    // block candidate join, xor bit_count verify — every step independent of
+    // the Scala implementation except the shared md5 primitive
+    "dedup_simhash" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text || ' near dup suffix' FROM documents WHERE doc_id % 17 = 0
+        |  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 23 = 0),
+        |arr AS (SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS a FROM planted),
+        |toks AS (SELECT doc_id, unnest(a) AS t FROM arr),
+        |th AS (SELECT doc_id,
+        |  list_reduce(list_transform(split(substr(md5(t), 1, 15), ''),
+        |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |    (x, y) -> x * 16 + y) AS h
+        |  FROM toks WHERE t <> ''),
+        |bits AS (SELECT doc_id, b,
+        |  SUM(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+        |  FROM th CROSS JOIN (SELECT unnest(range(60)) AS b) bs GROUP BY doc_id, b),
+        |sh AS (SELECT doc_id,
+        |  CAST(SUM(CASE WHEN acc > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |blocks AS (SELECT doc_id, simhash, b AS block,
+        |  (simhash >> CAST(15 * b AS INT)) & 32767 AS value
+        |  FROM sh CROSS JOIN (SELECT unnest(range(4)) AS b) bs),
+        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |  FROM blocks a JOIN blocks b
+        |    ON a.block = b.block AND a.value = b.value AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM pairs WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin,
     "dedup_canonical" ->
       """WITH RECURSIVE planted AS (
         |  SELECT doc_id, text FROM documents

@@ -17,24 +17,44 @@ import org.apache.spark.sql.functions._
   * and the endpoint shape stay identical.
   */
 final class SimilarDocs(spark: SparkSession, embeddings: DataFrame,
-    nlist: Int = 16, nProbe: Int = 4) {
+    nlist: Int = 16, nProbe: Int = 4,
+    /** serve from a RESIDENT per-node HNSW graph (the reference's actual
+      * structure, opensearch-config.yaml:152-160) instead of the IVF Spark
+      * path: memory-latency answers, recall-gated in HnswSpec. On a
+      * doc-sharded fleet each node holds the graph of its own shard's
+      * vectors — same fan-out/merge as every other serving structure. */
+    residentHnsw: Boolean = false) {
 
   // vectors are served repeatedly — keep the (vec_id, embedding) projection
   // resident like the node's other serving structures
   private val emb = embeddings.select("vec_id", "embedding").cache()
+
+  private lazy val (graph, vecById): (graft.ops.Hnsw.Graph, Map[Long, Array[Float]]) = {
+    import spark.implicits._
+    val rows = emb.as[(Long, Array[Float])].collect().sortBy(_._1)
+    val g = new graft.ops.Hnsw.Graph(rows.head._2.length)
+    rows.foreach { case (id, v) => g.insert(id, v) }
+    (g, rows.toMap)
+  }
 
   /** Neighbor (docId, cosine) pairs, best first; Nil when the doc has no
     * vector (reference returns ([], 0) for both missing-doc and no-vector).
     */
   def similar(docId: Long, size: Int = 10): Seq[(Long, Double)] = {
     import spark.implicits._
-    val q = emb.where(col("vec_id") === docId)
-    if (q.take(1).isEmpty) Nil
-    else graft.ops.Similarity.ivfTopK(emb, q, size, nlist, nProbe)
-      .orderBy("rank")
-      .select("vec_id", "sim")
-      .as[(Long, Double)]
-      .collect()
-      .toSeq
+    if (residentHnsw)
+      vecById.get(docId).map { v =>
+        graph.search(v, size + 1).filter(_._1 != docId).take(size)
+      }.getOrElse(Nil)
+    else {
+      val q = emb.where(col("vec_id") === docId)
+      if (q.take(1).isEmpty) Nil
+      else graft.ops.Similarity.ivfTopK(emb, q, size, nlist, nProbe)
+        .orderBy("rank")
+        .select("vec_id", "sim")
+        .as[(Long, Double)]
+        .collect()
+        .toSeq
+    }
   }
 }

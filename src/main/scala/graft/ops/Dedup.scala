@@ -250,31 +250,54 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
   }
 
-  /** 64-bit SimHash over terms weighted by tf. */
+  /** Low 60 bits of md5(token) — the token hash behind [[simhash64]].
+    * md5 (not FNV/xxhash) so an external SQL engine recomputes the identical
+    * sketch (same discipline as the oracled axis-sign LSH and the md5
+    * fingerprint); a deployment free of the oracle contract can swap in any
+    * 64-bit hash — every downstream bit-count/block/join is unchanged.
+    */
+  def md5Low60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 15 hex chars = top 7.5 bytes of the digest
+    var v = 0L
+    var i = 0
+    while (i < 8) {
+      val b = d(i) & 0xff
+      if (i < 7) v = (v << 8) | b
+      else v = (v << 4) | (b >>> 4) // 15th hex digit = high nibble of byte 7
+      i += 1
+    }
+    v
+  }
+
+  /** 60-bit SimHash over terms weighted by tf (md5-derived bit vectors —
+    * fully recomputable by the DuckDB oracle, see [[md5Low60]]).
+    */
   def simhash64(text: String): Long = {
     val w = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
-    val acc = new Array[Int](64)
+    val acc = new Array[Int](60)
     w.foreach { t =>
-      val h = stringHash64(t)
+      val h = md5Low60(t)
       var b = 0
-      while (b < 64) {
+      while (b < 60) {
         if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
         b += 1
       }
     }
     var out = 0L
     var b = 0
-    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    while (b < 60) { if (acc(b) > 0) out |= (1L << b); b += 1 }
     out
   }
 
-  /** SimHash near-dup candidates: 4 blocks of 16 bits; pairs sharing a block
+  /** SimHash near-dup candidates: 4 blocks of 15 bits; pairs sharing a block
     * verified by full Hamming distance ≤ maxHamming.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val shUdf = udf((text: String) => simhash64(text))
     val sh = docs.select(col("doc_id"), shUdf(col("text")).as("simhash"))
-    val blockUdf = udf((h: Long) => (0 until 4).map(b => (b, (h >>> (16 * b)) & 0xffffL)))
+    val blockUdf = udf((h: Long) => (0 until 4).map(b => (b, (h >>> (15 * b)) & 0x7fffL)))
     val blocks = sh.select(col("doc_id"), col("simhash"), explode(blockUdf(col("simhash"))).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk._1").as("block"), col("bk._2").as("value"))
     blocks.as("a").join(blocks.as("b"),

@@ -76,7 +76,8 @@ object ServeCli {
     // similar-documents: embeddings table keyed by doc id (model swap point
     // — a deployment points this at bge-m3 vectors of the docstore text)
     val similar = sys.env.get("GRAFT_SERVE_EMB").map(p =>
-      new graft.api.SimilarDocs(spark, spark.read.parquet(p)))
+      new graft.api.SimilarDocs(spark, spark.read.parquet(p),
+        residentHnsw = sys.env.get("GRAFT_SERVE_HNSW").contains("1")))
     val server = new graft.api.SearchHttpServer(mem, port = port,
       granthStore = Some(granths), similarDocs = similar,
       internalNode = internalNode)

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.corpus.SparkTestSession
+
+/** HNSW verification: a graph heuristic has no SQL oracle, so the gates are
+  * (1) recall against the exact brute-force top-k, (2) run-to-run
+  * determinism (seeded levels + range partitions + vec_id insertion order),
+  * (3) single-graph sanity on a constructed corpus.
+  */
+class HnswSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+
+  test("recall >= 0.95 @ k=10 vs exact cosine top-k over the synthetic embeddings") {
+    val queries = emb.where(col("vec_id") < 50)
+    val k = 10
+    val exact = Similarity.cosineTopK(emb, queries, k)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val got = Hnsw.hnswTopK(emb, queries, k)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (qid, truth) =>
+      got.getOrElse(qid, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(recalls.size == 50)
+    assert(mean >= 0.95, f"mean recall $mean%.3f < 0.95")
+  }
+
+  test("deterministic: two runs return identical rows") {
+    val queries = emb.where(col("vec_id") < 20)
+    def run(): Seq[(Long, Long, Long)] =
+      Hnsw.hnswTopK(emb, queries, 10)
+        .select(col("query_id"), col("vec_id"), col("rank"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+        .toSeq.sorted
+    assert(run() == run())
+  }
+
+  test("single graph: exact on a separable corpus, self excluded, best-first") {
+    // two tight clusters far apart — any reasonable ANN must be exact
+    val g = new Hnsw.Graph(dim = 4, m = 4, efConstruction = 32)
+    val a = Array(1f, 0f, 0f, 0f)
+    val b = Array(0f, 1f, 0f, 0f)
+    def jitter(base: Array[Float], i: Int): Array[Float] =
+      base.zipWithIndex.map { case (v, j) => v + 0.01f * ((i + j) % 3) }
+    (0 until 20).foreach(i => g.insert(i.toLong, jitter(a, i)))
+    (100 until 120).foreach(i => g.insert(i.toLong, jitter(b, i)))
+    val near = g.search(a, 5)
+    assert(near.size == 5)
+    assert(near.forall(_._1 < 20), s"cluster-a query leaked cluster-b ids: $near")
+    assert(near.map(_._2) == near.map(_._2).sorted.reverse, "best-first order")
+    val nearB = g.search(b, 5)
+    assert(nearB.forall(_._1 >= 100), s"cluster-b query leaked cluster-a ids: $nearB")
+  }
+
+  test("resident-HNSW SimilarDocs: memory-latency neighbors, recall vs exact, self excluded") {
+    val full = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val sd = new graft.api.SimilarDocs(spark, full, residentHnsw = true)
+    val exact = Similarity.cosineTopK(emb, emb.where(col("vec_id") === 5), 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val got = sd.similar(5L, 10)
+    assert(got.size == 10 && !got.exists(_._1 == 5L))
+    assert(got.map(_._2) == got.map(_._2).sorted.reverse, "best-first")
+    assert(got.map(_._1).count(exact) >= 9, s"resident recall too low: $got")
+    assert(sd.similar(100000L).isEmpty)
+  }
+
+  test("empty and tiny graphs") {
+    val g = new Hnsw.Graph(dim = 2)
+    assert(g.search(Array(1f, 0f), 3).isEmpty)
+    g.insert(7L, Array(1f, 0f))
+    assert(g.search(Array(1f, 0f), 3).map(_._1) == Seq(7L))
+  }
+}

@@ -457,6 +457,40 @@ object IndexBuild extends Serializable {
       TableIO.deleteRecursive(s"$outDir/$sub")
     }
 
+  /** Auto-compaction policy: every mutation drops the compacted read caches
+    * and leaves per-term posting runs split across chunk dirs, so query and
+    * load cost creep up with mutation count. Rather than paying a full
+    * [[compact]] on every mutation (its cost is the whole segments table),
+    * a counter file tracks mutations since the last compaction and
+    * [[compact]] fires once every [[AutoCompactEvery]] — amortized O(1/K)
+    * per mutation, the same cadence policy as Lucene's background merges /
+    * Iceberg table maintenance. Serving parity across the trigger is gated
+    * by IndexBuildSpec.
+    */
+  @volatile var AutoCompactEvery: Int = 8
+
+  private def compactStatePath(outDir: String) = s"$outDir/compact_state.json"
+
+  private def mutationsSinceCompact(outDir: String): Int =
+    TableIO.readString(compactStatePath(outDir)).flatMap { txt =>
+      val m = java.util.regex.Pattern.compile("\"mutationsSinceCompact\":\\s*(\\d+)").matcher(txt)
+      if (m.find()) Some(m.group(1).toInt) else None
+    }.getOrElse(0)
+
+  private def writeCompactState(outDir: String, n: Int): Unit =
+    TableIO.writeStringAtomic(compactStatePath(outDir),
+      s"""{"mutationsSinceCompact": $n}""")
+
+  /** Called at the end of every mutation: bump the counter, compact when it
+    * reaches the threshold.
+    */
+  private def noteMutation(spark: SparkSession, outDir: String): Unit = {
+    val n = mutationsSinceCompact(outDir) + 1
+    if (AutoCompactEvery > 0 && n >= AutoCompactEvery) {
+      compact(spark, outDir) // also resets the counter
+    } else writeCompactState(outDir, n)
+  }
+
   def deleteByQuery(spark: SparkSession, outDir: String, pred: org.apache.spark.sql.Column,
       saltTargetPostings: Int = -1): Unit = {
     import spark.implicits._
@@ -484,6 +518,7 @@ object IndexBuild extends Serializable {
       TableIO.deleteRecursive(tmp)
     }
     finalizeStats(spark, outDir)
+    noteMutation(spark, outDir)
   }
 
   /** Q12 reindex (MERGE): delete every doc whose docId appears in `docs`,
@@ -516,6 +551,7 @@ object IndexBuild extends Serializable {
       TableIO.deleteRecursive(tmp)
     }
     finalizeStats(spark, outDir)
+    noteMutation(spark, outDir)
   }
 
   /** Persist / recover index-level build properties (`props.json`). Indexes
@@ -681,6 +717,7 @@ object IndexBuild extends Serializable {
       }
       .toDF()
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/facets_compact")
+    writeCompactState(outDir, 0)
   }
 }
 

@@ -78,9 +78,17 @@ object ServeCli {
     val similar = sys.env.get("GRAFT_SERVE_EMB").map(p =>
       new graft.api.SimilarDocs(spark, spark.read.parquet(p),
         residentHnsw = sys.env.get("GRAFT_SERVE_HNSW").contains("1")))
+    // GRAFT_SERVE_LOG_DIR: per-query metrics + feedback to rolling files
+    // (the reference's metrics.log/feedback flow) — parse offline with
+    // MetricsCli [--summary]; default stays the bounded in-memory buffers
+    val logDir = sys.env.get("GRAFT_SERVE_LOG_DIR")
+    val metricsSink = logDir.map(d => new graft.api.RollingFileSink(s"$d/metrics.log"))
+    val feedbackSink = logDir.map(d => new graft.api.RollingFileSink(s"$d/feedback.log"))
     val server = new graft.api.SearchHttpServer(mem, port = port,
       granthStore = Some(granths), similarDocs = similar,
-      internalNode = internalNode)
+      internalNode = internalNode,
+      metricsSink = metricsSink.getOrElse(graft.api.SearchHttpServer.bufferMetrics),
+      feedbackSink = feedbackSink.getOrElse(graft.api.SearchHttpServer.bufferFeedback))
     server.start()
     println(s"[serve] listening on http://127.0.0.1:${server.boundPort}/api/search")
     if (sys.env.get("GRAFT_SERVE_ONESHOT").contains("1")) {
@@ -115,6 +123,12 @@ object ServeCli {
         val sim = get("/api/similar-documents/5")
         println(s"[serve] self-test /api/similar-documents/5 -> ${sim.statusCode()}: " +
           sim.body().take(300))
+      }
+      logDir.foreach { d =>
+        metricsSink.foreach(_.close()); feedbackSink.foreach(_.close())
+        val n = scala.io.Source.fromFile(s"$d/metrics.log").getLines().size
+        println(s"[serve] self-test metrics log: $n line(s) at $d/metrics.log " +
+          "(parse with graft.tools.MetricsCli --summary)")
       }
       server.stop()
       spark.stop()

@@ -433,4 +433,31 @@ class SearchHttpServerSpec extends AnyFunSuite {
       assert(get(port, "/api/similar-documents/5")._1 == 503)
     }
   }
+
+  test("rolling file sink: appends, rotates once over maxBytes, parses through Metrics") {
+    val dir = "/tmp/graft-sink-spec"
+    graft.index.TableIO.deleteRecursive(dir)
+    val line = graft.ops.Metrics.lineStr(1700000000000L, "10.0.0.1", "कुछ, शब्द",
+      "lexical", exactMatch = false, "['Pravachan']", "hi",
+      enableReranking = false, 20, 1, 12.5, 7)
+    val lineBytes = line.getBytes("UTF-8").length + 1
+    // threshold between 6 and 7 lines → exactly one rotation in 10 appends
+    // (rolled keeps 7, live keeps 3 — drop-oldest is the .1 overwrite)
+    val sink = new RollingFileSink(s"$dir/metrics.log", maxBytes = lineBytes * 6 + 1)
+    (1 to 10).foreach(_ => sink(line))
+    sink.close()
+    val live = new java.io.File(s"$dir/metrics.log")
+    val rolled = new java.io.File(s"$dir/metrics.log.1")
+    assert(live.exists() && rolled.exists(), "expected one rotation")
+    assert(live.length() < rolled.length())
+    // both generations parse through the ORACLED csv parser with full fidelity
+    val lines = spark.read.text(s"$dir/metrics.log*").withColumnRenamed("value", "line")
+    val parsed = graft.ops.Metrics.parse(lines)
+    assert(parsed.count() == 10)
+    import org.apache.spark.sql.functions._
+    val row = parsed.select("client_ip", "search_type", "language").distinct().collect()
+    assert(row.length == 1 && row(0).getString(0) == "10.0.0.1")
+    val sum = graft.ops.Metrics.summary(parsed).collect()
+    assert(sum.nonEmpty)
+  }
 }

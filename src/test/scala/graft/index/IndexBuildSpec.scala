@@ -508,4 +508,39 @@ class IndexBuildSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("ambiguous"))
   }
+
+  test("auto-compaction fires after K mutations; serving identical across the trigger") {
+    import org.apache.spark.sql.functions._
+    import graft.query.{IndexHandle, InMemoryIndex, QuerySpec}
+    val dir = "/tmp/gidx-autocompact"
+    rm(dir)
+    val prev = IndexBuild.AutoCompactEvery
+    IndexBuild.AutoCompactEvery = 3
+    try {
+      val corpus = Webtext.synthesize(spark, 300, partitions = 2).toDF()
+      IndexBuild.build(spark, corpus, dir, numChunks = 2, saltTargetPostings = 64)
+      def mutate(id: Long): Unit =
+        IndexBuild.reindexDocs(spark, dir, corpus.where(col("docId") === id))
+      mutate(5); mutate(6)
+      assert(!new java.io.File(s"$dir/segments_compact").exists(),
+        "compaction must not fire below the threshold")
+      val q = QuerySpec("hi", Webtext.GoldenPhrase("hi").mkString(" "))
+      val before = InMemoryIndex.load(spark, IndexHandle.load(dir)).search(q)
+      mutate(7) // third mutation since the build -> auto-compact
+      assert(new java.io.File(s"$dir/segments_compact").exists(), "auto-compact did not fire")
+      assert(new java.io.File(s"$dir/facets_compact").exists())
+      val h2 = IndexHandle.load(dir)
+      assert(h2.segmentsPath.endsWith("_compact"), "serving must prefer the compacted copy")
+      val after = InMemoryIndex.load(spark, h2).search(q)
+      assert(after.hits.map(h => (h.docId, h.score)) ==
+        before.hits.map(h => (h.docId, h.score)), "results changed across compaction")
+      assert(after.totalHits == before.totalHits)
+      // compacted content == chunked content, decoded
+      assert(postingsFingerprint(dir, compacted = true) ==
+        postingsFingerprint(dir, compacted = false))
+      // the next mutation invalidates the caches and restarts the cadence
+      mutate(8)
+      assert(!new java.io.File(s"$dir/segments_compact").exists())
+    } finally IndexBuild.AutoCompactEvery = prev
+  }
 }

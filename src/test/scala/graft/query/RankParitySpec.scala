@@ -180,6 +180,37 @@ class RankParitySpec extends AnyFunSuite {
     val real = Webtext.word("hi", 10)
     val missp = real.dropRight(1) + (if (real.last == 'क') 'ख' else 'क')
     assert(mem.suggest("hi", missp) == Bm25Query.suggest(spark, idx, "hi", missp))
+    // a multi-term misspelled query is ONE batched Spark action — its job
+    // count must NOT scale with the number of query terms (it used to be
+    // one sequential dict-scan job per term; AQE may split one action into
+    // a few jobs, so the gate is 3-term == 1-term, not == 1)
+    locally {
+      def missp2(r: Int): String = {
+        val w = Webtext.word("hi", r)
+        w.dropRight(1) + (if (w.last == 'क') 'ख' else 'क')
+      }
+      val jobs = new java.util.concurrent.atomic.AtomicInteger()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      def jobsFor(q: String): Int = {
+        spark.sparkContext.addSparkListener(listener)
+        try {
+          jobs.set(0)
+          assert(Bm25Query.suggest(spark, idx, "hi", q).nonEmpty)
+          // listener events are posted asynchronously — poll to quiescence
+          var last = -1
+          while (jobs.get() != last) { last = jobs.get(); Thread.sleep(250) }
+          last
+        } finally spark.sparkContext.removeSparkListener(listener)
+      }
+      val one = jobsFor(missp2(10))
+      val three = jobsFor(Seq(10, 20, 40).map(missp2).mkString(" "))
+      assert(three == one,
+        s"suggest job count scales with terms: 1-term=$one vs 3-term=$three")
+    }
   }
 
   test("shardable serving: bucket-subset load == full load for in-shard queries") {

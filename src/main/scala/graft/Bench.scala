@@ -251,7 +251,13 @@ object Bench {
           "-cp", System.getProperty("java.class.path"),
           "graft.tools.ServeCli", idxDir, "0")
         val pb = new ProcessBuilder(cmd: _*)
-        pb.environment().put("GRAFT_SERVE_CHUNKS", "1")
+        // the peer serves EXACTLY the complement of the coordinator's head
+        // shard (chunkAssignment node 1 of 2) — derived, not hardcoded, so a
+        // change to the serving rebuild's chunk count can never silently
+        // under-cover the fleet and publish an inflated qps
+        val peerChunks = graft.query.ShardedServe
+          .chunkAssignment(IndexBuild.readProps(idxDir).numChunks, 2)(1)
+        pb.environment().put("GRAFT_SERVE_CHUNKS", peerChunks.toSeq.sorted.mkString(","))
         pb.environment().remove("GRAFT_FLEET_PEERS")
         pb.environment().remove("GRAFT_SERVE_ONESHOT")
         pb.redirectErrorStream(true)

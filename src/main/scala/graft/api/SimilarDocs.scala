@@ -32,7 +32,9 @@ final class SimilarDocs(spark: SparkSession, embeddings: DataFrame,
   private lazy val (graph, vecById): (graft.ops.Hnsw.Graph, Map[Long, Array[Float]]) = {
     import spark.implicits._
     val rows = emb.as[(Long, Array[Float])].collect().sortBy(_._1)
-    val g = new graft.ops.Hnsw.Graph(rows.head._2.length)
+    // empty embedding table → empty graph (every lookup misses → the
+    // reference's ([], 0) shape), not a head-of-empty crash on first request
+    val g = new graft.ops.Hnsw.Graph(rows.headOption.map(_._2.length).getOrElse(1))
     rows.foreach { case (id, v) => g.insert(id, v) }
     (g, rows.toMap)
   }

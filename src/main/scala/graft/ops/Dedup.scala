@@ -14,8 +14,9 @@ import graft.corpus.Webtext.mix64
   *  - MinHash+LSH: constant-size signatures (numHashes ints/doc) replace the
   *    full shingle sets; banding turns near-dup search into an equi-join on
   *    (band, bucketHash) — the only shuffle key — no pairwise blowup.
-  *  - SimHash: one 64-bit fingerprint/doc; candidates share one of four
-  *    16-bit blocks (≤3-bit Hamming guarantee), again an equi-join.
+  *  - SimHash: one 60-bit fingerprint/doc (md5-derived, oracle-
+  *    recomputable); candidates share one of four 15-bit blocks, again an
+  *    equi-join.
   */
 object Dedup {
 
@@ -250,15 +251,21 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
   }
 
-  /** Low 60 bits of md5(token) — the token hash behind [[simhash64]].
+  /** Low 60 bits of md5(token) — the token hash behind [[simhash60]].
     * md5 (not FNV/xxhash) so an external SQL engine recomputes the identical
     * sketch (same discipline as the oracled axis-sign LSH and the md5
     * fingerprint); a deployment free of the oracle contract can swap in any
     * 64-bit hash — every downstream bit-count/block/join is unchanged.
     */
-  def md5Low60(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  def md5Low60(s: String): Long =
+    md5Low60(s, java.security.MessageDigest.getInstance("MD5"))
+
+  /** Same, with a caller-owned digest — [[simhash60]] hoists the JCA
+    * provider lookup out of its per-token loop (digest() resets the
+    * instance, so reuse is safe).
+    */
+  def md5Low60(s: String, md: java.security.MessageDigest): Long = {
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // first 15 hex chars = top 7.5 bytes of the digest
     var v = 0L
     var i = 0
@@ -274,11 +281,12 @@ object Dedup {
   /** 60-bit SimHash over terms weighted by tf (md5-derived bit vectors —
     * fully recomputable by the DuckDB oracle, see [[md5Low60]]).
     */
-  def simhash64(text: String): Long = {
+  def simhash60(text: String): Long = {
     val w = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
     val acc = new Array[Int](60)
+    val md = java.security.MessageDigest.getInstance("MD5")
     w.foreach { t =>
-      val h = md5Low60(t)
+      val h = md5Low60(t, md)
       var b = 0
       while (b < 60) {
         if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
@@ -295,7 +303,7 @@ object Dedup {
     * verified by full Hamming distance ≤ maxHamming.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val shUdf = udf((text: String) => simhash64(text))
+    val shUdf = udf((text: String) => simhash60(text))
     val sh = docs.select(col("doc_id"), shUdf(col("text")).as("simhash"))
     val blockUdf = udf((h: Long) => (0 until 4).map(b => (b, (h >>> (15 * b)) & 0x7fffL)))
     val blocks = sh.select(col("doc_id"), col("simhash"), explode(blockUdf(col("simhash"))).as("bk"))

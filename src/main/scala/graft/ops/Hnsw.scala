@@ -15,8 +15,8 @@ import org.apache.spark.sql.functions._
   *
   * Determinism (this repo's oracle discipline): level assignment is the
   * standard floor(-ln(u)·mL) with u drawn from a hash of vec_id — not a
-  * shared RNG — and partition contents come from range-partitioning on
-  * vec_id with insertion in vec_id order, so the graph (and therefore the
+  * shared RNG — and partition placement is hash(vec_id)
+  * with insertion in vec_id order, so the graph (and therefore the
   * result set) is identical run to run. Correctness is gated by a
   * recall-vs-exact spec (HnswSpec: ≥ 0.95 @ k=10 against cosineTopK), the
   * honest verification for a graph heuristic — rank order inside the graph
@@ -181,11 +181,12 @@ object Hnsw {
     }
   }
 
-  /** Distributed ANN over per-partition HNSW graphs: range-partition the
-    * corpus on vec_id (deterministic contents), build one graph per
+  /** Distributed ANN over per-partition HNSW graphs: hash-partition the
+    * corpus on vec_id (deterministic placement), build one graph per
     * partition, answer every broadcast query from every graph, merge with a
     * window — identical scale shape to the oracled IVF/LSH paths (bounded
-    * per-task state, no corpus concentration).
+    * per-task state, no corpus concentration; `partitions` tracks cluster
+    * parallelism the way segment counts do).
     */
   def hnswTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       m: Int = 16, efConstruction: Int = 100, efSearch: Int = 100,
@@ -196,7 +197,12 @@ object Hnsw {
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     val qB = spark.sparkContext.broadcast(qRows)
     val perPart = corpus.select(col("vec_id"), col("embedding"))
-      .repartitionByRange(partitions, col("vec_id"))
+      // hash-repartition on vec_id, NOT repartitionByRange: range bounds
+      // come from a sampling pass whose seed varies per RDD id, so range
+      // partition contents (and therefore graph edges near boundaries)
+      // would differ run to run — hash placement is a pure function of
+      // vec_id, keeping the determinism contract real
+      .repartition(partitions, col("vec_id"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val items = it.toArray.sortBy(_._1) // deterministic insertion order

@@ -495,7 +495,12 @@ object Bm25Query {
     // dictionary source: the materialized termdict table (one pruned scan —
     // no per-query segment aggregation); segments agg only as a fallback for
     // pre-termdict indexes
-    val qSeq = qTerms.toSeq
+    // dedupe repeated query terms: the old per-term loop processed each
+    // occurrence identically and .distinct'ed the output, so occurrences
+    // beyond the first never contribute — but in the batched plan they
+    // WOULD double candidate rows and push real suggestions past the
+    // per-term rank cutoff
+    val qSeq = qTerms.toSeq.distinct
     // ONE Spark job for the whole (possibly multi-term) query: a single
     // dict scan filtered to the query terms' first-char buckets, each dict
     // row exploded against only the query terms sharing its first char,
@@ -505,7 +510,10 @@ object Bm25Query {
     val maxLen = greatest(length(col("term")), length(col("qword"))).cast("double")
     val rows = termDictDf(spark, idx, lang)
       .where(length(col("term")) >= 3)
-      .where(substring(col("term"), 1, 1).isin(qSeq.map(_.substring(0, 1)).distinct: _*))
+      // OR of literal StartsWith predicates — unlike substring(term,1,1)
+      // this pushes to the term-sorted termdict parquet as row-group-
+      // prunable filters (the same pushdown the old per-term loop had)
+      .where(qSeq.map(w => col("term").startsWith(w.substring(0, 1))).reduce(_ || _))
       .withColumn("qword", explode(filter(qArr, q =>
         substring(q, 1, 1) === substring(col("term"), 1, 1) && q =!= col("term"))))
       .where(levenshtein(col("qword"), col("term")) <=

@@ -38,6 +38,10 @@ object BuildLadder {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
+      // the resident serve-load step IS a driver collect of the index (the
+      // driver plays the serving node here); at 2M docs that exceeds the
+      // default 1g result cap
+      .config("spark.driver.maxResultSize", "0")
       .config("spark.local.dir", s"/dev/shm/graft-spark-${ProcessHandle.current().pid()}")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -53,10 +57,12 @@ object BuildLadder {
     }
 
     // JIT warm-up (documented in BASELINE.md: a fresh JVM's first build runs
-    // 5-7× slow on codegen/JIT, unrelated to data size)
+    // 5-7× slow on codegen/JIT, unrelated to data size); 50k docs — the 5k
+    // warm left the first 200k attempt 2.7× over its best
     rm(s"$workDir/warm")
-    IndexBuild.build(spark, Webtext.synthesize(spark, 5000).toDF(), s"$workDir/warm",
-      numChunks = 1)
+    IndexBuild.build(spark,
+      Webtext.synthesize(spark, sys.env.getOrElse("GRAFT_LADDER_WARM_DOCS", "50000").toLong).toDF(),
+      s"$workDir/warm", numChunks = 1)
 
     val hiPhrase = Webtext.GoldenPhrase("hi").mkString(" ")
     val steps = sizes.map { n =>

@@ -180,6 +180,11 @@ class RankParitySpec extends AnyFunSuite {
     val real = Webtext.word("hi", 10)
     val missp = real.dropRight(1) + (if (real.last == 'क') 'ख' else 'क')
     assert(mem.suggest("hi", missp) == Bm25Query.suggest(spark, idx, "hi", missp))
+    // a REPEATED misspelled term contributes once (the batched plan dedupes
+    // up front; doubled explode rows would otherwise eat half the per-term
+    // rank budget)
+    assert(Bm25Query.suggest(spark, idx, "hi", s"$missp $missp") ==
+      Bm25Query.suggest(spark, idx, "hi", missp))
     // a multi-term misspelled query is ONE batched Spark action — its job
     // count must NOT scale with the number of query terms (it used to be
     // one sequential dict-scan job per term; AQE may split one action into

@@ -37,7 +37,13 @@ final class RollingFileSink(path: String, maxBytes: Long = 16L << 20)
       val f = new java.io.File(path)
       val rolled = new java.io.File(path + ".1")
       if (rolled.exists()) rolled.delete()
-      f.renameTo(rolled)
+      if (!f.renameTo(rolled)) {
+        // rename can fail (permissions, filesystem semantics); the bounded-
+        // disk contract wins over this generation's lines — drop-oldest
+        // applies to the live file too rather than growing without bound
+        System.err.println(s"[sink] WARN rotate rename failed for $path — truncating")
+        f.delete()
+      }
     }
   }
 

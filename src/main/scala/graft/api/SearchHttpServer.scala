@@ -123,6 +123,12 @@ final class SearchHttpServer(
     }
     def searchType(name: String): (JValue, Seq[String]) = {
       val (enabled, pageSize, pageNumber) = typeCfg(name)
+      // a DISABLED section's page config is never used — the reference
+      // skips the section before touching it, so validating it here would
+      // 400 a request the reference serves
+      if (!enabled)
+        return (JObject("results" -> JArray(Nil), "total_hits" -> JInt(0),
+          "page_size" -> JInt(pageSize), "page_number" -> JInt(pageNumber)), Nil)
       if (pageSize <= 0 || pageNumber <= 0)
         throw new IllegalArgumentException(
           s"$name page_size and page_number must be positive")
@@ -133,9 +139,6 @@ final class SearchHttpServer(
         throw new IllegalArgumentException(
           s"$name page beyond max_result_window " +
             s"(page_number * page_size must be <= ${SearchHttpServer.MaxResultWindow})")
-      if (!enabled)
-        return (JObject("results" -> JArray(Nil), "total_hits" -> JInt(0),
-          "page_size" -> JInt(pageSize), "page_number" -> JInt(pageNumber)), Nil)
       // reference quirks: the per-type category pin applies ONLY when the
       // client didn't send its own category KEY (index_searcher.py:396-398,
       // 422-424 — presence check, so {"category": []} suppresses the pin),
@@ -179,12 +182,18 @@ final class SearchHttpServer(
     val catStr = "[" +
       categories.toSeq.sortBy(_._1).flatMap(_._2).map(v => s"'$v'").mkString(", ") +
       "]"
-    metricsSink(graft.ops.Metrics.lineStr(
+    // a metrics-delivery failure (disk full on a file sink) must never fail
+    // the search that already completed — the reference's logging layer
+    // swallows exporter errors the same way
+    try metricsSink(graft.ops.Metrics.lineStr(
       nowMs(), clientIp, query,
       if (isLexical) "lexical" else "vector",
       exact, catStr, lang, enableReranking = false,
       mPageSize, mPageNumber,
       latencyMs = (nowMs() - t0).toDouble, totalResults = totalHitsAll))
+    catch {
+      case e: Exception => System.err.println(s"[serve] WARN metrics sink failed: ${e.getMessage}")
+    }
     JObject(
       "pravachan_results" -> prav,
       "granth_results" -> gran,
@@ -242,7 +251,9 @@ final class SearchHttpServer(
   server.createContext("/api/metadata", new HttpHandler {
     def handle(ex: HttpExchange): Unit = try {
       if (!exactPath(ex, "/api/metadata")) return
-      respond(ex, 200, metadataJson())
+      if (ex.getRequestMethod != "GET")
+        respond(ex, 405, JObject("detail" -> JString("GET only")))
+      else respond(ex, 200, metadataJson())
     } catch {
       case e: Exception =>
         respond(ex, 500, JObject("detail" -> JString(s"Internal server error: ${e.getMessage}")))
@@ -372,8 +383,12 @@ final class SearchHttpServer(
     * node's resident facet lookup, [[graft.query.SearchNode.context]]).
     * Unknown id → 404 (the reference's `if not current → 404` intent).
     */
+  private def requireGet(ex: HttpExchange): Boolean =
+    if (ex.getRequestMethod == "GET") true
+    else { respond(ex, 405, JObject("detail" -> JString("GET only"))); false }
+
   endpoint("/api/context") { ex =>
-    pathParam(ex, "/api/context").foreach { idStr =>
+    if (requireGet(ex)) pathParam(ex, "/api/context").foreach { idStr =>
       queryParams(ex) // language accepted for parity; the chunk knows its lang
       idStr.toLongOption.flatMap(mem.context) match {
         case None =>
@@ -394,7 +409,7 @@ final class SearchHttpServer(
     * with zero results, like the reference's ([], 0).
     */
   endpoint("/api/similar-documents") { ex =>
-    pathParam(ex, "/api/similar-documents").foreach { idStr =>
+    if (requireGet(ex)) pathParam(ex, "/api/similar-documents").foreach { idStr =>
       similarDocs match {
         case None =>
           respond(ex, 503, JObject("detail" ->
@@ -416,7 +431,7 @@ final class SearchHttpServer(
     * verse + granth metadata (search_api.py:503-567).
     */
   endpoint("/api/granth/verse") { ex =>
-    if (exactPath(ex, "/api/granth/verse")) {
+    if (requireGet(ex) && exactPath(ex, "/api/granth/verse")) {
       val qp = queryParams(ex)
       (qp.get("original_filename"), qp.get("verse_seq_num").flatMap(_.toIntOption)) match {
         case (Some(fn), Some(seq)) =>
@@ -435,7 +450,7 @@ final class SearchHttpServer(
     * or subsection-with-parent-context (search_api.py:568-646).
     */
   endpoint("/api/granth/prose") { ex =>
-    if (exactPath(ex, "/api/granth/prose")) {
+    if (requireGet(ex) && exactPath(ex, "/api/granth/prose")) {
       val qp = queryParams(ex)
       (qp.get("original_filename"), qp.get("prose_seq_num").flatMap(_.toIntOption)) match {
         case (Some(fn), Some(seq)) =>

@@ -29,14 +29,14 @@ final class SimilarDocs(spark: SparkSession, embeddings: DataFrame,
   // resident like the node's other serving structures
   private val emb = embeddings.select("vec_id", "embedding").cache()
 
-  private lazy val (graph, vecById): (graft.ops.Hnsw.Graph, Map[Long, Array[Float]]) = {
+  private lazy val graph: graft.ops.Hnsw.Graph = {
     import spark.implicits._
     val rows = emb.as[(Long, Array[Float])].collect().sortBy(_._1)
     // empty embedding table → empty graph (every lookup misses → the
     // reference's ([], 0) shape), not a head-of-empty crash on first request
     val g = new graft.ops.Hnsw.Graph(rows.headOption.map(_._2.length).getOrElse(1))
     rows.foreach { case (id, v) => g.insert(id, v) }
-    (g, rows.toMap)
+    g // the graph itself serves by-id vector lookup — no second vector copy
   }
 
   /** Neighbor (docId, cosine) pairs, best first; Nil when the doc has no
@@ -45,7 +45,7 @@ final class SimilarDocs(spark: SparkSession, embeddings: DataFrame,
   def similar(docId: Long, size: Int = 10): Seq[(Long, Double)] = {
     import spark.implicits._
     if (residentHnsw)
-      vecById.get(docId).map { v =>
+      graph.vectorOf(docId).map { v =>
         graph.search(v, size + 1).filter(_._1 != docId).take(size)
       }.getOrElse(Nil)
     else {

@@ -41,6 +41,14 @@ object Hnsw {
 
     def size: Int = ids.length
 
+    // external id → node index, maintained on insert: a resident server
+    // needs by-id vector lookup (similar-documents' source vector) without
+    // keeping a second copy of every embedding outside the graph
+    private val idxOf = new java.util.HashMap[Long, Integer]()
+
+    def vectorOf(id: Long): Option[Array[Float]] =
+      Option(idxOf.get(id)).map(i => vecs(i))
+
     private def sim(a: Int, q: Array[Float], qNorm: Double): Double = {
       val v = vecs(a)
       var dot = 0.0
@@ -130,6 +138,7 @@ object Hnsw {
       require(vec.length == dim, s"dim mismatch: ${vec.length} != $dim")
       val idx = ids.length
       ids += id
+      idxOf.put(id, idx)
       vecs += vec
       var n = 0.0
       var i = 0

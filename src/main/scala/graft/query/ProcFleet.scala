@@ -82,11 +82,14 @@ object Wire {
             java.lang.Double.longBitsToDouble(asLong(bits)))
           case other => sys.error(s"bad wire doc: $other")
         }.toArray
-        case _ => Array.empty[ScoredDoc]
+        case other => sys.error(s"bad wire partial top: $other")
       }
       SegmentResult(top, asLong(p \ "hits"), (p \ "capped") == JBool(true))
     }.toArray
-    case _ => Array.empty
+    // a 200 with valid JSON but no "partials" key is a WRONG peer (wrong
+    // service on the port, wire-format skew) — silently treating it as an
+    // empty shard would drop a corpus slice from every page with no signal
+    case other => sys.error(s"peer response is not a partials payload: ${s.take(120)}")
   }
 
   def encodeFacetMeta(m: Map[String, Map[String, Seq[String]]]): String =
@@ -103,7 +106,7 @@ object Wire {
             case _ => Nil }) }.toMap
           case _ => Map.empty[String, Seq[String]] })
       }.toMap
-      case _ => Map.empty
+      case other => sys.error(s"peer response is not a facet payload: ${s.take(120)}")
     }
 
   def encodeNeighborReq(lang: String, docId: Long, meta: Map[String, String]): String =
@@ -156,13 +159,20 @@ object Wire {
   */
 final class ProcFleet(local: InMemoryIndex, peers: Seq[String]) extends SearchNode {
 
-  private val client = java.net.http.HttpClient.newHttpClient()
+  // bounded timeouts on every peer hop: without them one SIGSTOPped /
+  // GC-wedged shard would park a coordinator worker thread forever per
+  // request until the whole serving pool is pinned — a scatter that cannot
+  // complete must FAIL (500 to the client), not wedge the node
+  private val client = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(5))
+    .build()
 
   private def postAsync(url: String, body: String)
       : java.util.concurrent.CompletableFuture[String] =
     client.sendAsync(
       java.net.http.HttpRequest.newBuilder()
         .uri(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofSeconds(30))
         .header("Content-Type", "application/json")
         .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
       java.net.http.HttpResponse.BodyHandlers.ofString())
@@ -195,10 +205,9 @@ final class ProcFleet(local: InMemoryIndex, peers: Seq[String]) extends SearchNo
     docPayloads(Seq(chunkId)).get(chunkId).map { cur =>
       val req = Wire.encodeNeighborReq(cur.lang, cur.docId, cur.meta)
       val futs = peers.map(p => postAsync(s"$p/api/internal/neighbors", req))
-      val cands = local.neighborIds(cur.lang, cur.docId, cur.meta) +:
-        futs.map(f => Wire.decodeNeighbors(f.join()))
-      val prev = cands.flatMap(_._1).reduceOption(_ max _)
-      val next = cands.flatMap(_._2).reduceOption(_ min _)
+      val (prev, next) = ShardedServe.mergeNeighbors(
+        local.neighborIds(cur.lang, cur.docId, cur.meta) +:
+          futs.map(f => Wire.decodeNeighbors(f.join())))
       val fetched = docPayloads(prev.toSeq ++ next.toSeq)
       (cur, prev.flatMap(fetched.get), next.flatMap(fetched.get))
     }

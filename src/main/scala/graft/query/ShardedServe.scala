@@ -78,9 +78,8 @@ object ShardedServe {
       */
     def context(chunkId: Long): Option[(DocPayload, Option[DocPayload], Option[DocPayload])] =
       docPayloads(Seq(chunkId)).get(chunkId).map { cur =>
-        val cands = nodes.map(_.neighborIds(cur.lang, cur.docId, cur.meta))
-        val prev = cands.flatMap(_._1).reduceOption(_ max _)
-        val next = cands.flatMap(_._2).reduceOption(_ min _)
+        val (prev, next) = ShardedServe.mergeNeighbors(
+          nodes.map(_.neighborIds(cur.lang, cur.docId, cur.meta)))
         val fetched = docPayloads(prev.toSeq ++ next.toSeq)
         (cur, prev.flatMap(fetched.get), next.flatMap(fetched.get))
       }
@@ -105,6 +104,16 @@ object ShardedServe {
         }.toMap
       }.toMap
     }
+
+  /** Merge per-shard neighbor candidates into the fleet-wide
+    * (previous, next): chunks partition docs, so in paragraph mode exactly
+    * one shard finds each neighbor, and in source mode the per-shard
+    * nearest-on-either-side candidates bracket the true neighbors —
+    * max(prev)/min(next) is exact in both. One copy of this argument,
+    * shared by the thread fleet and the process fleet.
+    */
+  def mergeNeighbors(cands: Seq[(Option[Long], Option[Long])]): (Option[Long], Option[Long]) =
+    (cands.flatMap(_._1).reduceOption(_ max _), cands.flatMap(_._2).reduceOption(_ min _))
 
   /** Round-robin chunk assignment for `nNodes` doc shards of an index with
     * `numChunks` chunks (node i serves chunks ≡ i mod nNodes).

@@ -21,6 +21,14 @@ object ServeCli {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (!graft.index.TableIO.exists(s"$idxDir/stats.json")) {
+      // fleet members must NEVER build: a coordinator + N shard processes
+      // launched together against one empty dir would all run the build
+      // concurrently into the same path (interleaved parquet + stats =
+      // corrupt index). Build once standalone, then start the fleet.
+      require(sys.env.get("GRAFT_SERVE_CHUNKS").isEmpty &&
+        sys.env.get("GRAFT_FLEET_PEERS").isEmpty,
+        s"no index at $idxDir — fleet nodes do not build; build it once " +
+          "with a standalone ServeCli (or IndexBuild) first")
       val n = sys.env.getOrElse("GRAFT_BUILD_DOCS", "10000").toLong
       println(s"[serve] no index at $idxDir — building synthetic ($n docs)")
       graft.index.IndexBuild.build(spark, graft.corpus.Webtext.synthesize(spark, n).toDF(), idxDir)

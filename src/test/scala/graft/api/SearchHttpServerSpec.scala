@@ -434,6 +434,22 @@ class SearchHttpServerSpec extends AnyFunSuite {
     }
   }
 
+  test("GET endpoints enforce method (405); disabled type's page config is never validated") {
+    withServer() { (_, port) =>
+      assert(post(port, "/api/metadata", "{}")._1 == 405)
+      assert(post(port, "/api/context/40", "{}")._1 == 405)
+      assert(post(port, "/api/similar-documents/5", "{}")._1 == 405)
+      assert(post(port, "/api/granth/verse?original_filename=x&verse_seq_num=1", "{}")._1 == 405)
+      // reference skips a disabled section before reading its page config
+      val (code, body) = post(port, "/api/search",
+        """{"query": "x", "language": "hindi",
+          | "search_types": {"Granth": {"enabled": false, "page_size": 0}}}""".stripMargin)
+      assert(code == 200, body)
+      val j = parse(body)
+      assert((j \ "granth_results" \ "total_hits").extract[Long] == 0L)
+    }
+  }
+
   test("rolling file sink: appends, rotates once over maxBytes, parses through Metrics") {
     val dir = "/tmp/graft-sink-spec"
     graft.index.TableIO.deleteRecursive(dir)

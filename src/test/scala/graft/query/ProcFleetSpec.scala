@@ -57,6 +57,11 @@ class ProcFleetSpec extends AnyFunSuite {
     assert(back(1).top.isEmpty && !back(1).capped)
   }
 
+  test("wire decode FAILS on a non-protocol 200 payload instead of dropping a shard silently") {
+    intercept[RuntimeException](Wire.decodePartials("""{"ok": true}"""))
+    intercept[RuntimeException](Wire.decodeFacetMeta("""[1, 2]"""))
+  }
+
   test("25-shape sweep over sockets: ProcFleet == single full node (pages, scores, totals, suggestions)") {
     val (single, proc, _) = fixture
     val rnd = new scala.util.Random(20260817L)

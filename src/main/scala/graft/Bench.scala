@@ -25,15 +25,10 @@ import graft.query.{Bm25Query, IndexHandle, QuerySpec}
   */
 object Bench {
 
-  /** (total jiffies, steal jiffies) from /proc/stat. */
-  private def cpuStat(): (Long, Long) = {
-    val f = scala.io.Source.fromFile("/proc/stat").getLines().next().split("\\s+")
-    // first 8 fields only (user..steal): guest/guest_nice are already
-    // counted inside user/nice, and double-counting them inflates the
-    // denominator and understates steal% on guest-running hosts
-    val vals = f.drop(1).take(8).map(_.toLong)
-    (vals.sum, vals(7))
-  }
+  /** (total jiffies, steal jiffies) — one shared implementation, see
+    * [[graft.tools.CpuProbe.cpuStat]] (8-field guest accounting).
+    */
+  private def cpuStat(): (Long, Long) = graft.tools.CpuProbe.cpuStat()
 
   def main(args: Array[String]): Unit = {
     // the one-line JSON protocol must parse regardless of host locale —
@@ -266,10 +261,20 @@ object Bench {
           new java.io.InputStreamReader(peerProc.getInputStream))
         val urlRe = "listening on (http://127\\.0\\.0\\.1:\\d+)".r
         var peerUrl: String = null
+        // deadline-guarded poll, not a bare readLine(): a peer that wedges
+        // during Spark init while staying alive and silent would otherwise
+        // hang the whole bench instead of skipping this section
+        val deadline = System.nanoTime() + 180L * 1000000000L
         while (peerUrl == null) {
-          val line = reader.readLine()
-          if (line == null) sys.error("fleet peer JVM died during startup")
-          urlRe.findFirstMatchIn(line).foreach(m => peerUrl = m.group(1))
+          if (System.nanoTime() > deadline)
+            sys.error("fleet peer JVM not ready within 180 s")
+          if (reader.ready()) {
+            val line = reader.readLine()
+            if (line == null) sys.error("fleet peer JVM died during startup")
+            urlRe.findFirstMatchIn(line).foreach(m => peerUrl = m.group(1))
+          } else if (!peerProc.isAlive)
+            sys.error("fleet peer JVM died during startup")
+          else Thread.sleep(100)
         }
         val drain = new Thread(() => {
           try { while (reader.readLine() != null) () } catch { case _: Exception => () }

@@ -111,21 +111,27 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, n: Int = 3, numHashes: Int = 64): DataFrame = {
     val nh = numHashes
     val ng = n
+    // a doc with no shingles has NO signature (empty array), not the
+    // all-Long.MaxValue sentinel: that sentinel is identical across every
+    // short doc, so each LSH band would put all of them in one bucket —
+    // the exact quadratic candidate blowup banding exists to avoid, plus
+    // est_jaccard=1.0 "duplicates" between unrelated docs
     val sigUdf = udf { (text: String) =>
       val w = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
-      val hs: Iterator[Long] =
-        if (w.length < ng) Iterator.empty
-        else w.sliding(ng).map(g => stringHash64(g.mkString(" ")))
-      val sig = Array.fill(nh)(Long.MaxValue)
-      hs.foreach { x =>
-        var i = 0
-        while (i < nh) {
-          val v = mix64(x ^ mix64(0x5EED0000L + i))
-          if (v < sig(i)) sig(i) = v
-          i += 1
+      if (w.length < ng) Seq.empty[Long]
+      else {
+        val hs = w.sliding(ng).map(g => stringHash64(g.mkString(" ")))
+        val sig = Array.fill(nh)(Long.MaxValue)
+        hs.foreach { x =>
+          var i = 0
+          while (i < nh) {
+            val v = mix64(x ^ mix64(0x5EED0000L + i))
+            if (v < sig(i)) sig(i) = v
+            i += 1
+          }
         }
+        sig.toSeq
       }
-      sig.toSeq
     }
     docs.select(col("doc_id"), sigUdf(col("text")).as("sig"))
   }
@@ -140,7 +146,8 @@ object Dedup {
     val rows = numHashes / bands
     val sigs = minhashSignatures(docs, n, numHashes)
     val bandUdf = udf { (sig: Seq[Long]) =>
-      (0 until bands).map { b =>
+      if (sig.isEmpty) Seq.empty[(Int, Long)] // shingle-free doc: no buckets
+      else (0 until bands).map { b =>
         var h = 0xcbf29ce484222325L ^ b.toLong
         (0 until rows).foreach { r => h = mix64(h ^ sig(b * rows + r)) }
         (b, h)
@@ -248,7 +255,16 @@ object Dedup {
         s"canonicalizeNearDups did not converge in $maxIter rounds " +
           "(component diameter exceeds maxIter) — raise maxIter")
     edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+    // hand the CALLER a releasable result: materialize the (much smaller)
+    // final label table into its own cache, then drop the last iteration
+    // table — returning a projection over it would leak one cached
+    // iteration-sized DataFrame per call that unpersist() on the returned
+    // handle could never release (projection unpersist is a no-op)
+    val result = labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+      .persist()
+    result.count()
+    cached.unpersist()
+    result
   }
 
   /** Low 60 bits of md5(token) — the token hash behind [[simhash60]].
@@ -303,8 +319,16 @@ object Dedup {
     * verified by full Hamming distance ≤ maxHamming.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val shUdf = udf((text: String) => simhash60(text))
+    // token-free docs (empty, punctuation-only) have no sketch: they would
+    // all hash to the same value and pair up as hamming-0 "duplicates"
+    // with no shared content, at quadratic join cost
+    val shUdf = udf { (text: String) =>
+      if (text.toLowerCase.split("[^a-z0-9]+").exists(_.nonEmpty))
+        Some(simhash60(text))
+      else None
+    }
     val sh = docs.select(col("doc_id"), shUdf(col("text")).as("simhash"))
+      .where(col("simhash").isNotNull)
     val blockUdf = udf((h: Long) => (0 until 4).map(b => (b, (h >>> (15 * b)) & 0x7fffL)))
     val blocks = sh.select(col("doc_id"), col("simhash"), explode(blockUdf(col("simhash"))).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk._1").as("block"), col("bk._2").as("value"))

@@ -178,6 +178,9 @@ object Hnsw {
     /** Top-k (id, cosine) best-first; ef = max(efSearch, k). */
     def search(q: Array[Float], k: Int, efSearch: Int = 100): Seq[(Long, Double)] = {
       if (entry < 0) return Nil
+      // a mismatched query would AIOOBE (shorter) or silently score on a
+      // truncated prefix (longer) deep inside an executor task
+      require(q.length == dim, s"query dim ${q.length} != corpus dim $dim")
       var n = 0.0
       var i = 0
       while (i < q.length) { n += q(i) * q(i); i += 1 }

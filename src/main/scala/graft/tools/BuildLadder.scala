@@ -13,7 +13,7 @@ import graft.query.{IndexHandle, InMemoryIndex, QuerySpec}
   * size — df grows 10×, but the WAND/BMW kernel's pruning keeps the scored
   * set ~k·segments).
   *
-  * Chunk count scales with the corpus (docs / GRAFT_LADDER_DOCS_PER_CHUNK,
+  * Chunk count scales with the corpus (docs / GRAFT_BUILDLADDER_DOCS_PER_CHUNK,
   * default 200k) — exactly how a cluster deployment holds merge-group size
   * constant as data grows; the per-chunk work is then size-invariant and
   * the ladder measures the engine, not a degenerating group size.
@@ -25,11 +25,14 @@ object BuildLadder {
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val sizes = sys.env.getOrElse("GRAFT_LADDER_BUILD_DOCS", "200000,2000000")
+    // GRAFT_BUILDLADDER_*: deliberately NOT the GRAFT_LADDER_* namespace —
+    // ScaleLadder parses GRAFT_LADDER_BUILD_DOCS as a single long, so
+    // sharing the name would make one tool's config crash the other
+    val sizes = sys.env.getOrElse("GRAFT_BUILDLADDER_DOCS", "200000,2000000")
       .split(",").map(_.trim.toLong).toSeq
-    val docsPerChunk = sys.env.getOrElse("GRAFT_LADDER_DOCS_PER_CHUNK", "200000").toLong
+    val docsPerChunk = sys.env.getOrElse("GRAFT_BUILDLADDER_DOCS_PER_CHUNK", "200000").toLong
     val attempts = sys.env.getOrElse("GRAFT_ATTEMPTS", "2").toInt
-    val workDir = sys.env.getOrElse("GRAFT_LADDER_DIR", "/tmp/graft-ladder")
+    val workDir = sys.env.getOrElse("GRAFT_BUILDLADDER_DIR", "/tmp/graft-ladder")
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -46,31 +49,28 @@ object BuildLadder {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def rm(p: String): Unit = {
-      val d = new java.io.File(p)
-      if (d.exists()) scala.reflect.io.Directory(d).deleteRecursively()
-    }
-    def cpuStat(): (Long, Long) = {
-      val f = scala.io.Source.fromFile("/proc/stat").getLines().next().split("\\s+")
-      val vals = f.drop(1).take(8).map(_.toLong)
-      (vals.sum, vals(7))
-    }
+    def rm(p: String): Unit = CpuProbe.rmDir(p)
+    def cpuStat(): (Long, Long) = CpuProbe.cpuStat()
 
     // JIT warm-up (documented in BASELINE.md: a fresh JVM's first build runs
     // 5-7× slow on codegen/JIT, unrelated to data size); 50k docs — the 5k
     // warm left the first 200k attempt 2.7× over its best
     rm(s"$workDir/warm")
     IndexBuild.build(spark,
-      Webtext.synthesize(spark, sys.env.getOrElse("GRAFT_LADDER_WARM_DOCS", "50000").toLong).toDF(),
+      Webtext.synthesize(spark, sys.env.getOrElse("GRAFT_BUILDLADDER_WARM_DOCS", "50000").toLong).toDF(),
       s"$workDir/warm", numChunks = 1)
 
     val hiPhrase = Webtext.GoldenPhrase("hi").mkString(" ")
     val steps = sizes.map { n =>
       val chunks = math.max(1, (n / docsPerChunk).toInt)
       val corpusDir = s"$workDir/corpus_$n"
-      if (!new java.io.File(corpusDir).exists())
+      // completeness check, not bare exists(): a killed prior run leaves a
+      // partial dir whose silent reuse would fabricate the ladder numbers
+      if (!new java.io.File(corpusDir, "_SUCCESS").exists()) {
+        rm(corpusDir)
         Webtext.synthesize(spark, n, partitions = 256).toDF()
           .drop("html").write.parquet(corpusDir)
+      }
       val corpus = spark.read.parquet(corpusDir)
 
       val runs = (1 to attempts).map { a =>
@@ -123,5 +123,6 @@ object BuildLadder {
     println(f"""{"metric":"build_ladder","cpus":$cpus,"docs_ratio":$docsRatio%.1f,""" +
       f""""wall_ratio":$wallRatio%.2f,"steps":$stepJson}""")
     spark.stop()
+    rm(s"/dev/shm/graft-spark-${ProcessHandle.current().pid()}") // tmpfs hygiene
   }
 }

@@ -12,6 +12,27 @@ package graft.tools
   */
 object CpuProbe {
 
+  /** (total jiffies, steal jiffies) from /proc/stat — the ONE copy of the
+    * steal accounting shared by every bench/ladder tool. First 8 fields only
+    * (user..steal): guest/guest_nice are already counted inside user/nice;
+    * including them double-counts the denominator and understates steal% on
+    * guest-running hosts.
+    */
+  def cpuStat(): (Long, Long) = {
+    val src = scala.io.Source.fromFile("/proc/stat")
+    try {
+      val f = src.getLines().next().split("\\s+")
+      val vals = f.drop(1).take(8).map(_.toLong)
+      (vals.sum, vals(7))
+    } finally src.close()
+  }
+
+  /** Recursive local delete shared by the bench/ladder tools. */
+  def rmDir(p: String): Unit = {
+    val d = new java.io.File(p)
+    if (d.exists()) scala.reflect.io.Directory(d).deleteRecursively()
+  }
+
   /** CLI: print delivered parallel efficiency at k threads (default 32, 8). */
   def main(args: Array[String]): Unit = {
     val ks = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(32, 8)

@@ -52,11 +52,9 @@ object ScalingBench {
     // level runs `attempts` times; we keep the fastest attempt (capability
     // under least external interference) and report the steal fraction
     // measured during it.
-    def cpuStat(): (Long, Long) = {
-      val f = scala.io.Source.fromFile("/proc/stat").getLines().next().split("\\s+")
-      val vals = f.drop(1).map(_.toLong)
-      (vals.sum, vals(7)) // total jiffies, steal jiffies
-    }
+    // shared 8-field implementation — this copy previously summed ALL
+    // /proc/stat fields (guest double-count), understating steal%
+    def cpuStat(): (Long, Long) = CpuProbe.cpuStat()
     val attempts = sys.env.getOrElse("GRAFT_ATTEMPTS", "3").toInt
 
     def runOnce(cpus: Int, a: Int): (Double, Double, Double, Double, Double) = {

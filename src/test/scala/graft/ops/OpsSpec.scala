@@ -54,6 +54,24 @@ class OpsSpec extends AnyFunSuite {
     pairs.foreach(r => assert(r.getAs[Number]("hamming").intValue <= 6))
   }
 
+  test("degenerate docs (empty/punct-only/short) never pair in minhash or simhash sketches") {
+    // token-free and shingle-free docs used to share one sentinel sketch —
+    // every pair of them came back as a hamming-0 / est_jaccard-1.0 "dup"
+    // with no shared content, at quadratic join cost
+    val weird = Seq(
+      (1L, "!!!"), (2L, "???"), (3L, ""), (4L, "   "),
+      (5L, "one two"), (6L, "three four"), // < n=3 words: no shingles
+      (7L, "alpha beta gamma delta epsilon zeta"),
+      (8L, "alpha beta gamma delta epsilon zeta")) // the one REAL dup pair
+      .toDF("doc_id", "text")
+    val sim = Dedup.simhashPairs(weird, maxHamming = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sim == Set((7L, 8L)), s"simhash paired degenerate docs: $sim")
+    val mh = Dedup.minhashLshCandidates(weird, n = 3, estThreshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(mh == Set((7L, 8L)), s"minhash paired degenerate docs: $mh")
+  }
+
   test("F4 prefix strips trim BETWEEN strips and match at the regex position (base.py:211-213)") {
     def strip(input: String, prefixes: Seq[String]): String =
       Seq(input).toDF("t")

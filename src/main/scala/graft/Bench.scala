@@ -281,8 +281,9 @@ object Bench {
         })
         drain.setDaemon(true)
         drain.start()
-        // coordinator = head shard in THIS process (chunk 0), peer = chunk 1
+        // coordinator = head shard in THIS process, peer = the complement
         val procFleet = new graft.query.ProcFleet(fleetNodes.head, Seq(peerUrl))
+        procFleet.verifyCoverage(IndexBuild.readProps(idxDir).numChunks)
         qpsRun(procFleet) // warmup (also JITs the wire codec)
         val att = (1 to 3).map(_ => qpsRun(procFleet))
         (att, qpsRun(mem)) // single re-measured in the same window

@@ -502,6 +502,11 @@ final class SearchHttpServer(
       val (p, n) = node.neighborIds(lang, docId, meta)
       graft.query.Wire.encodeNeighbors(p, n)
     }
+    internal("/api/internal/chunks") { _ =>
+      // coverage handshake: the coordinator asserts local ∪ peers is a
+      // disjoint cover of 0..numChunks-1 before serving
+      graft.query.Wire.encodeChunks(node.servedChunks)
+    }
   }
 
   private implicit class RichExchange(ex: HttpExchange) {

@@ -45,7 +45,12 @@ final class InMemoryIndex(
       * df, not this shard's local df, for per-doc scores to be identical to
       * a full node's (the DFS-query analog of distributed Lucene).
       */
-    globalDf: Map[(String, String), Long] = Map.empty) extends SearchNode {
+    globalDf: Map[(String, String), Long] = Map.empty,
+    /** chunk subset this node serves (None = the whole index) — lets a
+      * fleet coordinator VERIFY disjoint-and-complete coverage instead of
+      * silently serving pages missing unassigned chunks.
+      */
+    val servedChunks: Option[Set[Int]] = None) extends SearchNode {
 
   private def numDocs(lang: String): Long = stats.get(lang).map(_._1).getOrElse(0L)
   private def avgdl(lang: String): Double =
@@ -503,6 +508,7 @@ object InMemoryIndex {
           docs.put(id, (url, text))
         }
     }
-    new InMemoryIndex(spark, idx, idx.stats, postings, facets, dict, docs, bytes, globalDf)
+    new InMemoryIndex(spark, idx, idx.stats, postings, facets, dict, docs, bytes,
+      globalDf, chunks)
   }
 }

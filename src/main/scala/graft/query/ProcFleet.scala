@@ -137,6 +137,17 @@ object Wire {
     (opt(j \ "prev"), opt(j \ "next"))
   }
 
+  def encodeChunks(chunks: Option[Set[Int]]): String = compact(render(JObject(
+    "chunks" -> chunks.map(cs =>
+      JArray(cs.toList.sorted.map(c => JInt(c): JValue)): JValue)
+      .getOrElse(JString("all")))))
+
+  def decodeChunks(s: String): Option[Set[Int]] = (parse(s) \ "chunks") match {
+    case JString("all") => None
+    case JArray(vs) => Some(vs.map(v => asLong(v).toInt).toSet)
+    case other => sys.error(s"peer response is not a chunks payload: ${s.take(120)}")
+  }
+
   private def asLong(v: JValue): Long = v match {
     case JInt(n) => n.toLong
     case JLong(n) => n
@@ -179,6 +190,30 @@ final class ProcFleet(local: InMemoryIndex, peers: Seq[String]) extends SearchNo
       .thenApply(r =>
         if (r.statusCode() == 200) r.body()
         else sys.error(s"peer $url -> ${r.statusCode()}: ${r.body().take(200)}"))
+
+  /** Coverage handshake: assert that this coordinator's shard plus every
+    * peer's shard form a DISJOINT, COMPLETE cover of the index's chunks.
+    * A mis-launched fleet (wrong GRAFT_SERVE_CHUNKS on one node) would
+    * otherwise serve 200s silently missing a corpus slice — the failure
+    * mode is invisible to every per-query check.
+    */
+  def verifyCoverage(numChunks: Int): Unit = {
+    val localSet = local.servedChunks.getOrElse(
+      sys.error("ProcFleet coordinator must serve a chunk SUBSET " +
+        "(a full-node coordinator double-counts peer docs)"))
+    val peerSets = peers.map(p =>
+      p -> Wire.decodeChunks(postAsync(s"$p/api/internal/chunks", "{}").join())
+        .getOrElse(sys.error(s"peer $p serves the FULL index — overlaps the coordinator")))
+    val all = localSet +: peerSets.map(_._2)
+    val union = all.reduce(_ ++ _)
+    val totalClaimed = all.map(_.size).sum
+    require(totalClaimed == union.size,
+      s"fleet shards overlap: local=$localSet peers=${peerSets.map(t => t._1 -> t._2)}")
+    val expected = (0 until numChunks).toSet
+    require(union == expected,
+      s"fleet does not cover the index: served=${union.toSeq.sorted} " +
+        s"expected=${expected.toSeq.sorted} — fix GRAFT_SERVE_CHUNKS assignments")
+  }
 
   def search(q: QuerySpec): SearchResult = {
     val body = Wire.encodeQuery(q)

@@ -57,7 +57,15 @@ object ServeCli {
         val local = graft.query.InMemoryIndex.load(spark, idx, chunks = chunkSubset)
         internalNode = Some(local)
         if (fleetPeers.isEmpty) local
-        else new graft.query.ProcFleet(local, fleetPeers)
+        else {
+          val pf = new graft.query.ProcFleet(local, fleetPeers)
+          // fail at BOOT if the shards overlap or leave chunks unserved —
+          // a mis-assigned fleet would otherwise 200 with missing slices
+          pf.verifyCoverage(graft.index.IndexBuild.readProps(idxDir).numChunks)
+          println(s"[serve] fleet coverage verified: local=${chunkSubset.get.toSeq.sorted
+            .mkString(",")} + ${fleetPeers.size} peer(s)")
+          pf
+        }
       }
       else if (shards <= 1) {
         val local = graft.query.InMemoryIndex.load(spark, idx)

@@ -62,6 +62,20 @@ class ProcFleetSpec extends AnyFunSuite {
     intercept[RuntimeException](Wire.decodeFacetMeta("""[1, 2]"""))
   }
 
+  test("coverage handshake: under-covered or overlapping fleets fail at verify, complete ones pass") {
+    val (_, proc, peerServer) = fixture
+    proc.verifyCoverage(2) // local {0} + peer {1} — complete and disjoint
+    // a third chunk the fleet doesn't serve → refuse
+    intercept[IllegalArgumentException](proc.verifyCoverage(3))
+    // overlapping shards (peer serves chunk 1; a second "peer" = the same
+    // node again) → refuse
+    val overlapping = new ProcFleet(
+      InMemoryIndex.load(spark, IndexHandle.load("/tmp/gidx-procfleet"),
+        chunks = Some(Set(0, 1))),
+      Seq(s"http://127.0.0.1:${peerServer.boundPort}"))
+    intercept[IllegalArgumentException](overlapping.verifyCoverage(2))
+  }
+
   test("25-shape sweep over sockets: ProcFleet == single full node (pages, scores, totals, suggestions)") {
     val (single, proc, _) = fixture
     val rnd = new scala.util.Random(20260817L)

@@ -497,10 +497,21 @@ object SparkEntry {
         .select(col("doc_id"), words.as("w"))
         .select(col("doc_id"), explode(sequence(lit(0),
           least(lit(7), ((size(col("w")) - 1) / 6).cast("int")))).as("i"), col("w"))
+        .select(col("doc_id"), col("i"), col("w"),
+          // sanitize the fixture line to [a-z0-9 ] single-spaced non-empty
+          // BY CONSTRUCTION (mirrored in the oracle SQL): parity must not
+          // depend on the corpus text never containing punctuation/digits/
+          // space runs — a regenerated documents.parquet with realistic
+          // text would otherwise trip FSM branches (endsPunct, QA,
+          // absolute-terminator, per-line trim) the running-sum oracle
+          // deliberately does not model
+          trim(regexp_replace(regexp_replace(
+            lower(array_join(slice(col("w"), col("i") * 6 + 1, lit(6)), " ")),
+            "[^a-z0-9 ]", ""), " +", " ")).as("core"))
         .select(col("doc_id").as("docId"),
           (col("i") / 4 + 1).cast("int").as("page"),
           pmod(col("i"), lit(4)).cast("int").as("lineNum"),
-          concat(array_join(slice(col("w"), col("i") * 6 + 1, lit(6)), " "),
+          concat(when(col("core") === "", lit("w")).otherwise(col("core")),
             when(pmod(col("doc_id") + col("i"), lit(3)) === 0, lit("।"))
               .otherwise(lit(""))).as("text"),
           lit(10).as("xStart"),
@@ -1273,12 +1284,18 @@ object SparkEntry {
       """WITH w AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS w FROM documents),
         |ls AS (SELECT doc_id, unnest(range(0, least(7, (len(w) - 1) // 6) + 1)) AS i, w
         |       FROM w),
+        |cores AS (
+        |  SELECT doc_id, i,
+        |         trim(regexp_replace(regexp_replace(
+        |           lower(array_to_string(w[i * 6 + 1 : i * 6 + 6], ' ')),
+        |           '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS core
+        |  FROM ls),
         |lines AS (
         |  SELECT doc_id, i, CAST(i // 4 + 1 AS INT) AS page,
-        |         array_to_string(w[i * 6 + 1 : i * 6 + 6], ' ') ||
+        |         (CASE WHEN core = '' THEN 'w' ELSE core END) ||
         |           CASE WHEN (doc_id + i) % 3 = 0 THEN '।' ELSE '' END AS line,
         |         CASE WHEN (doc_id + i) % 3 = 0 THEN 1 ELSE 0 END AS term
-        |  FROM ls),
+        |  FROM cores),
         |grp AS (
         |  SELECT doc_id, i, page, line,
         |         COALESCE(SUM(term) OVER (PARTITION BY doc_id ORDER BY i

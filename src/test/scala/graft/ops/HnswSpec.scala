@@ -6,8 +6,10 @@ import graft.corpus.SparkTestSession
 
 /** HNSW verification: a graph heuristic has no SQL oracle, so the gates are
   * (1) recall against the exact brute-force top-k, (2) run-to-run
-  * determinism (seeded levels + range partitions + vec_id insertion order),
-  * (3) single-graph sanity on a constructed corpus.
+  * determinism (seeded levels + HASH partitioning on vec_id — range
+  * partitioning samples with a per-RDD seed and would break this gate —
+  * + vec_id insertion order), (3) single-graph sanity on a constructed
+  * corpus.
   */
 class HnswSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark

@@ -282,8 +282,10 @@ object Bench {
         drain.setDaemon(true)
         drain.start()
         // coordinator = head shard in THIS process, peer = the complement
-        val procFleet = new graft.query.ProcFleet(fleetNodes.head, Seq(peerUrl))
-        procFleet.verifyCoverage(IndexBuild.readProps(idxDir).numChunks)
+        val headNode = fleetNodes.head
+        val procFleet = new graft.query.ProcFleet(() => headNode, Seq(peerUrl),
+          IndexBuild.readProps(idxDir).numChunks)
+        procFleet.verifyCoverage()
         qpsRun(procFleet) // warmup (also JITs the wire codec)
         val att = (1 to 3).map(_ => qpsRun(procFleet))
         (att, qpsRun(mem)) // single re-measured in the same window

@@ -39,11 +39,19 @@ final class RollingFileSink(path: String, maxBytes: Long = 16L << 20)
       if (rolled.exists()) rolled.delete()
       if (!f.renameTo(rolled)) {
         // rename can fail (permissions, filesystem semantics); the bounded-
-        // disk contract wins over this generation's lines — drop-oldest
-        // applies to the live file too rather than growing without bound
-        System.err.println(s"[sink] WARN rotate rename failed for $path — truncating")
-        f.delete()
+        // disk contract wins over this generation's lines — truncate IN
+        // PLACE rather than delete(): a directory that permits writing the
+        // file but not unlinking it would fail the delete too, and the
+        // reopened writer would inherit the over-limit length and retry
+        // rotation (with a warn line) on every subsequent append
+        System.err.println(s"[sink] WARN rotate rename failed for $path — truncating in place")
+        try new java.io.FileOutputStream(f, false).close()
+        catch {
+          case e: java.io.IOException =>
+            System.err.println(s"[sink] WARN truncate failed for $path: ${e.getMessage}")
+        }
       }
+      written = 0L // next apply() reopens and re-reads the (now small) length
     }
   }
 

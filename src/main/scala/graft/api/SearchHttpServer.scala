@@ -52,8 +52,16 @@ final class SearchHttpServer(
       * [[graft.query.ProcFleet]] coordinator can pull bounded partials /
       * facet metadata / neighbor candidates over sockets
       * (/api/internal/...). Absent on public-only deployments → 404.
+      * A SUPPLIER so a hot-reloading node ([[graft.query.ReloadingNode]])
+      * can swap the resident index under a running server.
       */
-    internalNode: Option[graft.query.InMemoryIndex] = None) {
+    internalNode: Option[() => graft.query.InMemoryIndex] = None,
+    /** true on fleet SHARD nodes (chunk-subset, no coordinator role): the
+      * public endpoints 503 instead of answering from a silent corpus
+      * slice — clients must go through the coordinator; only the
+      * internal scatter surface (/api/internal/...) serves.
+      */
+    internalOnly: Boolean = false) {
 
   private implicit val formats: Formats = DefaultFormats
 
@@ -220,6 +228,15 @@ final class SearchHttpServer(
     }
   }
 
+  /** Drop the metadata cache (hot-reload swap hook and the
+    * /api/cache/invalidate endpoint share this): the version bump makes an
+    * in-flight computation lose the re-populate race.
+    */
+  def invalidateMetadataCache(): Unit = {
+    cacheVersion += 1
+    cache = None
+  }
+
   // JDK HttpServer context matching is longest-PREFIX: without this guard
   // /api/searchXYZ would run the search handler and /api/cache/invalidateX
   // would clear the cache instead of 404ing
@@ -227,9 +244,22 @@ final class SearchHttpServer(
     if (ex.getRequestURI.getPath == path) true
     else { respond(ex, 404, JObject("detail" -> JString("Not Found"))); false }
 
+  // shard nodes refuse public traffic outright: a client that hits a
+  // chunk-subset node directly would otherwise get 200s silently missing
+  // every other shard's corpus slice
+  private def publicAllowed(ex: HttpExchange): Boolean =
+    if (!internalOnly) true
+    else {
+      respond(ex, 503, JObject("detail" -> JString(
+        "this node serves a chunk subset of a fleet — query the coordinator " +
+          "(only /api/internal/* is served here)")))
+      false
+    }
+
   server.createContext("/api/search", new HttpHandler {
     def handle(ex: HttpExchange): Unit = try {
       if (!exactPath(ex, "/api/search")) return
+      if (!publicAllowed(ex)) return
       if (ex.getRequestMethod != "POST") respond(ex, 405, JObject("detail" -> JString("POST only")))
       else {
         val body = new String(ex.getRequestBody.readAllBytes(),
@@ -251,6 +281,7 @@ final class SearchHttpServer(
   server.createContext("/api/metadata", new HttpHandler {
     def handle(ex: HttpExchange): Unit = try {
       if (!exactPath(ex, "/api/metadata")) return
+      if (!publicAllowed(ex)) return
       if (ex.getRequestMethod != "GET")
         respond(ex, 405, JObject("detail" -> JString("GET only")))
       else respond(ex, 200, metadataJson())
@@ -263,11 +294,11 @@ final class SearchHttpServer(
   server.createContext("/api/cache/invalidate", new HttpHandler {
     def handle(ex: HttpExchange): Unit = try {
       if (!exactPath(ex, "/api/cache/invalidate")) return
+      if (!publicAllowed(ex)) return
       if (ex.getRequestMethod != "POST")
         respond(ex, 405, JObject("detail" -> JString("POST only")))
       else {
-        cacheVersion += 1
-        cache = None
+        invalidateMetadataCache()
         respond(ex, 200, JObject("message" -> JString("Metadata cache invalidated successfully")))
       }
     } catch {
@@ -287,6 +318,7 @@ final class SearchHttpServer(
   server.createContext("/api/feedback", new HttpHandler {
     def handle(ex: HttpExchange): Unit = try {
       if (!exactPath(ex, "/api/feedback")) return
+      if (!publicAllowed(ex)) return
       if (ex.getRequestMethod != "POST")
         respond(ex, 405, JObject("detail" -> JString("POST only")))
       else {
@@ -334,11 +366,16 @@ final class SearchHttpServer(
   /** Path suffix after `prefix/` for {id}-style routes; None (404 already
     * sent) when the suffix is missing — same guard discipline as
     * [[exactPath]] against JDK prefix matching.
+    *
+    * NOT URLDecoder: `URI.getPath` is already %XX-decoded, and URLDecoder's
+    * form-encoding semantics would additionally corrupt a literal '+' in a
+    * path segment (e.g. a future non-numeric doc id) to a space. Query
+    * parameters keep URLDecoder ([[dec]]) — '+' means space THERE.
     */
   private def pathParam(ex: HttpExchange, prefix: String): Option[String] = {
     val p = ex.getRequestURI.getPath
     if (p.startsWith(prefix + "/") && p.length > prefix.length + 1)
-      Some(dec(p.substring(prefix.length + 1)))
+      Some(p.substring(prefix.length + 1))
     else { respond(ex, 404, JObject("detail" -> JString("Not Found"))); None }
   }
 
@@ -388,7 +425,7 @@ final class SearchHttpServer(
     else { respond(ex, 405, JObject("detail" -> JString("GET only"))); false }
 
   endpoint("/api/context") { ex =>
-    if (requireGet(ex)) pathParam(ex, "/api/context").foreach { idStr =>
+    if (publicAllowed(ex) && requireGet(ex)) pathParam(ex, "/api/context").foreach { idStr =>
       queryParams(ex) // language accepted for parity; the chunk knows its lang
       idStr.toLongOption.flatMap(mem.context) match {
         case None =>
@@ -409,7 +446,7 @@ final class SearchHttpServer(
     * with zero results, like the reference's ([], 0).
     */
   endpoint("/api/similar-documents") { ex =>
-    if (requireGet(ex)) pathParam(ex, "/api/similar-documents").foreach { idStr =>
+    if (publicAllowed(ex) && requireGet(ex)) pathParam(ex, "/api/similar-documents").foreach { idStr =>
       similarDocs match {
         case None =>
           respond(ex, 503, JObject("detail" ->
@@ -431,7 +468,7 @@ final class SearchHttpServer(
     * verse + granth metadata (search_api.py:503-567).
     */
   endpoint("/api/granth/verse") { ex =>
-    if (requireGet(ex) && exactPath(ex, "/api/granth/verse")) {
+    if (publicAllowed(ex) && requireGet(ex) && exactPath(ex, "/api/granth/verse")) {
       val qp = queryParams(ex)
       (qp.get("original_filename"), qp.get("verse_seq_num").flatMap(_.toIntOption)) match {
         case (Some(fn), Some(seq)) =>
@@ -450,7 +487,7 @@ final class SearchHttpServer(
     * or subsection-with-parent-context (search_api.py:568-646).
     */
   endpoint("/api/granth/prose") { ex =>
-    if (requireGet(ex) && exactPath(ex, "/api/granth/prose")) {
+    if (publicAllowed(ex) && requireGet(ex) && exactPath(ex, "/api/granth/prose")) {
       val qp = queryParams(ex)
       (qp.get("original_filename"), qp.get("prose_seq_num").flatMap(_.toIntOption)) match {
         case (Some(fn), Some(seq)) =>
@@ -469,8 +506,8 @@ final class SearchHttpServer(
   // The process-fleet analog of the in-process scatter: a coordinator POSTs
   // the wire-encoded query and gets this shard's bounded partial heaps back
   // (scores as raw IEEE bits — bit-exact merge, graft.query.Wire).
-  internalNode.foreach { node =>
-    def internal(path: String)(f: String => String): Unit =
+  internalNode.foreach { nodeRef =>
+    def internal(path: String)(f: (graft.query.InMemoryIndex, String) => String): Unit =
       endpoint(path) { ex =>
         if (exactPath(ex, path)) {
           if (ex.getRequestMethod != "POST")
@@ -478,17 +515,18 @@ final class SearchHttpServer(
           else {
             val body = new String(ex.getRequestBody.readAllBytes(),
               java.nio.charset.StandardCharsets.UTF_8)
-            val bytes = f(body).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val bytes = f(nodeRef(), body)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
             ex.getResponseHeaders.set("Content-Type", "application/json")
             ex.sendResponseBody(200, bytes)
           }
         }
       }
-    internal("/api/internal/partials") { body =>
+    internal("/api/internal/partials") { (node, body) =>
       graft.query.Wire.encodePartials(
         node.searchPartial(graft.query.Wire.decodeQuery(body)))
     }
-    internal("/api/internal/facets") { body =>
+    internal("/api/internal/facets") { (node, body) =>
       val j = parse(body)
       val fields = (j \ "fields") match {
         case JArray(vs) => vs.collect { case JString(s) => s }.toSet
@@ -497,12 +535,12 @@ final class SearchHttpServer(
       val ck = (j \ "contentKey").extractOrElse[String]("category")
       graft.query.Wire.encodeFacetMeta(node.facetMetadata(fields, ck))
     }
-    internal("/api/internal/neighbors") { body =>
+    internal("/api/internal/neighbors") { (node, body) =>
       val (lang, docId, meta) = graft.query.Wire.decodeNeighborReq(body)
       val (p, n) = node.neighborIds(lang, docId, meta)
       graft.query.Wire.encodeNeighbors(p, n)
     }
-    internal("/api/internal/chunks") { _ =>
+    internal("/api/internal/chunks") { (node, _) =>
       // coverage handshake: the coordinator asserts local ∪ peers is a
       // disjoint cover of 0..numChunks-1 before serving
       graft.query.Wire.encodeChunks(node.servedChunks)

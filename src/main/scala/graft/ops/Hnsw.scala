@@ -231,7 +231,14 @@ object Hnsw {
       }
       .toDF("query_id", "vec_id", "sim")
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
-    perPart.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    val out = perPart.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select("query_id", "vec_id", "sim", "rank")
+    // The result is bounded (≤ k rows per query) — materialize it NOW so the
+    // query broadcast can be destroyed before returning. A lazily-returned
+    // plan would pin qB's blocks on every executor until GC, leaking
+    // broadcast memory across repeated hnswTopK calls in a long session.
+    val rows = out.collect()
+    qB.destroy()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 }

@@ -168,7 +168,19 @@ object Wire {
   * PLUS bit-exact score transport ([[Wire]]) — gated end-to-end over real
   * sockets by ProcFleetSpec.
   */
-final class ProcFleet(local: InMemoryIndex, peers: Seq[String]) extends SearchNode {
+/** @param localRef supplier of the coordinator's own (chunk-subset) head
+  *   shard — a FUNCTION so a hot-reloading deployment ([[ReloadingNode]])
+  *   can atomically swap the resident node under the fleet when the on-disk
+  *   index mutates; a static deployment passes `() => node`.
+  * @param numChunks the index's chunk count — coverage is verified BY
+  *   CONSTRUCTION on first search (see [[verifyCoverage]]), so a ProcFleet
+  *   built by any caller refuses to serve with overlapping or missing
+  *   shards instead of relying on caller discipline.
+  */
+final class ProcFleet(localRef: () => InMemoryIndex, peers: Seq[String],
+    numChunks: Int) extends SearchNode {
+
+  private def local: InMemoryIndex = localRef()
 
   // bounded timeouts on every peer hop: without them one SIGSTOPped /
   // GC-wedged shard would park a coordinator worker thread forever per
@@ -197,7 +209,19 @@ final class ProcFleet(local: InMemoryIndex, peers: Seq[String]) extends SearchNo
     * otherwise serve 200s silently missing a corpus slice — the failure
     * mode is invisible to every per-query check.
     */
-  def verifyCoverage(numChunks: Int): Unit = {
+  // Coverage is an invariant, not an optional check: the first search runs
+  // the handshake (memoized on success; a failure is NOT memoized, so a
+  // fleet whose peers come up late retries on the next query rather than
+  // staying permanently broken). verifyCoverage stays public for boot-time
+  // fail-fast callers (ServeCli verifies before announcing readiness).
+  private val coverageOk = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def ensureCoverage(): Unit =
+    if (!coverageOk.get()) synchronized {
+      if (!coverageOk.get()) { verifyCoverage(numChunks); coverageOk.set(true) }
+    }
+
+  def verifyCoverage(expectChunks: Int = numChunks): Unit = {
+    val numChunks = expectChunks
     val localSet = local.servedChunks.getOrElse(
       sys.error("ProcFleet coordinator must serve a chunk SUBSET " +
         "(a full-node coordinator double-counts peer docs)"))
@@ -216,16 +240,22 @@ final class ProcFleet(local: InMemoryIndex, peers: Seq[String]) extends SearchNo
   }
 
   def search(q: QuerySpec): SearchResult = {
+    ensureCoverage()
+    // pin ONE node for the whole query: a hot-reload swap between partial
+    // and materialize would otherwise merge partials from one index version
+    // with payloads/suggestions from another
+    val node = local
     val body = Wire.encodeQuery(q)
     // scatter to tail shards first, then run the head shard while they work
     val futs = peers.map(p => postAsync(s"$p/api/internal/partials", body))
-    val localPart = local.searchPartial(q)
+    val localPart = node.searchPartial(q)
     val remote = futs.flatMap(f => Wire.decodePartials(f.join()))
-    local.materialize(q, localPart ++ remote.toArray)
+    node.materialize(q, localPart ++ remote.toArray)
   }
 
   def facetMetadata(fields: Set[String],
       contentKey: String): Map[String, Map[String, Seq[String]]] = {
+    ensureCoverage()
     val req = compact(render(JObject(
       "fields" -> JArray(fields.toList.sorted.map(JString(_))),
       "contentKey" -> JString(contentKey))))
@@ -236,7 +266,8 @@ final class ProcFleet(local: InMemoryIndex, peers: Seq[String]) extends SearchNo
 
   def docPayloads(ids: Seq[Long]): Map[Long, DocPayload] = local.docPayloads(ids)
 
-  def context(chunkId: Long): Option[(DocPayload, Option[DocPayload], Option[DocPayload])] =
+  def context(chunkId: Long): Option[(DocPayload, Option[DocPayload], Option[DocPayload])] = {
+    ensureCoverage()
     docPayloads(Seq(chunkId)).get(chunkId).map { cur =>
       val req = Wire.encodeNeighborReq(cur.lang, cur.docId, cur.meta)
       val futs = peers.map(p => postAsync(s"$p/api/internal/neighbors", req))
@@ -246,4 +277,5 @@ final class ProcFleet(local: InMemoryIndex, peers: Seq[String]) extends SearchNo
       val fetched = docPayloads(prev.toSeq ++ next.toSeq)
       (cur, prev.flatMap(fetched.get), next.flatMap(fetched.get))
     }
+  }
 }

@@ -1,0 +1,126 @@
+package graft.query
+
+import graft.index.TableIO
+
+/** Mutation fingerprint of an on-disk index — the poll target for serving
+  * nodes that hot-reload (the reference serves from a LIVE OpenSearch while
+  * its 6-hourly crawl daemon reindexes into it, scripts/discovery_cli.py:330
+  * + delete-by-query backend/common/opensearch.py:304-339; our analog is an
+  * immutable resident snapshot, so "live" means: detect the commit, rebuild
+  * off-thread, swap atomically).
+  *
+  * Every mutation path moves this fingerprint:
+  *   - build / deleteByQuery / reindexDocs / snapshot-ingest consume append
+  *     manifest commit files (names carry a monotonic (ts, counter) — see
+  *     [[graft.index.Manifest]]), changing the count and the max sequence;
+  *   - auto/explicit compaction rewrites `compact_state.json` and creates or
+  *     drops the `*_compact` read caches.
+  * Cost per poll: one small-directory listing + one tiny file read — no
+  * Spark job, no parquet footer reads.
+  */
+object IndexVersion {
+  def of(dir: String): String = {
+    val commits = TableIO.listFiles(s"$dir/manifest.d", "chunk-")
+    // latest commit by the NAME-EMBEDDED (ts, counter): commit names sort by
+    // (chunk, ts, counter), so the plain max name would track chunk id, not
+    // recency — strip to the fixed-width ts-counter suffix first
+    val latest = commits.map(_.split("-").drop(2).mkString("-"))
+      .sorted.lastOption.getOrElse("")
+    val compactState = TableIO.readString(s"$dir/compact_state.json").getOrElse("")
+    val hasCompact = TableIO.exists(s"$dir/segments_compact")
+    s"${commits.size}|$latest|$hasCompact|$compactState"
+  }
+}
+
+/** A serving node that atomically swaps its resident [[InMemoryIndex]] when
+  * the on-disk index mutates — zero downtime: queries in flight (and new
+  * queries during the rebuild) keep hitting the OLD immutable snapshot; the
+  * reference swap is a single volatile write once the new node is fully
+  * loaded. The per-node payload cache drops with the old node for free (it
+  * is instance state), and [[onSwap]] lets the HTTP layer drop its metadata
+  * TTL cache in the same step.
+  *
+  * Torn reads: a poll can fire mid-mutation (the writer rewrites one chunk
+  * partition at a time). A reload that fails (parquet dir mid-overwrite)
+  * keeps serving the old snapshot and retries next poll; a reload that
+  * succeeds on an intermediate state is re-triggered by the NEXT version
+  * bump — every mutation's final step (stats + compaction counter, after the
+  * last chunk commit) moves the fingerprint again, so the node converges on
+  * the fully-committed state within one poll interval.
+  *
+  * Fleet use: each shard JVM wraps its chunk-subset node in one of these and
+  * reloads independently; the chunk assignment never changes across a
+  * reload, so the coordinator's coverage handshake stays valid by
+  * construction. Corpus-wide stats (N, avgdl, termdict df) are re-read by
+  * the loader on every swap — BM25 parity with a fresh full node holds
+  * after mutations (gated by ReloadSpec).
+  *
+  * @param loader builds a fresh node from the CURRENT on-disk state; must
+  *   re-read stats/termdict (e.g. `InMemoryIndex.load(spark,
+  *   IndexHandle.load(dir), chunks = ...)`) — capturing a stale IndexHandle
+  *   would pin pre-mutation corpus stats
+  */
+final class ReloadingNode(
+    idxDir: String,
+    loader: () => InMemoryIndex,
+    pollMs: Long = 2000) extends SearchNode {
+
+  @volatile private var cur: InMemoryIndex = loader()
+  @volatile private var version: String = IndexVersion.of(idxDir)
+
+  /** Hook run after each successful swap (HTTP layer: metadata-cache drop). */
+  @volatile var onSwap: () => Unit = () => ()
+
+  /** The node serving RIGHT NOW — pass `() => current` wherever a supplier
+    * of the live index is needed (internal scatter endpoints, ProcFleet
+    * head shard).
+    */
+  def current: InMemoryIndex = cur
+
+  /** One poll step, callable directly for deterministic tests: reload+swap
+    * iff the fingerprint moved. Synchronized so the poller and an explicit
+    * caller never build two nodes concurrently; readers never block (they
+    * read the volatile).
+    */
+  def checkAndReload(): Boolean = synchronized {
+    val v = IndexVersion.of(idxDir)
+    if (v == version) false
+    else {
+      val fresh = loader() // built entirely off the serving path
+      cur = fresh
+      version = v
+      onSwap()
+      true
+    }
+  }
+
+  private val poller = new Thread(() => {
+    var running = true
+    while (running) {
+      try {
+        Thread.sleep(pollMs)
+        checkAndReload()
+      } catch {
+        case _: InterruptedException => running = false
+        case e: Exception =>
+          // mid-mutation torn read or transient IO: stay on the old
+          // snapshot, retry next tick
+          System.err.println(
+            s"[reload] WARN reload failed, serving the previous snapshot: ${e.getMessage}")
+      }
+    }
+  }, "graft-index-reload")
+  poller.setDaemon(true)
+
+  def start(): Unit = poller.start()
+  def stop(): Unit = poller.interrupt()
+
+  // SearchNode delegation — each call binds to ONE snapshot for its duration
+  def search(q: QuerySpec): SearchResult = cur.search(q)
+  def facetMetadata(fields: Set[String],
+      contentKey: String): Map[String, Map[String, Seq[String]]] =
+    cur.facetMetadata(fields, contentKey)
+  def context(chunkId: Long): Option[(DocPayload, Option[DocPayload], Option[DocPayload])] =
+    cur.context(chunkId)
+  def docPayloads(ids: Seq[Long]): Map[Long, DocPayload] = cur.docPayloads(ids)
+}

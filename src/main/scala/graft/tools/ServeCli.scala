@@ -51,27 +51,45 @@ object ServeCli {
     require(fleetPeers.isEmpty || chunkSubset.isDefined,
       "GRAFT_FLEET_PEERS needs GRAFT_SERVE_CHUNKS: the coordinator serves its " +
         "own doc shard — a full-node coordinator would double-count peer docs")
-    var internalNode: Option[graft.query.InMemoryIndex] = None
+    // hot-reload: poll the index's mutation fingerprint and atomically swap
+    // the resident node when it moves (the reference's reindex-while-serving
+    // daemon model). 0 disables. The thread-fleet path (GRAFT_SERVE_SHARDS)
+    // stays static — the multi-process fleet is the real topology and each
+    // of its shard JVMs reloads independently here.
+    val reloadMs = sys.env.getOrElse("GRAFT_SERVE_RELOAD_MS", "2000").toLong
+    var internalNode: Option[() => graft.query.InMemoryIndex] = None
+    var reloader: Option[graft.query.ReloadingNode] = None
+    // shard nodes (chunk subset, not the coordinator) must not answer public
+    // traffic from their corpus slice — only /api/internal/* serves there
+    val internalOnly = chunkSubset.isDefined && fleetPeers.isEmpty
+    def reloadingNode(chunks: Option[Set[Int]]): graft.query.ReloadingNode = {
+      // the loader re-reads IndexHandle (stats.json) each swap: corpus
+      // N/avgdl move with mutations and BM25 parity depends on them
+      val rn = new graft.query.ReloadingNode(idxDir,
+        () => graft.query.InMemoryIndex.load(spark,
+          graft.query.IndexHandle.load(idxDir), chunks = chunks),
+        pollMs = if (reloadMs > 0) reloadMs else Long.MaxValue)
+      reloader = Some(rn)
+      internalNode = Some(() => rn.current)
+      rn
+    }
     val mem: graft.query.SearchNode =
       if (chunkSubset.isDefined || fleetPeers.nonEmpty) {
-        val local = graft.query.InMemoryIndex.load(spark, idx, chunks = chunkSubset)
-        internalNode = Some(local)
-        if (fleetPeers.isEmpty) local
+        val rn = reloadingNode(chunkSubset)
+        if (fleetPeers.isEmpty) rn
         else {
-          val pf = new graft.query.ProcFleet(local, fleetPeers)
+          val pf = new graft.query.ProcFleet(() => rn.current, fleetPeers,
+            graft.index.IndexBuild.readProps(idxDir).numChunks)
           // fail at BOOT if the shards overlap or leave chunks unserved —
           // a mis-assigned fleet would otherwise 200 with missing slices
-          pf.verifyCoverage(graft.index.IndexBuild.readProps(idxDir).numChunks)
+          // (ProcFleet ALSO runs this lazily before its first search)
+          pf.verifyCoverage()
           println(s"[serve] fleet coverage verified: local=${chunkSubset.get.toSeq.sorted
             .mkString(",")} + ${fleetPeers.size} peer(s)")
           pf
         }
       }
-      else if (shards <= 1) {
-        val local = graft.query.InMemoryIndex.load(spark, idx)
-        internalNode = Some(local)
-        local
-      }
+      else if (shards <= 1) reloadingNode(None)
       else {
         val numChunks = graft.index.IndexBuild.readProps(idxDir).numChunks
         println(s"[serve] doc-sharded fleet: $shards nodes over $numChunks chunks")
@@ -103,8 +121,18 @@ object ServeCli {
     val server = new graft.api.SearchHttpServer(mem, port = port,
       granthStore = Some(granths), similarDocs = similar,
       internalNode = internalNode,
+      internalOnly = internalOnly,
       metricsSink = metricsSink.getOrElse(graft.api.SearchHttpServer.bufferMetrics),
       feedbackSink = feedbackSink.getOrElse(graft.api.SearchHttpServer.bufferFeedback))
+    // a swap changes facet values → the 30-min metadata TTL cache must drop
+    // in the same step, and the poller only starts once the server exists
+    reloader.foreach { rn =>
+      rn.onSwap = () => server.invalidateMetadataCache()
+      if (reloadMs > 0) {
+        rn.start()
+        println(s"[serve] hot-reload poll every $reloadMs ms")
+      }
+    }
     server.start()
     println(s"[serve] listening on http://127.0.0.1:${server.boundPort}/api/search")
     if (sys.env.get("GRAFT_SERVE_ONESHOT").contains("1")) {

@@ -24,11 +24,12 @@ class ProcFleetSpec extends AnyFunSuite {
     val peerNode = InMemoryIndex.load(spark, h, chunks = Some(Set(1)),
       sharedGlobalDf = Some(shared))
     val peerServer = new graft.api.SearchHttpServer(peerNode,
-      internalNode = Some(peerNode))
+      internalNode = Some(() => peerNode), internalOnly = true)
     peerServer.start()
     val local = InMemoryIndex.load(spark, h, chunks = Some(Set(0)),
       sharedGlobalDf = Some(shared))
-    val proc = new ProcFleet(local, Seq(s"http://127.0.0.1:${peerServer.boundPort}"))
+    val proc = new ProcFleet(() => local,
+      Seq(s"http://127.0.0.1:${peerServer.boundPort}"), numChunks = 2)
     (single, proc, peerServer)
   }
 
@@ -69,11 +70,15 @@ class ProcFleetSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](proc.verifyCoverage(3))
     // overlapping shards (peer serves chunk 1; a second "peer" = the same
     // node again) → refuse
-    val overlapping = new ProcFleet(
-      InMemoryIndex.load(spark, IndexHandle.load("/tmp/gidx-procfleet"),
-        chunks = Some(Set(0, 1))),
-      Seq(s"http://127.0.0.1:${peerServer.boundPort}"))
+    val overlapNode = InMemoryIndex.load(spark, IndexHandle.load("/tmp/gidx-procfleet"),
+      chunks = Some(Set(0, 1)))
+    val overlapping = new ProcFleet(() => overlapNode,
+      Seq(s"http://127.0.0.1:${peerServer.boundPort}"), numChunks = 2)
     intercept[IllegalArgumentException](overlapping.verifyCoverage(2))
+    // coverage holds BY CONSTRUCTION, not by caller discipline: the first
+    // search itself runs the handshake and refuses to serve
+    intercept[IllegalArgumentException](
+      overlapping.search(QuerySpec("hi", Webtext.word("hi", 1))))
   }
 
   test("25-shape sweep over sockets: ProcFleet == single full node (pages, scores, totals, suggestions)") {

@@ -162,6 +162,13 @@ object Bench {
     serveBench("serve_any_p50", QuerySpec("hi", hiPhrase, mode = "any"))
     serveBench("serve_phrase_p50", QuerySpec("hi", hiPhrase, phrase = true))
     serveBench("serve_headterm_p50", QuerySpec("hi", Webtext.word("hi", 0), mode = "any"))
+    // similar-documents serving engine: resident per-chunk HNSW graphs over
+    // the sf embeddings table — every request is a graph walk + merge, no
+    // Spark job (round-5: the endpoint moved off the per-request IVF job)
+    val similarNode = new graft.api.SimilarDocs(spark,
+      spark.read.parquet(s"$sfDir/embeddings.parquet"), numChunks = 2)
+    (1 to 5).foreach(_ => similarNode.similar(5L))
+    timedN("serve_similar_p50", 50) { similarNode.similar(5L) }
     // concurrent serving THROUGHPUT (the fleet unit the north metric scales):
     // T worker threads drain a shared counter of mixed-shape queries against
     // the immutable resident node; queries/sec = completed / wall. Reported

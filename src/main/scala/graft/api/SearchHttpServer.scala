@@ -45,9 +45,10 @@ final class SearchHttpServer(
     /** granth book store for /api/granth/verse + /api/granth/prose; absent →
       * those endpoints 404 like an empty granth_index */
     granthStore: Option[GranthStore] = None,
-    /** ANN engine for /api/similar-documents; absent → 503 (deployment has
-      * no embedding column loaded) */
-    similarDocs: Option[SimilarDocs] = None,
+    /** ANN engine for /api/similar-documents (a resident [[SimilarDocs]]
+      * node or the fleet scatter [[FleetSimilar]]); absent → 503
+      * (deployment has no embedding column loaded) */
+    similarDocs: Option[SimilarEngine] = None,
     /** fleet-internal scatter surface: set on shard NODES so a
       * [[graft.query.ProcFleet]] coordinator can pull bounded partials /
       * facet metadata / neighbor candidates over sockets
@@ -56,6 +57,11 @@ final class SearchHttpServer(
       * can swap the resident index under a running server.
       */
     internalNode: Option[() => graft.query.InMemoryIndex] = None,
+    /** this node's own resident ANN graphs, exposed on the internal scatter
+      * surface (/api/internal/vec + /api/internal/similar) so a
+      * [[FleetSimilar]] coordinator can resolve vectors and pull bounded
+      * per-shard neighbor heaps; set on fleet shard nodes */
+    internalSimilar: Option[SimilarDocs] = None,
     /** true on fleet SHARD nodes (chunk-subset, no coordinator role): the
       * public endpoints 503 instead of answering from a silent corpus
       * slice — clients must go through the coordinator; only the
@@ -506,22 +512,24 @@ final class SearchHttpServer(
   // The process-fleet analog of the in-process scatter: a coordinator POSTs
   // the wire-encoded query and gets this shard's bounded partial heaps back
   // (scores as raw IEEE bits — bit-exact merge, graft.query.Wire).
-  internalNode.foreach { nodeRef =>
-    def internal(path: String)(f: (graft.query.InMemoryIndex, String) => String): Unit =
-      endpoint(path) { ex =>
-        if (exactPath(ex, path)) {
-          if (ex.getRequestMethod != "POST")
-            respond(ex, 405, JObject("detail" -> JString("POST only")))
-          else {
-            val body = new String(ex.getRequestBody.readAllBytes(),
-              java.nio.charset.StandardCharsets.UTF_8)
-            val bytes = f(nodeRef(), body)
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-            ex.getResponseHeaders.set("Content-Type", "application/json")
-            ex.sendResponseBody(200, bytes)
-          }
+  private def internalPost(path: String)(f: String => String): Unit =
+    endpoint(path) { ex =>
+      if (exactPath(ex, path)) {
+        if (ex.getRequestMethod != "POST")
+          respond(ex, 405, JObject("detail" -> JString("POST only")))
+        else {
+          val body = new String(ex.getRequestBody.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+          val bytes = f(body).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          ex.getResponseHeaders.set("Content-Type", "application/json")
+          ex.sendResponseBody(200, bytes)
         }
       }
+    }
+
+  internalNode.foreach { nodeRef =>
+    def internal(path: String)(f: (graft.query.InMemoryIndex, String) => String): Unit =
+      internalPost(path)(body => f(nodeRef(), body))
     internal("/api/internal/partials") { (node, body) =>
       graft.query.Wire.encodePartials(
         node.searchPartial(graft.query.Wire.decodeQuery(body)))
@@ -544,6 +552,20 @@ final class SearchHttpServer(
       // coverage handshake: the coordinator asserts local ∪ peers is a
       // disjoint cover of 0..numChunks-1 before serving
       graft.query.Wire.encodeChunks(node.servedChunks)
+    }
+  }
+
+  // similar-documents scatter surface: by-id vector resolution (the source
+  // doc lives on exactly one shard) + bounded per-shard neighbor heaps —
+  // bit-exact float/double transport so the coordinator's merge equals a
+  // single full node's (graft.query.Wire)
+  internalSimilar.foreach { sd =>
+    internalPost("/api/internal/vec") { body =>
+      graft.query.Wire.encodeVec(sd.vectorOf(graft.query.Wire.decodeVecReq(body)))
+    }
+    internalPost("/api/internal/similar") { body =>
+      val (vec, size, exclude) = graft.query.Wire.decodeSimilarReq(body)
+      graft.query.Wire.encodeSimilarHits(sd.searchVec(vec, size, exclude))
     }
   }
 

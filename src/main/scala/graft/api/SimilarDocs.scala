@@ -3,60 +3,143 @@ package graft.api
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** What the /api/similar-documents endpoint needs from an ANN engine —
+  * implemented by a resident [[SimilarDocs]] node and by the fleet scatter
+  * ([[FleetSimilar]]), so the endpoint is topology-agnostic like the rest of
+  * the serving surface.
+  */
+trait SimilarEngine {
+  /** Neighbor (docId, cosine) pairs, best first; Nil when the doc is unknown
+    * or has no vector (the reference returns ([], 0) for both,
+    * search_api.py:460-485).
+    */
+  def similar(docId: Long, size: Int = 10): Seq[(Long, Double)]
+}
+
 /** Engine behind /api/similar-documents/{doc_id} (reference
   * search_api.py:460-485 → index_searcher.py:505-567 find_similar_by_id):
-  * fetch the source doc's embedding, kNN for the `size` nearest vectors with
-  * the source excluded (the reference's must_not ids clause), return
-  * (neighbor docId, cosine) pairs for payload assembly.
+  * fetch the source doc's embedding, kNN with the source excluded (the
+  * reference's must_not ids clause), return (neighbor docId, cosine) pairs
+  * for payload assembly.
   *
-  * The ANN path is the oracled IVF structure ([[graft.ops.Similarity.ivfTopK]]
-  * — cell equi-join, self-exclusion built in); vectors come from the
-  * synthetic embeddings table keyed by doc id. MODEL SWAP POINT (SURVEY
-  * §7.0): a production deployment replaces this table with bge-m3 embeddings
-  * of the docstore text (reference embedding_models.py:73-83) — every join
-  * and the endpoint shape stay identical.
+  * Serving structure: RESIDENT HNSW — the reference's actual kNN index
+  * (opensearch-config.yaml:152-160, method hnsw), answered at memory
+  * latency with no Spark job on the request path. ONE GRAPH PER CHUNK
+  * (vec_id mod numChunks, the same doc sharding as the inverted index —
+  * OpenSearch's graph-per-segment model): a query probes every local graph
+  * and merges, so
+  *   - a chunk-subset fleet node builds graphs for ITS chunks only (memory
+  *     bounded by the shard, never the corpus), and
+  *   - a fleet's scatter-merge over per-shard graphs returns EXACTLY what a
+  *     single full node returns (disjoint per-chunk graphs + deterministic
+  *     (sim desc, id asc) merge) — the same parity argument as the BM25
+  *     partials, gated in ProcFleetSpec.
+  *
+  * MODEL SWAP POINT (SURVEY §7.0): a production deployment replaces the
+  * synthetic embeddings table with bge-m3 vectors of the docstore text
+  * (reference embedding_models.py:73-83) — graphs, scatter and the endpoint
+  * shape stay identical. The Spark-side batch ANN operators (IVF/LSH/HNSW
+  * over DataFrames, graft.ops.Similarity + graft.ops.Hnsw) remain the
+  * pipeline path; this class is the SERVING path.
   */
 final class SimilarDocs(spark: SparkSession, embeddings: DataFrame,
-    nlist: Int = 16, nProbe: Int = 4,
-    /** serve from a RESIDENT per-node HNSW graph (the reference's actual
-      * structure, opensearch-config.yaml:152-160) instead of the IVF Spark
-      * path: memory-latency answers, recall-gated in HnswSpec. On a
-      * doc-sharded fleet each node holds the graph of its own shard's
-      * vectors — same fan-out/merge as every other serving structure. */
-    residentHnsw: Boolean = false) {
+    numChunks: Int = 1, chunks: Option[Set[Int]] = None) extends SimilarEngine {
 
-  // vectors are served repeatedly — keep the (vec_id, embedding) projection
-  // resident like the node's other serving structures
-  private val emb = embeddings.select("vec_id", "embedding").cache()
+  require(numChunks >= 1, s"numChunks must be >= 1, got $numChunks")
 
-  private lazy val graph: graft.ops.Hnsw.Graph = {
+  // chunk id → resident graph over that chunk's vectors, built once at boot
+  // from THIS node's slice (the embedding read is scoped the same way
+  // InMemoryIndex.load scopes the docstore — a shard node never collects
+  // the corpus)
+  private val graphs: Map[Int, graft.ops.Hnsw.Graph] = {
     import spark.implicits._
-    val rows = emb.as[(Long, Array[Float])].collect().sortBy(_._1)
-    // empty embedding table → empty graph (every lookup misses → the
-    // reference's ([], 0) shape), not a head-of-empty crash on first request
-    val g = new graft.ops.Hnsw.Graph(rows.headOption.map(_._2.length).getOrElse(1))
-    rows.foreach { case (id, v) => g.insert(id, v) }
-    g // the graph itself serves by-id vector lookup — no second vector copy
+    val scoped = chunks match {
+      case Some(cs) =>
+        embeddings.where(pmod(col("vec_id"), lit(numChunks)).isin(cs.toSeq: _*))
+      case None => embeddings
+    }
+    val rows = scoped.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1) // deterministic insertion
+    val dim = rows.headOption.map(_._2.length).getOrElse(1)
+    rows.groupBy(r => Math.floorMod(r._1, numChunks.toLong).toInt)
+      .map { case (c, rs) =>
+        val g = new graft.ops.Hnsw.Graph(dim)
+        rs.foreach { case (id, v) => g.insert(id, v) }
+        c -> g
+      }
   }
 
-  /** Neighbor (docId, cosine) pairs, best first; Nil when the doc has no
-    * vector (reference returns ([], 0) for both missing-doc and no-vector).
+  /** By-id vector lookup, routed to the owning chunk's graph (no second
+    * vector copy outside the graphs). None when the doc has no vector or
+    * its chunk lives on another shard.
     */
+  def vectorOf(docId: Long): Option[Array[Float]] =
+    graphs.get(Math.floorMod(docId, numChunks.toLong).toInt).flatMap(_.vectorOf(docId))
+
+  /** Top-`size` neighbors of a query VECTOR across this node's graphs —
+    * the scatter unit: per-graph top-(size+1), merged by (sim desc, id asc),
+    * `excludeId` dropped before the cut so the page is never short.
+    */
+  def searchVec(v: Array[Float], size: Int, excludeId: Long): Seq[(Long, Double)] =
+    graphs.values.toSeq
+      .flatMap(_.search(v, size + 1))
+      .filter(_._1 != excludeId)
+      .sortBy { case (id, sim) => (-sim, id) }
+      .take(size)
+
+  def similar(docId: Long, size: Int = 10): Seq[(Long, Double)] =
+    vectorOf(docId).map(searchVec(_, size, excludeId = docId)).getOrElse(Nil)
+}
+
+/** Fleet-sharded similar-documents: the coordinator resolves the source
+  * doc's vector (its own graphs first, else the owning peer over
+  * /api/internal/vec), scatters it to every shard's /api/internal/similar,
+  * and merges the bounded per-shard top-k — identical to a single full node
+  * (disjoint per-chunk graphs, bit-exact vector + score transport via
+  * [[graft.query.Wire]]). No Spark job and no whole-corpus collect anywhere
+  * on the request path.
+  */
+final class FleetSimilar(local: SimilarDocs, peers: Seq[String]) extends SimilarEngine {
+
+  // same bounded-timeout discipline as ProcFleet: a wedged shard must fail
+  // the request, not pin a coordinator worker forever
+  private val client = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(5))
+    .build()
+
+  private def postAsync(url: String, body: String)
+      : java.util.concurrent.CompletableFuture[String] =
+    client.sendAsync(
+      java.net.http.HttpRequest.newBuilder()
+        .uri(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofSeconds(30))
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+      .thenApply(r =>
+        if (r.statusCode() == 200) r.body()
+        else sys.error(s"peer $url -> ${r.statusCode()}: ${r.body().take(200)}"))
+
   def similar(docId: Long, size: Int = 10): Seq[(Long, Double)] = {
-    import spark.implicits._
-    if (residentHnsw)
-      graph.vectorOf(docId).map { v =>
-        graph.search(v, size + 1).filter(_._1 != docId).take(size)
-      }.getOrElse(Nil)
-    else {
-      val q = emb.where(col("vec_id") === docId)
-      if (q.take(1).isEmpty) Nil
-      else graft.ops.Similarity.ivfTopK(emb, q, size, nlist, nProbe)
-        .orderBy("rank")
-        .select("vec_id", "sim")
-        .as[(Long, Double)]
-        .collect()
-        .toSeq
+    // phase 1 — resolve the source vector: it lives on exactly ONE shard
+    // (chunks partition vec ids); ask local first, then all peers
+    // concurrently and take the unique non-null answer
+    val vec = local.vectorOf(docId).orElse {
+      val req = graft.query.Wire.encodeVecReq(docId)
+      peers.map(p => postAsync(s"$p/api/internal/vec", req))
+        .flatMap(f => graft.query.Wire.decodeVec(f.join()))
+        .headOption
+    }
+    vec match {
+      case None => Nil // unknown doc / no vector → reference's ([], 0)
+      case Some(v) =>
+        // phase 2 — scatter the vector, merge bounded per-shard heaps
+        val req = graft.query.Wire.encodeSimilarReq(v, size, docId)
+        val futs = peers.map(p => postAsync(s"$p/api/internal/similar", req))
+        val localHits = local.searchVec(v, size, excludeId = docId)
+        (localHits ++ futs.flatMap(f => graft.query.Wire.decodeSimilarHits(f.join())))
+          .sortBy { case (id, sim) => (-sim, id) }
+          .take(size)
     }
   }
 }

@@ -148,6 +148,58 @@ object Wire {
     case other => sys.error(s"peer response is not a chunks payload: ${s.take(120)}")
   }
 
+  // ---- similar-documents scatter (FleetSimilar) ----
+  // vectors travel as raw IEEE-754 float bits (ints) and similarities as raw
+  // double bits, same bit-exactness contract as the partial heaps: the
+  // fleet's merge order (sim desc, id asc) must match a single node's
+
+  def encodeVecReq(docId: Long): String =
+    compact(render(JObject("docId" -> JLong(docId))))
+
+  def decodeVecReq(s: String): Long = asLong(parse(s) \ "docId")
+
+  def encodeVec(v: Option[Array[Float]]): String = compact(render(JObject(
+    "vec" -> v.map(a => JArray(a.toList.map(f =>
+      JInt(java.lang.Float.floatToRawIntBits(f)): JValue)): JValue).getOrElse(JNull))))
+
+  def decodeVec(s: String): Option[Array[Float]] = (parse(s) \ "vec") match {
+    case JArray(vs) =>
+      Some(vs.map(v => java.lang.Float.intBitsToFloat(asLong(v).toInt)).toArray)
+    case JNull => None
+    case other => sys.error(s"peer response is not a vec payload: ${s.take(120)}")
+  }
+
+  def encodeSimilarReq(v: Array[Float], size: Int, excludeId: Long): String =
+    compact(render(JObject(
+      "vec" -> JArray(v.toList.map(f =>
+        JInt(java.lang.Float.floatToRawIntBits(f)): JValue)),
+      "size" -> JInt(size),
+      "exclude" -> JLong(excludeId))))
+
+  def decodeSimilarReq(s: String): (Array[Float], Int, Long) = {
+    val j = parse(s)
+    val vec = (j \ "vec") match {
+      case JArray(vs) => vs.map(v => java.lang.Float.intBitsToFloat(asLong(v).toInt)).toArray
+      case other => sys.error(s"bad similar request vec: $other")
+    }
+    (vec, asLong(j \ "size").toInt, asLong(j \ "exclude"))
+  }
+
+  def encodeSimilarHits(hits: Seq[(Long, Double)]): String = compact(render(JObject(
+    "hits" -> JArray(hits.toList.map { case (id, sim) =>
+      JArray(List(JLong(id),
+        JLong(java.lang.Double.doubleToRawLongBits(sim)))): JValue
+    }))))
+
+  def decodeSimilarHits(s: String): Seq[(Long, Double)] = (parse(s) \ "hits") match {
+    case JArray(hs) => hs.map {
+      case JArray(List(id, bits)) =>
+        (asLong(id), java.lang.Double.longBitsToDouble(asLong(bits)))
+      case other => sys.error(s"bad wire similar hit: $other")
+    }
+    case other => sys.error(s"peer response is not a similar payload: ${s.take(120)}")
+  }
+
   private def asLong(v: JValue): Long = v match {
     case JInt(n) => n.toLong
     case JLong(n) => n

@@ -108,10 +108,18 @@ object ServeCli {
     val granths = graft.api.GranthStore.synthetic(
       sys.env.getOrElse("GRAFT_SERVE_GRANTHS", "8").toInt)
     // similar-documents: embeddings table keyed by doc id (model swap point
-    // — a deployment points this at bge-m3 vectors of the docstore text)
-    val similar = sys.env.get("GRAFT_SERVE_EMB").map(p =>
+    // — a deployment points this at bge-m3 vectors of the docstore text).
+    // Resident per-CHUNK HNSW graphs, scoped to this node's chunk subset —
+    // shard nodes never collect the corpus; a fleet coordinator scatters
+    // over /api/internal/similar and merges (identical to a full node)
+    val similarLocal = sys.env.get("GRAFT_SERVE_EMB").map(p =>
       new graft.api.SimilarDocs(spark, spark.read.parquet(p),
-        residentHnsw = sys.env.get("GRAFT_SERVE_HNSW").contains("1")))
+        numChunks = graft.index.IndexBuild.readProps(idxDir).numChunks,
+        chunks = chunkSubset))
+    val similar: Option[graft.api.SimilarEngine] =
+      if (fleetPeers.nonEmpty)
+        similarLocal.map(sd => new graft.api.FleetSimilar(sd, fleetPeers))
+      else similarLocal
     // GRAFT_SERVE_LOG_DIR: per-query metrics + feedback to rolling files
     // (the reference's metrics.log/feedback flow) — parse offline with
     // MetricsCli [--summary]; default stays the bounded in-memory buffers
@@ -121,6 +129,7 @@ object ServeCli {
     val server = new graft.api.SearchHttpServer(mem, port = port,
       granthStore = Some(granths), similarDocs = similar,
       internalNode = internalNode,
+      internalSimilar = similarLocal,
       internalOnly = internalOnly,
       metricsSink = metricsSink.getOrElse(graft.api.SearchHttpServer.bufferMetrics),
       feedbackSink = feedbackSink.getOrElse(graft.api.SearchHttpServer.bufferFeedback))

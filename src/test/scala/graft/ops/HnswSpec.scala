@@ -64,7 +64,7 @@ class HnswSpec extends AnyFunSuite {
 
   test("resident-HNSW SimilarDocs: memory-latency neighbors, recall vs exact, self excluded") {
     val full = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    val sd = new graft.api.SimilarDocs(spark, full, residentHnsw = true)
+    val sd = new graft.api.SimilarDocs(spark, full, numChunks = 2)
     val exact = Similarity.cosineTopK(emb, emb.where(col("vec_id") === 5), 10)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val got = sd.similar(5L, 10)

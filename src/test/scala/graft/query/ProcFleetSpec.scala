@@ -13,7 +13,10 @@ import graft.corpus.{SparkTestSession, Webtext}
 class ProcFleetSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
-  private lazy val fixture: (InMemoryIndex, ProcFleet, graft.api.SearchHttpServer) = {
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private lazy val fixture: (InMemoryIndex, ProcFleet, graft.api.SearchHttpServer,
+      graft.api.FleetSimilar) = {
     val dir = "/tmp/gidx-procfleet"
     graft.index.TableIO.deleteRecursive(dir)
     graft.index.IndexBuild.build(spark, Webtext.synthesize(spark, 600).toDF(), dir,
@@ -23,14 +26,21 @@ class ProcFleetSpec extends AnyFunSuite {
     val shared = InMemoryIndex.loadGlobalDf(spark, h)
     val peerNode = InMemoryIndex.load(spark, h, chunks = Some(Set(1)),
       sharedGlobalDf = Some(shared))
+    val peerSimilar = new graft.api.SimilarDocs(spark, emb,
+      numChunks = 2, chunks = Some(Set(1)))
     val peerServer = new graft.api.SearchHttpServer(peerNode,
-      internalNode = Some(() => peerNode), internalOnly = true)
+      internalNode = Some(() => peerNode), internalSimilar = Some(peerSimilar),
+      internalOnly = true)
     peerServer.start()
     val local = InMemoryIndex.load(spark, h, chunks = Some(Set(0)),
       sharedGlobalDf = Some(shared))
     val proc = new ProcFleet(() => local,
       Seq(s"http://127.0.0.1:${peerServer.boundPort}"), numChunks = 2)
-    (single, proc, peerServer)
+    val localSimilar = new graft.api.SimilarDocs(spark, emb,
+      numChunks = 2, chunks = Some(Set(0)))
+    val fleetSimilar = new graft.api.FleetSimilar(localSimilar,
+      Seq(s"http://127.0.0.1:${peerServer.boundPort}"))
+    (single, proc, peerServer, fleetSimilar)
   }
 
   test("wire codec round-trips a fully-loaded QuerySpec and bit-exact partials") {
@@ -64,7 +74,7 @@ class ProcFleetSpec extends AnyFunSuite {
   }
 
   test("coverage handshake: under-covered or overlapping fleets fail at verify, complete ones pass") {
-    val (_, proc, peerServer) = fixture
+    val (_, proc, peerServer, _) = fixture
     proc.verifyCoverage(2) // local {0} + peer {1} — complete and disjoint
     // a third chunk the fleet doesn't serve → refuse
     intercept[IllegalArgumentException](proc.verifyCoverage(3))
@@ -82,7 +92,7 @@ class ProcFleetSpec extends AnyFunSuite {
   }
 
   test("25-shape sweep over sockets: ProcFleet == single full node (pages, scores, totals, suggestions)") {
-    val (single, proc, _) = fixture
+    val (single, proc, _, _) = fixture
     val rnd = new scala.util.Random(20260817L)
     (1 to 25).foreach { _ =>
       val nTerms = 1 + rnd.nextInt(4)
@@ -112,7 +122,7 @@ class ProcFleetSpec extends AnyFunSuite {
   }
 
   test("facet metadata and context parity over sockets") {
-    val (single, proc, _) = fixture
+    val (single, proc, _, _) = fixture
     assert(proc.facetMetadata(Set("Author", "Anuyog", "year"), "category") ==
       single.facetMetadata(Set("Author", "Anuyog", "year"), "category"))
     Seq(0L, 40L, 599L, 41L).foreach { id =>
@@ -124,8 +134,28 @@ class ProcFleetSpec extends AnyFunSuite {
     }
   }
 
+  test("similar-documents over sockets: fleet scatter == single full node, remote-owned vectors resolve") {
+    val (_, _, _, fleetSim) = fixture
+    // the SINGLE-node reference: all chunk graphs resident in one process —
+    // per-chunk graphs are identical objects on both topologies, so the
+    // fleet merge must be EXACTLY equal, scores included (bit-exact wire)
+    val singleSim = new graft.api.SimilarDocs(spark, emb, numChunks = 2)
+    // vec_id 4 lives on the coordinator's chunk (4 % 2 = 0); vec_id 5 on the
+    // PEER (5 % 2 = 1) — the second exercises the /api/internal/vec hop
+    Seq(4L, 5L, 0L, 17L).foreach { id =>
+      val a = singleSim.similar(id, 10)
+      val b = fleetSim.similar(id, 10)
+      assert(b == a, s"fleet similar diverged for doc $id")
+      assert(a.nonEmpty && !a.exists(_._1 == id), s"self-exclusion for $id")
+      assert(a.map(_._2) == a.map(_._2).sorted.reverse, s"best-first for $id")
+    }
+    // unknown doc -> Nil on both (the reference's ([], 0))
+    assert(fleetSim.similar(99999L) == singleSim.similar(99999L))
+    assert(fleetSim.similar(99999L).isEmpty)
+  }
+
   test("suggest parity over sockets: misspelled term resolves identically") {
-    val (single, proc, _) = fixture
+    val (single, proc, _, _) = fixture
     val w = Webtext.word("hi", 3)
     val misspelled = w.dropRight(1) + "ख़" // unlikely suffix → zero hits
     val q = QuerySpec("hi", misspelled)

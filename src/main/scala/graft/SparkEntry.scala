@@ -754,9 +754,15 @@ object SparkEntry {
           col("rank").cast("long").as("nn_rank"))
         .orderBy("query_id", "nn_rank")
     }),
-    "ann_lsh_topk" -> ((s, dir) => { // rows-only: bucket hashes are ours
+    "ann_lsh_topk" -> ((s, dir) => {
+      // FULLY ORACLED random-hyperplane LSH (round-5): planes are md5-derived
+      // ±1 sign projections, so DuckDB re-derives the planes, the buckets,
+      // the hamming-≤2 multiprobe set, the bucket join and the ranking from
+      // scratch (dedup_simhash recipe). The splitmix-plane production hash
+      // (Similarity.lshCode) keeps the identical join shape.
       val emb = embeddings(s, dir)
-      Similarity.lshTopK(emb, emb.where(col("vec_id") < 5), k = 10, bits = 6, probeHamming = 2)
+      Similarity.lshTopKMd5(emb, emb.where(col("vec_id") < 5), k = 10,
+        bits = 6, seed = 7L, probeHamming = 2)
         .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"),
           col("rank").cast("long").as("nn_rank"))
         .orderBy("query_id", "nn_rank")
@@ -1572,6 +1578,39 @@ object SparkEntry {
         |scored AS (
         |  SELECT p.query_id, c.vec_id, max(list_cosine_similarity(c.e, p.qe)) AS sim
         |  FROM probes p JOIN c ON c.bucket = p.bucket
+        |  WHERE c.vec_id <> p.query_id
+        |  GROUP BY 1, 2),
+        |r AS (SELECT query_id, vec_id, sim,
+        |             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+        |      FROM scored)
+        |SELECT query_id, vec_id, round(sim, 6) AS sim, CAST(rnk AS BIGINT) AS nn_rank
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, nn_rank""".stripMargin,
+    // md5-hyperplane LSH recomputed from scratch: plane p's component for
+    // dim d = +1 iff the last hex nibble of md5('7:p:d') is odd (the same
+    // rule as Similarity.md5PlaneComponent); dots fold left-to-right via
+    // list_reduce so the double accumulation order (and the sign/bucket)
+    // matches the Scala loop bit-for-bit; hamming-≤2 multiprobe = xor with
+    // every 6-bit mask of popcount ≤ 2
+    "ann_lsh_topk" ->
+      """WITH comps AS (
+        |  SELECT p, list_transform(range(64), d ->
+        |    CASE WHEN strpos('13579bdf', substr(md5('7:' || p || ':' || d), 32, 1)) > 0
+        |         THEN 1.0 ELSE -1.0 END) AS cv
+        |  FROM range(6) t(p)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |codes AS (
+        |  SELECT e.vec_id, e.v,
+        |    CAST(SUM(CASE WHEN list_reduce(
+        |        list_transform(range(64), d -> e.v[CAST(d AS INT) + 1] * c.cv[CAST(d AS INT) + 1]),
+        |        (x, y) -> x + y) >= 0
+        |      THEN (1::BIGINT << CAST(c.p AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM e, comps c GROUP BY e.vec_id, e.v),
+        |q AS (SELECT vec_id AS query_id, v AS qe, bucket AS qb FROM codes WHERE vec_id < 5),
+        |masks AS (SELECT m FROM range(64) t(m) WHERE bit_count(m) <= 2),
+        |probes AS (SELECT query_id, qe, xor(qb, CAST(m AS BIGINT)) AS bucket FROM q, masks),
+        |scored AS (
+        |  SELECT p.query_id, c.vec_id, max(list_cosine_similarity(c.v, p.qe)) AS sim
+        |  FROM probes p JOIN codes c ON c.bucket = p.bucket
         |  WHERE c.vec_id <> p.query_id
         |  GROUP BY 1, 2),
         |r AS (SELECT query_id, vec_id, sim,

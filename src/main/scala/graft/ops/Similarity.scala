@@ -128,6 +128,49 @@ object Similarity {
     bucketedTopK(corpus, queries, k, v => lshCode(v, b, s), b, probeHamming)
   }
 
+  /** ±1 hyperplane component derived from md5("seed:plane:dim") — the same
+    * random-sign-projection LSH family as [[planeComponent]], with md5 as
+    * the shared primitive so an external SQL oracle can re-derive the
+    * PLANES THEMSELVES (the dedup_simhash recipe): sign = parity of the
+    * digest's last hex nibble.
+    */
+  def md5PlaneComponent(seed: Long, plane: Int, dim: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed:$plane:$dim".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if ((d(15) & 1) == 1) 1.0 else -1.0
+  }
+
+  /** [[lshTopK]] with md5-derived hyperplanes — FULLY ORACLED: buckets
+    * (planes included), multiprobe expansion, cosine and ranking are all
+    * recomputed from scratch by the DuckDB oracle. Dot products accumulate
+    * left-to-right in double on both engines (±1 components make each term
+    * exact), so the sign — and therefore every bucket — is bit-identical.
+    */
+  def lshTopKMd5(corpus: DataFrame, queries: DataFrame, k: Int,
+      bits: Int = 6, seed: Long = 7L, probeHamming: Int = 2): DataFrame = {
+    val b = bits
+    val s = seed
+    // plane components depend only on (seed, plane, dim) — memoize per task
+    // instead of paying bits×dims md5 calls per ROW
+    val cache = new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Double]()
+    def comp(p: Int, i: Int): Double =
+      cache.computeIfAbsent((p.toLong << 32) | i.toLong,
+        _ => md5PlaneComponent(s, p, i)).doubleValue()
+    def code(v: Seq[Float]): Long = {
+      var c = 0L
+      var p = 0
+      while (p < b) {
+        var dot = 0.0
+        var i = 0
+        while (i < v.length) { dot += v(i) * comp(p, i); i += 1 }
+        if (dot >= 0) c |= (1L << p)
+        p += 1
+      }
+      c
+    }
+    bucketedTopK(corpus, queries, k, code, b, probeHamming)
+  }
+
   /** Axis-aligned sign code: bit i = sign of dimension i. A degenerate but
     * valid cosine-LSH family (hyperplanes = coordinate axes) whose buckets an
     * external SQL oracle can recompute exactly — the correctness gate for the

@@ -113,6 +113,7 @@ final class SearchHttpServer(
   private def handleSearch(body: String, clientIp: String = "test"): JValue = {
     val t0 = nowMs()
     var totalHitsAll = 0L
+    var degradedAny = false
     val j = parse(body)
     val query = (j \ "query").extractOrElse[String]("")
     val lang = langCode((j \ "language").extractOrElse[String]("hi"))
@@ -172,6 +173,7 @@ final class SearchHttpServer(
         from = (pageNumber - 1) * pageSize)
       val r = mem.search(q)
       totalHitsAll += r.totalHits
+      if (r.coverageDegraded) degradedAny = true
       (JObject(
         "results" -> hitsJson(r),
         "total_hits" -> JLong(r.totalHits),
@@ -208,11 +210,15 @@ final class SearchHttpServer(
     catch {
       case e: Exception => System.err.println(s"[serve] WARN metrics sink failed: ${e.getMessage}")
     }
-    JObject(
+    val base = JObject(
       "pravachan_results" -> prav,
       "granth_results" -> gran,
       "is_lexical" -> JBool(isLexical),
       "suggestions" -> JArray((sugP ++ sugG).distinct.toList.map(JString(_))))
+    // only present when a fleet coordinator served around a dead shard —
+    // a degraded page is explicit, never shape-identical to a full one
+    if (degradedAny) JObject(base.obj :+ ("coverage_degraded" -> (JBool(true): JValue)))
+    else base
   }
 
   private def metadataJson(): JValue = {

@@ -35,8 +35,13 @@ case class Hit(docId: Long, score: Double, url: String, lang: String, highlighte
 case class DocPayload(docId: Long, url: String, text: String, lang: String,
     meta: Map[String, String])
 
+/** @param coverageDegraded true when a fleet coordinator served this page
+  *   WITHOUT one or more wedged shards (opt-in policy, [[ProcFleet]]): the
+  *   page is correct for the shards that answered but may be missing docs —
+  *   never silent, the HTTP layer surfaces it as `coverage_degraded`.
+  */
 case class SearchResult(hits: Seq[Hit], totalHits: Long, totalRelation: String,
-    suggestions: Seq[String])
+    suggestions: Seq[String], coverageDegraded: Boolean = false)
 
 /** Loaded index metadata. Segments stay on disk (Parquet); only per-query
   * term rows are read, with predicate pushdown on (lang, term).

@@ -229,8 +229,15 @@ object Wire {
   *   built by any caller refuses to serve with overlapping or missing
   *   shards instead of relying on caller discipline.
   */
+/** @param allowDegraded partial-failure policy for `search`: when false
+  *   (default) a shard that stays unreachable after one bounded retry FAILS
+  *   the query (500 to the client — correct but brutal); when true the
+  *   coordinator serves the page from the shards that answered and flags it
+  *   `coverageDegraded` — degraded is never silent, and every non-search
+  *   surface (facets, context, coverage handshake) still fails hard.
+  */
 final class ProcFleet(localRef: () => InMemoryIndex, peers: Seq[String],
-    numChunks: Int) extends SearchNode {
+    numChunks: Int, allowDegraded: Boolean = false) extends SearchNode {
 
   private def local: InMemoryIndex = localRef()
 
@@ -301,8 +308,28 @@ final class ProcFleet(localRef: () => InMemoryIndex, peers: Seq[String],
     // scatter to tail shards first, then run the head shard while they work
     val futs = peers.map(p => postAsync(s"$p/api/internal/partials", body))
     val localPart = node.searchPartial(q)
-    val remote = futs.flatMap(f => Wire.decodePartials(f.join()))
+    var degraded = false
+    val remote = peers.zip(futs).flatMap { case (p, f) =>
+      def attempt(fut: java.util.concurrent.CompletableFuture[String]) =
+        Wire.decodePartials(fut.join())
+      try attempt(f)
+      catch {
+        case e1: Exception =>
+          // ONE bounded retry (fresh connection — transient resets and
+          // restarting shards recover here), then the policy decides
+          try attempt(postAsync(s"$p/api/internal/partials", body))
+          catch {
+            case e2: Exception =>
+              if (!allowDegraded) throw e2
+              System.err.println(s"[fleet] WARN shard $p down after retry " +
+                s"(${e1.getMessage} / ${e2.getMessage}) — serving degraded")
+              degraded = true
+              Array.empty[SegmentResult]
+          }
+      }
+    }
     node.materialize(q, localPart ++ remote.toArray)
+      .copy(coverageDegraded = degraded)
   }
 
   def facetMetadata(fields: Set[String],

@@ -78,8 +78,12 @@ object ServeCli {
         val rn = reloadingNode(chunkSubset)
         if (fleetPeers.isEmpty) rn
         else {
+          // GRAFT_FLEET_ALLOW_DEGRADED=1: serve around a dead shard (one
+          // retry first) with an explicit coverage_degraded response flag
+          // instead of failing the query
           val pf = new graft.query.ProcFleet(() => rn.current, fleetPeers,
-            graft.index.IndexBuild.readProps(idxDir).numChunks)
+            graft.index.IndexBuild.readProps(idxDir).numChunks,
+            allowDegraded = sys.env.get("GRAFT_FLEET_ALLOW_DEGRADED").contains("1"))
           // fail at BOOT if the shards overlap or leave chunks unserved —
           // a mis-assigned fleet would otherwise 200 with missing slices
           // (ProcFleet ALSO runs this lazily before its first search)

@@ -154,6 +154,49 @@ class ProcFleetSpec extends AnyFunSuite {
     assert(fleetSim.similar(99999L).isEmpty)
   }
 
+  test("partial-failure policy: dead shard fails strict fleets, degrades flagged on opt-in") {
+    fixture // make sure the shared index exists
+    val h = IndexHandle.load("/tmp/gidx-procfleet")
+    val shared = InMemoryIndex.loadGlobalDf(spark, h)
+    val peerNode = InMemoryIndex.load(spark, h, chunks = Some(Set(1)),
+      sharedGlobalDf = Some(shared))
+    val peerServer = new graft.api.SearchHttpServer(peerNode,
+      internalNode = Some(() => peerNode), internalOnly = true)
+    peerServer.start()
+    val local = InMemoryIndex.load(spark, h, chunks = Some(Set(0)),
+      sharedGlobalDf = Some(shared))
+    val url = s"http://127.0.0.1:${peerServer.boundPort}"
+    val strict = new ProcFleet(() => local, Seq(url), numChunks = 2)
+    val lenient = new ProcFleet(() => local, Seq(url), numChunks = 2,
+      allowDegraded = true)
+    val q = QuerySpec("hi", Webtext.word("hi", 1), mode = "any")
+    // healthy fleet: identical pages, degraded flag NOT set
+    assert(!lenient.search(q).coverageDegraded)
+    assert(!strict.search(q).coverageDegraded)
+    peerServer.stop() // the shard JVM dies
+    // default policy: the query FAILS (after one bounded retry) — a page
+    // silently missing a corpus slice must never look like success
+    intercept[Exception](strict.search(q))
+    // opt-in policy: the surviving shards' page, EXPLICITLY flagged
+    val degraded = lenient.search(q)
+    assert(degraded.coverageDegraded, "degraded page must carry the flag")
+    val localOnly = local.materialize(q, local.searchPartial(q))
+    assert(degraded.hits == localOnly.hits, "degraded page == surviving shards' merge")
+    // and the HTTP layer surfaces it
+    val coord = new graft.api.SearchHttpServer(lenient)
+    coord.start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      val resp = client.send(java.net.http.HttpRequest.newBuilder()
+        .uri(java.net.URI.create(s"http://127.0.0.1:${coord.boundPort}/api/search"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+          s"""{"query": "${Webtext.word("hi", 1)}", "language": "hindi"}"""))
+        .build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200)
+      assert(resp.body().contains("\"coverage_degraded\":true"))
+    } finally coord.stop()
+  }
+
   test("suggest parity over sockets: misspelled term resolves identically") {
     val (single, proc, _, _) = fixture
     val w = Webtext.word("hi", 3)

@@ -75,9 +75,13 @@ object Bench {
       var tryN = 1
       var done = false
       while (!done) {
-        val probe = graft.tools.CpuProbe.efficiency(cpus.toInt)
-        sectionProbes(name) = probe
+        val pre = graft.tools.CpuProbe.efficiency(cpus.toInt)
         body // re-runs overwrite the section's results/attempt entries
+        // probe BEFORE and AFTER, keep the min: a window that gets capped
+        // DURING the body must flag the section too, not just one that was
+        // already capped when it started (the round-4 failure mode)
+        val probe = math.min(pre, graft.tools.CpuProbe.efficiency(cpus.toInt))
+        sectionProbes(name) = probe
         if (probe >= probeOk || tryN >= maxTries) done = true
         else {
           tryN += 1

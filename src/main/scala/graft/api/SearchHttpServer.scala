@@ -79,7 +79,11 @@ final class SearchHttpServer(
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   @volatile private var cache: Option[(JValue, Long)] = None
-  @volatile private var cacheVersion: Long = 0L
+  // AtomicLong, not a @volatile var: the reload poller and HTTP
+  // invalidations are concurrent writers — a lost increment would let an
+  // in-flight metadata computation pass the version guard and cache
+  // PRE-invalidation data for a full TTL
+  private val cacheVersion = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def supplier(): Map[String, Map[String, Seq[String]]] =
     metadataSupplier.map(_())
@@ -226,7 +230,7 @@ final class SearchHttpServer(
     // version guard: an invalidation that lands while a computation is in
     // flight must win — without it the in-flight thread would re-populate
     // the cache with PRE-invalidation data for a full TTL
-    val versionAtStart = cacheVersion
+    val versionAtStart = cacheVersion.get()
     cache match {
       case Some((data, ts)) if now - ts < ttlSeconds * 1000 => data
       case _ =>
@@ -235,7 +239,7 @@ final class SearchHttpServer(
             k -> (JArray(vs.toList.map(JString(_))): JValue)
           }): JValue)
         })
-        if (cacheVersion == versionAtStart) cache = Some((data, now))
+        if (cacheVersion.get() == versionAtStart) cache = Some((data, now))
         data
     }
   }
@@ -245,7 +249,7 @@ final class SearchHttpServer(
     * in-flight computation lose the re-populate race.
     */
   def invalidateMetadataCache(): Unit = {
-    cacheVersion += 1
+    cacheVersion.incrementAndGet()
     cache = None
   }
 

@@ -120,14 +120,26 @@ final class FleetSimilar(local: SimilarDocs, peers: Seq[String]) extends Similar
         if (r.statusCode() == 200) r.body()
         else sys.error(s"peer $url -> ${r.statusCode()}: ${r.body().take(200)}"))
 
+  /** join with ONE bounded retry on a fresh connection (same policy as
+    * ProcFleet.search): transient resets and restarting shards recover;
+    * a persistently-dead shard still FAILS the request — there is no
+    * degraded mode here, because "shard missing" is indistinguishable from
+    * "doc has no vector" in the response shape, and that must never be
+    * silent.
+    */
+  private def joinRetry(url: String, body: String,
+      fut: java.util.concurrent.CompletableFuture[String]): String =
+    try fut.join()
+    catch { case _: Exception => postAsync(url, body).join() }
+
   def similar(docId: Long, size: Int = 10): Seq[(Long, Double)] = {
     // phase 1 — resolve the source vector: it lives on exactly ONE shard
     // (chunks partition vec ids); ask local first, then all peers
     // concurrently and take the unique non-null answer
     val vec = local.vectorOf(docId).orElse {
       val req = graft.query.Wire.encodeVecReq(docId)
-      peers.map(p => postAsync(s"$p/api/internal/vec", req))
-        .flatMap(f => graft.query.Wire.decodeVec(f.join()))
+      peers.map(p => (s"$p/api/internal/vec", postAsync(s"$p/api/internal/vec", req)))
+        .flatMap { case (url, f) => graft.query.Wire.decodeVec(joinRetry(url, req, f)) }
         .headOption
     }
     vec match {
@@ -135,9 +147,11 @@ final class FleetSimilar(local: SimilarDocs, peers: Seq[String]) extends Similar
       case Some(v) =>
         // phase 2 — scatter the vector, merge bounded per-shard heaps
         val req = graft.query.Wire.encodeSimilarReq(v, size, docId)
-        val futs = peers.map(p => postAsync(s"$p/api/internal/similar", req))
+        val futs = peers.map(p =>
+          (s"$p/api/internal/similar", postAsync(s"$p/api/internal/similar", req)))
         val localHits = local.searchVec(v, size, excludeId = docId)
-        (localHits ++ futs.flatMap(f => graft.query.Wire.decodeSimilarHits(f.join())))
+        (localHits ++ futs.flatMap { case (url, f) =>
+          graft.query.Wire.decodeSimilarHits(joinRetry(url, req, f)) })
           .sortBy { case (id, sim) => (-sim, id) }
           .take(size)
     }

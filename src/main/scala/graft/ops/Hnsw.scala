@@ -233,12 +233,14 @@ object Hnsw {
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
     val out = perPart.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select("query_id", "vec_id", "sim", "rank")
-    // The result is bounded (≤ k rows per query) — materialize it NOW so the
-    // query broadcast can be destroyed before returning. A lazily-returned
-    // plan would pin qB's blocks on every executor until GC, leaking
-    // broadcast memory across repeated hnswTopK calls in a long session.
-    val rows = out.collect()
+    // Materialize the bounded result (≤ k rows per query) WITH ITS LINEAGE
+    // CUT — localCheckpoint keeps the data distributed across executors (no
+    // driver collect, the "no corpus concentration" contract holds) while
+    // making it safe to destroy the query broadcast immediately: a lazily-
+    // returned plan would pin qB's blocks on every executor until GC,
+    // leaking broadcast memory across repeated calls in a long session.
+    val cp = out.localCheckpoint(true)
     qB.destroy()
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    cp
   }
 }

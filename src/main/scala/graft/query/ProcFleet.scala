@@ -280,6 +280,14 @@ final class ProcFleet(localRef: () => InMemoryIndex, peers: Seq[String],
     }
 
   def verifyCoverage(expectChunks: Int = numChunks): Unit = {
+    doVerifyCoverage(expectChunks)
+    // a successful boot-time handshake at the constructor's chunk count
+    // satisfies the lazy first-search check — don't repeat the fleet-wide
+    // RPC barrier on the first query
+    if (expectChunks == numChunks) coverageOk.set(true)
+  }
+
+  private def doVerifyCoverage(expectChunks: Int): Unit = {
     val numChunks = expectChunks
     val localSet = local.servedChunks.getOrElse(
       sys.error("ProcFleet coordinator must serve a chunk SUBSET " +

@@ -65,8 +65,13 @@ final class ReloadingNode(
     loader: () => InMemoryIndex,
     pollMs: Long = 2000) extends SearchNode {
 
-  @volatile private var cur: InMemoryIndex = loader()
+  // fingerprint FIRST, then load: a mutation that commits while the initial
+  // load is in flight (loads take seconds-to-minutes on a real shard) then
+  // moves the fingerprint relative to this pre-load capture and the first
+  // poll reloads — capturing the version after the load would mask that
+  // mutation until the next one, serving deleted docs for a whole cycle
   @volatile private var version: String = IndexVersion.of(idxDir)
+  @volatile private var cur: InMemoryIndex = loader()
 
   /** Hook run after each successful swap (HTTP layer: metadata-cache drop). */
   @volatile var onSwap: () => Unit = () => ()

@@ -18,6 +18,9 @@ object ServeCli {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
+      // the resident load IS a driver collect of this node's index slice;
+      // a >1M-doc shard exceeds the default 1g result cap
+      .config("spark.driver.maxResultSize", "0")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (!graft.index.TableIO.exists(s"$idxDir/stats.json")) {

@@ -100,7 +100,7 @@ object FleetLadder {
     }
 
     // ---- peer shard JVM management (the Bench recipe) ----
-    def spawnPeer(chunks: Set[Int]): (Process, String, Double) = {
+    def spawnPeer(chunks: Set[Int], peerCpus: Int): (Process, String, Double) = {
       val jvm = System.getProperty("java.home") + "/bin/java"
       val addOpens = Seq(
         "java.base/java.lang", "java.base/java.lang.invoke",
@@ -117,6 +117,9 @@ object FleetLadder {
         "graft.tools.ServeCli", idxDir, "0")
       val pb = new ProcessBuilder(cmd: _*)
       pb.environment().put("GRAFT_SERVE_CHUNKS", chunks.toSeq.sorted.mkString(","))
+      // fair share of the host per shard JVM (a real fleet gives each node
+      // its own machine; here N nodes split one)
+      pb.environment().put("GRAFT_SERVE_CPUS", peerCpus.toString)
       pb.environment().put("GRAFT_SERVE_RELOAD_MS", "0") // static ladder topology
       pb.environment().remove("GRAFT_FLEET_PEERS")
       pb.environment().remove("GRAFT_SERVE_ONESHOT")
@@ -161,18 +164,21 @@ object FleetLadder {
         (n, numChunks, loadSec, Seq.empty[Double], att, probe)
       } else {
         val assign = graft.query.ShardedServe.chunkAssignment(numChunks, n)
-        val peers = assign.tail.map(spawnPeer)
+        // head load measured ALONE (the per-node ∝1/N number) — spawning
+        // peers first put N-1 concurrent Spark boots under the measurement
+        // and inverted the curve in the first 2M run
+        val shared = InMemoryIndex.loadGlobalDf(spark, idx)
+        val t0 = System.nanoTime()
+        var head: InMemoryIndex = InMemoryIndex.load(spark, idx,
+          chunks = Some(assign.head), sharedGlobalDf = Some(shared))
+        val headLoadSec = (System.nanoTime() - t0) / 1e9
+        val peers = assign.tail.map(spawnPeer(_, math.max(2, cpus / n)))
         try {
-          val shared = InMemoryIndex.loadGlobalDf(spark, idx)
-          val t0 = System.nanoTime()
-          var head: InMemoryIndex = InMemoryIndex.load(spark, idx,
-            chunks = Some(assign.head), sharedGlobalDf = Some(shared))
-          val headLoadSec = (System.nanoTime() - t0) / 1e9
           val headPinned = head
           val fleet = new ProcFleet(() => headPinned, peers.map(_._2), numChunks)
           fleet.verifyCoverage() // fails loudly on a mis-assigned ladder
           qpsRun(fleet) // warmup (JITs the wire codec too)
-          val att = (1 to 3).map(_ => qpsRun(fleet))
+          val att = (1 to 4).map(_ => qpsRun(fleet))
           head = null
           System.err.println(f"[fleet-ladder] N=$n head_load=$headLoadSec%.1f s " +
             f"peer_ready=${peers.map(_._3).map(x => f"$x%.1f").mkString("/")} s " +

@@ -14,8 +14,11 @@ object ServeCli {
   def main(args: Array[String]): Unit = {
     val idxDir = args.headOption.getOrElse("/tmp/gidx")
     val port = if (args.length > 1) args(1).toInt else 0
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    // GRAFT_SERVE_CPUS: a shard node's Spark threads (load + point-reads) —
+    // a fleet launcher divides the host's cores across its shard JVMs
+    val serveCpus = sys.env.getOrElse("GRAFT_SERVE_CPUS", "4").toInt
+    val spark = SparkSession.builder().master(s"local[$serveCpus]")
+      .config("spark.sql.shuffle.partitions", serveCpus.toString)
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
       // the resident load IS a driver collect of this node's index slice;

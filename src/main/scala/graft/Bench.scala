@@ -278,60 +278,20 @@ object Bench {
     var peerProc: Process = null
     val (fleetProcAttempts, singleRecheckQps2) =
       try {
-        val jvm = System.getProperty("java.home") + "/bin/java"
-        val addOpens = Seq(
-          "java.base/java.lang", "java.base/java.lang.invoke",
-          "java.base/java.lang.reflect", "java.base/java.io",
-          "java.base/java.net", "java.base/java.nio",
-          "java.base/java.util", "java.base/java.util.concurrent",
-          "java.base/java.util.concurrent.atomic",
-          "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-          "java.base/sun.security.action", "java.base/sun.util.calendar"
-        ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-        val cmd = Seq(jvm) ++ addOpens ++ Seq(
-          "-Dfile.encoding=UTF-8", "-Dspark.ui.enabled=false", "-Xmx6g",
-          "-cp", System.getProperty("java.class.path"),
-          "graft.tools.ServeCli", idxDir, "0")
-        val pb = new ProcessBuilder(cmd: _*)
         // the peer serves EXACTLY the complement of the coordinator's head
         // shard (chunkAssignment node 1 of 2) — derived, not hardcoded, so a
         // change to the serving rebuild's chunk count can never silently
-        // under-cover the fleet and publish an inflated qps
-        val peerChunks = graft.query.ShardedServe
-          .chunkAssignment(IndexBuild.readProps(idxDir).numChunks, 2)(1)
-        pb.environment().put("GRAFT_SERVE_CHUNKS", peerChunks.toSeq.sorted.mkString(","))
-        pb.environment().remove("GRAFT_FLEET_PEERS")
-        pb.environment().remove("GRAFT_SERVE_ONESHOT")
-        pb.redirectErrorStream(true)
-        peerProc = pb.start()
-        val reader = new java.io.BufferedReader(
-          new java.io.InputStreamReader(peerProc.getInputStream))
-        val urlRe = "listening on (http://127\\.0\\.0\\.1:\\d+)".r
-        var peerUrl: String = null
-        // deadline-guarded poll, not a bare readLine(): a peer that wedges
-        // during Spark init while staying alive and silent would otherwise
-        // hang the whole bench instead of skipping this section
-        val deadline = System.nanoTime() + 180L * 1000000000L
-        while (peerUrl == null) {
-          if (System.nanoTime() > deadline)
-            sys.error("fleet peer JVM not ready within 180 s")
-          if (reader.ready()) {
-            val line = reader.readLine()
-            if (line == null) sys.error("fleet peer JVM died during startup")
-            urlRe.findFirstMatchIn(line).foreach(m => peerUrl = m.group(1))
-          } else if (!peerProc.isAlive)
-            sys.error("fleet peer JVM died during startup")
-          else Thread.sleep(100)
-        }
-        val drain = new Thread(() => {
-          try { while (reader.readLine() != null) () } catch { case _: Exception => () }
-        })
-        drain.setDaemon(true)
-        drain.start()
+        // under-cover the fleet and publish an inflated qps; ONE props read
+        // feeds both the peer's assignment and the coverage total
+        val fleetChunks = IndexBuild.readProps(idxDir).numChunks
+        val peerChunks = graft.query.ShardedServe.chunkAssignment(fleetChunks, 2)(1)
+        val (proc, peerUrl, _) =
+          graft.tools.PeerShard.spawn(idxDir, peerChunks, xmx = "6g", deadlineSec = 180)
+        peerProc = proc
         // coordinator = head shard in THIS process, peer = the complement
         val headNode = fleetNodes.head
         val procFleet = new graft.query.ProcFleet(() => headNode, Seq(peerUrl),
-          IndexBuild.readProps(idxDir).numChunks)
+          fleetChunks)
         procFleet.verifyCoverage()
         qpsRun(procFleet) // warmup (also JITs the wire codec)
         val att = (1 to 3).map(_ => qpsRun(procFleet))

@@ -84,6 +84,7 @@ final class SearchHttpServer(
   // in-flight metadata computation pass the version guard and cache
   // PRE-invalidation data for a full TTL
   private val cacheVersion = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val cacheLock = new Object
 
   private def supplier(): Map[String, Map[String, Seq[String]]] =
     metadataSupplier.map(_())
@@ -239,7 +240,13 @@ final class SearchHttpServer(
             k -> (JArray(vs.toList.map(JString(_))): JValue)
           }): JValue)
         })
-        if (cacheVersion.get() == versionAtStart) cache = Some((data, now))
+        // check + write under ONE lock shared with invalidate: a bare
+        // check-then-act would let an invalidation land between the version
+        // test and the assignment, re-caching pre-invalidation facets for a
+        // full TTL
+        cacheLock.synchronized {
+          if (cacheVersion.get() == versionAtStart) cache = Some((data, now))
+        }
         data
     }
   }
@@ -248,7 +255,7 @@ final class SearchHttpServer(
     * /api/cache/invalidate endpoint share this): the version bump makes an
     * in-flight computation lose the re-populate race.
     */
-  def invalidateMetadataCache(): Unit = {
+  def invalidateMetadataCache(): Unit = cacheLock.synchronized {
     cacheVersion.incrementAndGet()
     cache = None
   }

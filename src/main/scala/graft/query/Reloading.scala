@@ -88,6 +88,7 @@ final class ReloadingNode(
     * read the volatile).
     */
   def checkAndReload(): Boolean = synchronized {
+    if (stopped) return false // a quiesced node must never swap again
     val v = IndexVersion.of(idxDir)
     if (v == version) false
     else {
@@ -99,18 +100,23 @@ final class ReloadingNode(
     }
   }
 
+  // stop() cannot rely on InterruptedException alone: an interrupt landing
+  // while checkAndReload is inside a Spark collect gets CONSUMED and
+  // resurfaces as a generic SparkException, which the transient-IO catch
+  // would swallow — the poller would outlive stop() and could swap an index
+  // into a node the caller believes is quiesced
+  @volatile private var stopped = false
   private val poller = new Thread(() => {
-    var running = true
-    while (running) {
+    while (!stopped) {
       try {
         Thread.sleep(pollMs)
         checkAndReload()
       } catch {
-        case _: InterruptedException => running = false
+        case _: InterruptedException => // stop() — loop condition exits
         case e: Exception =>
           // mid-mutation torn read or transient IO: stay on the old
           // snapshot, retry next tick
-          System.err.println(
+          if (!stopped) System.err.println(
             s"[reload] WARN reload failed, serving the previous snapshot: ${e.getMessage}")
       }
     }
@@ -118,7 +124,17 @@ final class ReloadingNode(
   poller.setDaemon(true)
 
   def start(): Unit = poller.start()
-  def stop(): Unit = poller.interrupt()
+
+  /** Quiesce: after this returns, no swap will ever land. Blocks on the node
+    * lock so a reload already past the guard (inside loader()) drains first —
+    * the interrupt alone can be consumed by a Spark collect and the flag
+    * alone doesn't bound a pass that already started.
+    */
+  def stop(): Unit = {
+    stopped = true
+    poller.interrupt()
+    synchronized {}
+  }
 
   // SearchNode delegation — each call binds to ONE snapshot for its duration
   def search(q: QuerySpec): SearchResult = cur.search(q)

@@ -99,67 +99,21 @@ object FleetLadder {
       qpsQueries / ((System.nanoTime() - t0) / 1e9)
     }
 
-    // ---- peer shard JVM management (the Bench recipe) ----
-    def spawnPeer(chunks: Set[Int], peerCpus: Int): (Process, String, Double) = {
-      val jvm = System.getProperty("java.home") + "/bin/java"
-      val addOpens = Seq(
-        "java.base/java.lang", "java.base/java.lang.invoke",
-        "java.base/java.lang.reflect", "java.base/java.io",
-        "java.base/java.net", "java.base/java.nio",
-        "java.base/java.util", "java.base/java.util.concurrent",
-        "java.base/java.util.concurrent.atomic",
-        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-        "java.base/sun.security.action", "java.base/sun.util.calendar"
-      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-      val cmd = Seq(jvm) ++ addOpens ++ Seq(
-        "-Dfile.encoding=UTF-8", "-Dspark.ui.enabled=false", "-Xmx10g",
-        "-cp", System.getProperty("java.class.path"),
-        "graft.tools.ServeCli", idxDir, "0")
-      val pb = new ProcessBuilder(cmd: _*)
-      pb.environment().put("GRAFT_SERVE_CHUNKS", chunks.toSeq.sorted.mkString(","))
-      // fair share of the host per shard JVM (a real fleet gives each node
-      // its own machine; here N nodes split one)
-      pb.environment().put("GRAFT_SERVE_CPUS", peerCpus.toString)
-      pb.environment().put("GRAFT_SERVE_RELOAD_MS", "0") // static ladder topology
-      pb.environment().remove("GRAFT_FLEET_PEERS")
-      pb.environment().remove("GRAFT_SERVE_ONESHOT")
-      pb.redirectErrorStream(true)
-      val tSpawn = System.nanoTime()
-      val proc = pb.start()
-      val reader = new java.io.BufferedReader(
-        new java.io.InputStreamReader(proc.getInputStream))
-      val urlRe = "listening on (http://127\\.0\\.0\\.1:\\d+)".r
-      var url: String = null
-      val deadline = System.nanoTime() + 600L * 1000000000L
-      while (url == null) {
-        if (System.nanoTime() > deadline) sys.error("peer not ready within 600 s")
-        if (reader.ready()) {
-          val line = reader.readLine()
-          if (line == null) sys.error("peer JVM died during startup")
-          urlRe.findFirstMatchIn(line).foreach(m => url = m.group(1))
-        } else if (!proc.isAlive) sys.error("peer JVM died during startup")
-        else Thread.sleep(100)
-      }
-      val readySec = (System.nanoTime() - tSpawn) / 1e9
-      val drain = new Thread(() => {
-        try { while (reader.readLine() != null) () } catch { case _: Exception => () }
-      })
-      drain.setDaemon(true)
-      drain.start()
-      (proc, url, readySec)
-    }
-
     // ---- the ladder ----
-    val steps = shardCounts.map { n =>
+    val qpsAttempts = 4
+    // one step per function call: the step's resident index (several GB at
+    // 2M docs) becomes unreachable when the call returns, so the gc between
+    // steps actually reclaims it — without this, dead index state survives
+    // into the next step's TIMED load (the ∝1/N number this tool measures)
+    // and the ladder JVM's RSS stays maximal while N-1 peer JVMs boot
+    def runStep(n: Int): (Int, Int, Double, Seq[Double], Seq[Double], Double) = {
       val probe = CpuProbe.efficiency(cpus)
       if (n == 1) {
         val t0 = System.nanoTime()
-        var mem: InMemoryIndex = InMemoryIndex.load(spark, idx)
+        val mem = InMemoryIndex.load(spark, idx)
         val loadSec = (System.nanoTime() - t0) / 1e9
         qpsRun(mem) // warmup
-        val att = (1 to 3).map(_ => qpsRun(mem))
-        mem = null
-        System.gc()
+        val att = (1 to qpsAttempts).map(_ => qpsRun(mem))
         System.err.println(f"[fleet-ladder] N=1 load=$loadSec%.1f s qps=${att.max}%.1f probe=$probe%.2f")
         (n, numChunks, loadSec, Seq.empty[Double], att, probe)
       } else {
@@ -169,26 +123,37 @@ object FleetLadder {
         // and inverted the curve in the first 2M run
         val shared = InMemoryIndex.loadGlobalDf(spark, idx)
         val t0 = System.nanoTime()
-        var head: InMemoryIndex = InMemoryIndex.load(spark, idx,
+        val head = InMemoryIndex.load(spark, idx,
           chunks = Some(assign.head), sharedGlobalDf = Some(shared))
         val headLoadSec = (System.nanoTime() - t0) / 1e9
-        val peers = assign.tail.map(spawnPeer(_, math.max(2, cpus / n)))
+        // peers accumulate as they boot so a failed LATER spawn still
+        // destroys the earlier ones (each is a -Xmx10g JVM that would
+        // otherwise outlive the ladder and poison every later window);
+        // fair CPU share per shard JVM — a real fleet gives each node its
+        // own machine, here N nodes split one host
+        val peers = scala.collection.mutable.ArrayBuffer.empty[(Process, String, Double)]
         try {
-          val headPinned = head
-          val fleet = new ProcFleet(() => headPinned, peers.map(_._2), numChunks)
+          assign.tail.foreach { c =>
+            peers += PeerShard.spawn(idxDir, c, xmx = "10g", deadlineSec = 600,
+              cpus = Some(math.max(2, cpus / n)))
+          }
+          val fleet = new ProcFleet(() => head, peers.map(_._2).toSeq, numChunks)
           fleet.verifyCoverage() // fails loudly on a mis-assigned ladder
           qpsRun(fleet) // warmup (JITs the wire codec too)
-          val att = (1 to 4).map(_ => qpsRun(fleet))
-          head = null
+          val att = (1 to qpsAttempts).map(_ => qpsRun(fleet))
           System.err.println(f"[fleet-ladder] N=$n head_load=$headLoadSec%.1f s " +
             f"peer_ready=${peers.map(_._3).map(x => f"$x%.1f").mkString("/")} s " +
             f"qps=${att.max}%.1f probe=$probe%.2f")
-          (n, numChunks, headLoadSec, peers.map(_._3), att, probe)
+          (n, numChunks, headLoadSec, peers.map(_._3).toSeq, att, probe)
         } finally {
           peers.foreach { case (p, _, _) => p.destroy(); p.waitFor() }
-          System.gc()
         }
       }
+    }
+    val steps = shardCounts.map { n =>
+      val r = runStep(n)
+      System.gc() // the returned step's index is unreachable now
+      r
     }
 
     val stepJson = steps.map { case (n, chunks, loadSec, peerReady, att, probe) =>

@@ -91,18 +91,24 @@ object ScalingBench {
     // INTERLEAVED attempts (lo, hi, lo, hi, ...): this host's capacity drifts
     // on a minutes scale, so running all-lo then all-hi lets the two levels
     // sample different machines — the ratio then measures the host, not the
-    // engine. Interleaving puts each lo attempt next to a hi attempt in time;
-    // fastest-of-N per level is kept as before.
-    var bestLo = (Double.MaxValue, 0.0, 0.0, 0.0, 0.0)
-    var bestHi = (Double.MaxValue, 0.0, 0.0, 0.0, 0.0)
+    // engine. Interleaving puts each lo attempt next to a hi attempt in time.
+    val attLo = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double, Double, Double)]
+    val attHi = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double, Double, Double)]
     for (a <- 1 to attempts) {
-      val rLo = runOnce(lo, a)
-      if (rLo._1 < bestLo._1) bestLo = rLo
-      val rHi = runOnce(hi, a)
-      if (rHi._1 < bestHi._1) bestHi = rHi
+      attLo += runOnce(lo, a)
+      attHi += runOnce(hi, a)
     }
+    val bestLo = attLo.minBy(_._1)
+    val bestHi = attHi.minBy(_._1)
     val (tLo, thrLo, latLo, stLo, prLo) = bestLo
     val (tHi, thrHi, latHi, stHi, prHi) = bestHi
+    // best-of-N efficiency can pair measurements from windows ~an hour apart
+    // (lo's best in a late turbo window vs hi's best in an earlier one), so
+    // ALSO publish the per-PAIR efficiencies — each interleaved (lo, hi)
+    // adjacent pair samples the same minutes of host capacity, which is what
+    // "the same cluster at two sizes" actually means — and their median.
+    val effPairs = attLo.zip(attHi).map { case (l, h) => (l._1 * lo) / (h._1 * hi) }
+    val effPairedMedian = effPairs.sorted.apply((effPairs.size - 1) / 2)
     val eff = (tLo * lo) / (tHi * hi)
     // efficiency against the cores the machine actually DELIVERED at each
     // level (probe-measured): on a real cluster probe≈1.0 at both levels and
@@ -111,9 +117,15 @@ object ScalingBench {
     Seq(s"/dev/shm/graft_scale_$lo", s"/dev/shm/graft_scale_$hi",
       s"/dev/shm/graft_scale_corpus_$docs",
       "/dev/shm/graft_scale_warm").foreach(rm) // tmpfs hygiene
+    def attJson(xs: Seq[(Double, Double, Double, Double, Double)]): String =
+      xs.map(x => f"""{"wall_sec":${x._1}%.1f,"steal_pct":${x._4}%.1f,"probe":${x._5}%.3f}""")
+        .mkString("[", ",", "]")
     println(f"""{"metric":"scaling","docs":$docs,"chunks":$chunks,""" +
       f""""n_cores":$lo,"t_n_sec":$tLo%.2f,"docs_per_sec_n":$thrLo%.1f,"query_p50_n_sec":$latLo%.3f,"steal_pct_n":$stLo%.1f,"cpu_probe_n":$prLo%.3f,""" +
       f""""n4_cores":$hi,"t_4n_sec":$tHi%.2f,"docs_per_sec_4n":$thrHi%.1f,"query_p50_4n_sec":$latHi%.3f,"steal_pct_4n":$stHi%.1f,"cpu_probe_4n":$prHi%.3f,""" +
+      f""""attempts_n":${attJson(attLo.toSeq)},"attempts_4n":${attJson(attHi.toSeq)},""" +
+      f""""efficiency_pairs":[${effPairs.map(x => f"$x%.3f").mkString(",")}],""" +
+      f""""efficiency_paired_median":$effPairedMedian%.3f,""" +
       f""""efficiency":$eff%.3f,"efficiency_hw_normalized":$effHw%.3f}""")
   }
 }

@@ -40,6 +40,9 @@ object ServeCli {
       graft.index.IndexBuild.build(spark, graft.corpus.Webtext.synthesize(spark, n).toDF(), idxDir)
     }
     val idx = graft.query.IndexHandle.load(idxDir)
+    // read once: the fleet coverage check and similar-docs sharding must see
+    // the SAME chunk count
+    val numChunks = graft.index.IndexBuild.readProps(idxDir).numChunks
     // GRAFT_SERVE_SHARDS=N boots an in-process doc-sharded fleet (one node
     // per chunk subset, scatter-gather behind the same API) instead of one
     // full resident node
@@ -88,7 +91,7 @@ object ServeCli {
           // retry first) with an explicit coverage_degraded response flag
           // instead of failing the query
           val pf = new graft.query.ProcFleet(() => rn.current, fleetPeers,
-            graft.index.IndexBuild.readProps(idxDir).numChunks,
+            numChunks,
             allowDegraded = sys.env.get("GRAFT_FLEET_ALLOW_DEGRADED").contains("1"))
           // fail at BOOT if the shards overlap or leave chunks unserved —
           // a mis-assigned fleet would otherwise 200 with missing slices
@@ -101,7 +104,6 @@ object ServeCli {
       }
       else if (shards <= 1) reloadingNode(None)
       else {
-        val numChunks = graft.index.IndexBuild.readProps(idxDir).numChunks
         println(s"[serve] doc-sharded fleet: $shards nodes over $numChunks chunks")
         // load the corpus-wide term dictionary ONCE and share it across the
         // in-process nodes (it's the largest map in the system; N copies in
@@ -124,7 +126,7 @@ object ServeCli {
     // over /api/internal/similar and merges (identical to a full node)
     val similarLocal = sys.env.get("GRAFT_SERVE_EMB").map(p =>
       new graft.api.SimilarDocs(spark, spark.read.parquet(p),
-        numChunks = graft.index.IndexBuild.readProps(idxDir).numChunks,
+        numChunks = numChunks,
         chunks = chunkSubset))
     val similar: Option[graft.api.SimilarEngine] =
       if (fleetPeers.nonEmpty)

@@ -67,7 +67,11 @@ final class SearchHttpServer(
       * slice — clients must go through the coordinator; only the
       * internal scatter surface (/api/internal/...) serves.
       */
-    internalOnly: Boolean = false) {
+    internalOnly: Boolean = false,
+    /** the offline evaluation surface ([[EvalApi]], reference eval/api.py);
+      * absent → the /eval endpoints 404 like a deployment without the router
+      */
+    evalApi: Option[EvalApi] = None) {
 
   private implicit val formats: Formats = DefaultFormats
 
@@ -583,6 +587,84 @@ final class SearchHttpServer(
     internalPost("/api/internal/similar") { body =>
       val (vec, size, exclude) = graft.query.Wire.decodeSimilarReq(body)
       graft.query.Wire.encodeSimilarHits(sd.searchVec(vec, size, exclude))
+    }
+  }
+
+  // ---- /eval/* — the offline evaluation surface (eval/api.py router) ----
+  // Same shard-node discipline as the public endpoints: a chunk-subset node
+  // 503s these (evaluation belongs on a full node or the coordinator).
+  evalApi.foreach { ev =>
+    def requirePost(ex: HttpExchange): Boolean =
+      if (ex.getRequestMethod == "POST") true
+      else { respond(ex, 405, JObject("detail" -> JString("POST only"))); false }
+    def readBody(ex: HttpExchange): JValue =
+      parse(new String(ex.getRequestBody.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+    def answer(ex: HttpExchange, r: Either[(Int, String), JValue]): Unit = r match {
+      case Left((code, detail)) => respond(ex, code, JObject("detail" -> JString(detail)))
+      case Right(json) => respond(ex, 200, json)
+    }
+    endpoint("/eval/paths") { ex =>
+      if (publicAllowed(ex) && requireGet(ex) && exactPath(ex, "/eval/paths"))
+        respond(ex, 200, ev.paths)
+    }
+    endpoint("/eval/scan-config") { ex =>
+      if (publicAllowed(ex) && requireGet(ex) && exactPath(ex, "/eval/scan-config")) {
+        queryParams(ex).get("relative_path") match {
+          case Some(rp) => answer(ex, ev.scanConfig(rp))
+          case None => respond(ex, 400,
+            JObject("detail" -> JString("Validation error: relative_path is required")))
+        }
+      }
+    }
+    endpoint("/eval/extract") { ex =>
+      if (publicAllowed(ex) && requirePost(ex) && exactPath(ex, "/eval/extract"))
+        respond(ex, 200, ev.extract(readBody(ex)))
+    }
+    endpoint("/eval/batch") { ex =>
+      if (publicAllowed(ex) && requirePost(ex) && exactPath(ex, "/eval/batch"))
+        respond(ex, 200, ev.startBatch(readBody(ex)))
+    }
+    // JDK HttpServer picks the LONGEST matching context, so these nest
+    // safely under /eval/batch
+    endpoint("/eval/batch/status") { ex =>
+      if (publicAllowed(ex) && requireGet(ex))
+        pathParam(ex, "/eval/batch/status").foreach(id => answer(ex, ev.batchStatus(id)))
+    }
+    endpoint("/eval/batch/cancel") { ex =>
+      if (publicAllowed(ex) && requirePost(ex))
+        pathParam(ex, "/eval/batch/cancel").foreach(id => answer(ex, ev.cancelBatch(id)))
+    }
+    endpoint("/eval/batch/download") { ex =>
+      if (publicAllowed(ex) && requireGet(ex))
+        pathParam(ex, "/eval/batch/download").foreach { id =>
+          ev.downloadBatch(id) match {
+            case Left((code, detail)) =>
+              respond(ex, code, JObject("detail" -> JString(detail)))
+            case Right((filename, bytes)) => // FileResponse (api.py:458-462)
+              ex.getResponseHeaders.set("Content-Type", "application/zip")
+              ex.getResponseHeaders.set("Content-Disposition",
+                s"""attachment; filename="$filename"""")
+              ex.sendResponseBody(200, bytes)
+          }
+        }
+    }
+    endpoint("/eval/scripture") { ex =>
+      if (publicAllowed(ex) && requirePost(ex) && exactPath(ex, "/eval/scripture")) {
+        (readBody(ex) \ "relative_path") match {
+          case JString(rp) => answer(ex, ev.scripture(rp))
+          case _ => respond(ex, 400,
+            JObject("detail" -> JString("Validation error: relative_path is required")))
+        }
+      }
+    }
+    endpoint("/eval/cost") { ex =>
+      if (publicAllowed(ex) && requirePost(ex) && exactPath(ex, "/eval/cost"))
+        respond(ex, 200, ev.cost(readBody(ex)))
+    }
+    endpoint("/eval/bookmarks/extract") { ex =>
+      if (publicAllowed(ex) && requirePost(ex) && exactPath(ex, "/eval/bookmarks/extract"))
+        answer(ex, ev.extractBookmarks(readBody(ex)))
     }
   }
 

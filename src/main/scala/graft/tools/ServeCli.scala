@@ -138,7 +138,14 @@ object ServeCli {
     val logDir = sys.env.get("GRAFT_SERVE_LOG_DIR")
     val metricsSink = logDir.map(d => new graft.api.RollingFileSink(s"$d/metrics.log"))
     val feedbackSink = logDir.map(d => new graft.api.RollingFileSink(s"$d/feedback.log"))
+    // GRAFT_EVAL_BASE mounts the offline evaluation surface (/eval/*,
+    // reference eval/api.py) rooted at that directory (scan-configs,
+    // markdown scriptures); unset → the router isn't mounted, /eval 404s
+    val evalApi = sys.env.get("GRAFT_EVAL_BASE").map(base =>
+      new graft.api.EvalApi(spark, basePdfPath = base,
+        baseTextPath = s"$base/text", baseOcrPath = s"$base/ocr"))
     val server = new graft.api.SearchHttpServer(mem, port = port,
+      evalApi = evalApi,
       granthStore = Some(granths), similarDocs = similar,
       internalNode = internalNode,
       internalSimilar = similarLocal,
@@ -188,6 +195,16 @@ object ServeCli {
         val sim = get("/api/similar-documents/5")
         println(s"[serve] self-test /api/similar-documents/5 -> ${sim.statusCode()}: " +
           sim.body().take(300))
+      }
+      evalApi.foreach { _ =>
+        val ep = get("/eval/paths")
+        println(s"[serve] self-test /eval/paths -> ${ep.statusCode()}: ${ep.body().take(200)}")
+        val ext = client.send(java.net.http.HttpRequest.newBuilder()
+          .uri(java.net.URI.create(s"http://127.0.0.1:${server.boundPort}/eval/extract"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+            """{"page_text": "पहली पंक्ति है।\nदूसरी पंक्ति पूरी होती है।", "language": "hin", "mode": "advanced"}"""))
+          .build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+        println(s"[serve] self-test /eval/extract -> ${ext.statusCode()}: ${ext.body().take(300)}")
       }
       logDir.foreach { d =>
         metricsSink.foreach(_.close()); feedbackSink.foreach(_.close())

@@ -80,12 +80,27 @@ final class EvalApi(
         None
     }
 
+  /** Resolve a client-supplied relative path under `base`, refusing
+    * escapes: `..` segments (or symlinks) that leave the configured root
+    * resolve to None — the eval surface must never read outside its roots,
+    * even behind a proxy.
+    */
+  private def resolveUnder(base: java.io.File, relativePath: String): Option[java.io.File] = {
+    val f = new java.io.File(base, relativePath)
+    val baseCanon = base.getCanonicalPath + java.io.File.separator
+    if ((f.getCanonicalPath + java.io.File.separator).startsWith(baseCanon)) Some(f)
+    else None
+  }
+
   /** Base-first directory chain from `base` down to the file's own dir. */
   private def folderChain(file: java.io.File, base: java.io.File): Seq[java.io.File] = {
     val chain = scala.collection.mutable.ArrayBuffer[java.io.File]()
     var cur = file.getParentFile
     val baseCanon = base.getCanonicalPath
-    while (cur != null && cur.getCanonicalPath.startsWith(baseCanon)) {
+    // separator-suffixed prefix so a sibling like <base>2 never matches
+    val baseCanonSlash = baseCanon + java.io.File.separator
+    while (cur != null && (cur.getCanonicalPath == baseCanon ||
+        cur.getCanonicalPath.startsWith(baseCanonSlash))) {
       chain.prepend(cur)
       if (cur.getCanonicalPath == baseCanon) cur = null else cur = cur.getParentFile
     }
@@ -100,9 +115,10 @@ final class EvalApi(
     */
   def scanConfig(relativePath: String): Either[(Int, String), JValue] = {
     val base = new java.io.File(basePdfPath)
-    val file = new java.io.File(base, relativePath)
-    if (!file.exists())
-      return Left((404, s"File not found: $relativePath"))
+    val file = resolveUnder(base, relativePath) match {
+      case Some(f) if f.exists() => f
+      case _ => return Left((404, s"File not found: $relativePath"))
+    }
     val listKeys = Seq("header_prefix", "header_regex", "page_list",
       "typo_list", "question_prefix", "answer_prefix")
     val lists = scala.collection.mutable.LinkedHashMap[String, List[JValue]](
@@ -155,7 +171,7 @@ final class EvalApi(
     * every key overrides.
     */
   def mergedConfig(relativePath: String, base: java.io.File): Map[String, JValue] = {
-    val file = new java.io.File(base, relativePath)
+    val file = resolveUnder(base, relativePath).getOrElse(return Map.empty)
     val out = scala.collection.mutable.LinkedHashMap[String, JValue]()
     folderChain(file, base).foreach { dir =>
       parseJsonFile(new java.io.File(dir, "config.json"))
@@ -228,26 +244,49 @@ final class EvalApi(
       "language" -> JString(language))
   }
 
-  private def extractParagraphs(lines: Seq[LineIn], lang: String, mode: String): Seq[String] = {
+  private def extractParagraphs(lines: Seq[LineIn], lang: String, mode: String): Seq[String] =
+    extractParagraphsBatch(Seq(lines), lang, mode).head
+
+  /** Run the extraction pipeline over MANY pages as ONE local Spark job —
+    * each page becomes a distinct docId, so classification + FSM + combine
+    * parallelize across pages inside the job (the reference's per-page
+    * thread pool, ocr.py:276-310, expressed as task parallelism). Returns
+    * per-page paragraph lists in input order.
+    */
+  private def extractParagraphsBatch(pages: Seq[Seq[LineIn]], lang: String,
+      mode: String): Seq[Seq[String]] = {
     import spark.implicits._
-    if (lines.isEmpty) Nil
-    else if (mode == "advanced") {
-      val ocr = lines.zipWithIndex.map { case (l, i) =>
-        AdvancedParagraphs.OcrLine(0L, 1, i, l.text, l.xStart, l.xEnd)
+    val nonEmpty = pages.zipWithIndex.filter(_._1.nonEmpty)
+    val byPage: Map[Long, Seq[String]] =
+      if (nonEmpty.isEmpty) Map.empty
+      else if (mode == "advanced") {
+        val ocr = nonEmpty.flatMap { case (lines, p) =>
+          lines.zipWithIndex.map { case (l, i) =>
+            AdvancedParagraphs.OcrLine(p.toLong, 1, i, l.text, l.xStart, l.xEnd)
+          }
+        }
+        val confs = nonEmpty.flatMap { case (lines, p) =>
+          lines.zipWithIndex.map { case (l, i) => (p.toLong, i, l.conf) }
+        }
+        val filtered = AdvancedParagraphs.confidenceFilter(
+          confs.toDF("docId", "lineNum", "conf")
+            .join(ocr.toDS().toDF(), Seq("docId", "lineNum")))
+          .select("docId", "page", "lineNum", "text", "xStart", "xEnd")
+          .as[AdvancedParagraphs.OcrLine]
+        AdvancedParagraphs.generate(spark, filtered, cfgFor(lang))
+          .collect().groupBy(_.docId)
+          .view.mapValues(_.sortBy(_.paraId).map(_.text).toSeq).toMap
+      } else {
+        val ls = nonEmpty.flatMap { case (lines, p) =>
+          lines.filter(l => l.text != null && l.conf > 10)
+            .zipWithIndex.map { case (l, i) => Paragraphs.Line(p.toLong, i, l.text) }
+        }
+        if (ls.isEmpty) Map.empty
+        else Paragraphs.combineLines(spark, ls.toDS())
+          .collect().groupBy(_.docId)
+          .view.mapValues(_.sortBy(_.paraNum).map(_.text).toSeq).toMap
       }
-      val filtered = AdvancedParagraphs.confidenceFilter(
-        lines.zipWithIndex.map { case (l, i) => (i, l.conf) }.toDF("lineNum", "conf")
-          .join(ocr.toDS().toDF(), "lineNum"))
-        .select("docId", "page", "lineNum", "text", "xStart", "xEnd")
-        .as[AdvancedParagraphs.OcrLine]
-      AdvancedParagraphs.generate(spark, filtered, cfgFor(lang))
-        .collect().sortBy(_.paraId).map(_.text).toSeq
-    } else {
-      val ls = lines.filter(l => l.text != null && l.conf > 10)
-        .zipWithIndex.map { case (l, i) => Paragraphs.Line(0L, i, l.text) }
-      Paragraphs.combineLines(spark, ls.toDS())
-        .collect().sortBy(_.paraNum).map(_.text).toSeq
-    }
+    pages.indices.map(i => byPage.getOrElse(i.toLong, Nil))
   }
 
   // ------------------------------------------------------------------
@@ -318,16 +357,15 @@ final class EvalApi(
         job.totalPages = pages.size
         job.status = "processing" // ocr.py:244-247
       }
-      // pages are processed in bounded groups — each group is ONE local Spark
-      // job over its lines (Spark-first: classification + FSM parallelize
-      // across pages inside the group) — with a cancellation check and a
-      // progress bump between groups (the reference's per-page thread pool,
-      // ocr.py:276-310, at job granularity a DataFrame engine can batch)
+      // pages are processed in bounded groups — each group IS one local Spark
+      // job over all its pages' lines (pages keyed by docId parallelize
+      // inside the job) — with a cancellation check and a progress bump
+      // between groups
       val groupSize = math.max(1, math.min(16, pages.size / 8))
       pages.zipWithIndex.grouped(groupSize).foreach { group =>
         if (cancelled(job)) { setStatus(job, "canceled"); return }
-        group.foreach { case (lines, idx) =>
-          val paras = extractParagraphs(lines, lang, mode)
+        val texts = extractParagraphsBatch(group.map(_._1), lang, mode)
+        group.zip(texts).foreach { case ((_, idx), paras) =>
           val pageText = paras.mkString("\n\n----\n\n") // ocr.py:273
           java.nio.file.Files.write(
             new java.io.File(outDir, f"page_${idx + 1}%04d.txt").toPath, // ocr.py:300
@@ -402,8 +440,12 @@ final class EvalApi(
         j.zipFilename.flatMap(zn => j.outputDir.map(d => (zn, new java.io.File(d, zn)))))
     }
     path match {
-      case Some((zn, f)) if f.isFile =>
-        Right((zn, java.nio.file.Files.readAllBytes(f.toPath)))
+      case Some((zn, f)) =>
+        // the read races retention cleanup (which deletes outside the lock);
+        // a vanished file is the designed 404, not a server fault
+        try Right((zn, java.nio.file.Files.readAllBytes(f.toPath)))
+        catch { case _: java.io.IOException => Left((404,
+          "Download not available. Job may not be completed or file may have been cleaned up.")) }
       case _ => Left((404,
         "Download not available. Job may not be completed or file may have been cleaned up."))
     }
@@ -442,9 +484,10 @@ final class EvalApi(
     */
   def scripture(relativePath: String): Either[(Int, String), JValue] = {
     val base = new java.io.File(granthBasePath.getOrElse(basePdfPath))
-    val file = new java.io.File(base, relativePath)
-    if (!file.isFile)
-      return Left((404, s"Markdown file not found: $relativePath"))
+    val file = resolveUnder(base, relativePath) match {
+      case Some(f) if f.isFile => f
+      case _ => return Left((404, s"Markdown file not found: $relativePath"))
+    }
     if (!file.getName.toLowerCase.endsWith(".md"))
       return Left((400, "File must be a markdown (.md) file"))
     val content = new String(java.nio.file.Files.readAllBytes(file.toPath),
@@ -456,10 +499,7 @@ final class EvalApi(
     val cfg = mergedConfig(relativePath, base)
     def str(k: String, default: String): String =
       cfg.get(k).collect { case JString(s) => s }.getOrElse(default)
-    val language = str("language", "hindi").toLowerCase match {
-      case "hindi" => "hi"; case "gujarati" => "gu"; case "english" => "en"
-      case other => other
-    }
+    val language = Langs.code(str("language", "hindi"))
     Right(JObject(
       "name" -> JString(str("name", "Unknown")), // markdown_parser.py:89
       "original_filename" -> JString(relativePath),
@@ -552,14 +592,24 @@ object EvalApi {
     */
   def parseTitle(title: String): (Option[String], Option[String]) = {
     val t = devToAscii(title)
-    val no = NoPats.view.flatMap(_.findFirstMatchIn(t)).headOption.map(_.group(1))
-    val date = DateWords.findFirstMatchIn(t).flatMap { m =>
+    val wordDate = DateWords.findFirstMatchIn(t).flatMap { m =>
       MonthNums.get(m.group(2).toLowerCase.take(3)).map(mo =>
-        f"${m.group(1).toInt}%02d-$mo%02d-${year4(m.group(3).toInt)}%04d")
-    }.orElse(DateNums.findFirstMatchIn(t).collect {
+        (m, f"${m.group(1).toInt}%02d-$mo%02d-${year4(m.group(3).toInt)}%04d"))
+    }
+    val numDate = DateNums.findFirstMatchIn(t).collect {
       case m if m.group(2).toInt >= 1 && m.group(2).toInt <= 12 =>
-        f"${m.group(1).toInt}%02d-${m.group(2).toInt}%02d-${year4(m.group(3).toInt)}%04d"
-    })
-    (no, date)
+        (m, f"${m.group(1).toInt}%02d-${m.group(2).toInt}%02d-${year4(m.group(3).toInt)}%04d")
+    }
+    val date = wordDate.orElse(numDate)
+    // the anchored bare-number pattern must not mistake a LEADING DATE's day
+    // for a pravachan number ("26.09.1978" → no number, date only); the
+    // explicit प्रवचन/pravachan-prefixed pattern is never date-shadowed
+    val dateSpan = date.map { case (m, _) => (m.start, m.end) }
+    def insideDate(m: scala.util.matching.Regex.Match): Boolean =
+      dateSpan.exists { case (s, e) => m.start(1) >= s && m.start(1) < e }
+    val no = NoPats.head.findFirstMatchIn(t)
+      .orElse(NoPats(1).findFirstMatchIn(t).filterNot(insideDate))
+      .map(_.group(1))
+    (no, date.map(_._2))
   }
 }

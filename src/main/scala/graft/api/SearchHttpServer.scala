@@ -96,12 +96,7 @@ final class SearchHttpServer(
 
   def boundPort: Int = server.getAddress.getPort
 
-  private def langCode(l: String): String = l.toLowerCase match {
-    case "hindi" => "hi"
-    case "gujarati" => "gu"
-    case "english" => "en"
-    case other => other
-  }
+  private def langCode(l: String): String = Langs.code(l)
 
   private def respond(ex: HttpExchange, code: Int, json: JValue): Unit = {
     val bytes = compact(render(json)).getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -435,7 +430,10 @@ final class SearchHttpServer(
     server.createContext(ctx, new HttpHandler {
       def handle(ex: HttpExchange): Unit = try body(ex)
       catch {
-        case e: IllegalArgumentException =>
+        // malformed payloads are the client's fault (FastAPI's 422 analog) —
+        // same classification as /api/search
+        case e @ (_: IllegalArgumentException | _: MappingException |
+                  _: com.fasterxml.jackson.core.JacksonException) =>
           respond(ex, 400, JObject("detail" -> JString(s"Validation error: ${e.getMessage}")))
         case e: Exception =>
           respond(ex, 500, JObject("detail" -> JString(s"Internal server error: ${e.getMessage}")))

@@ -29,16 +29,28 @@ object QueryAb {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // each binary builds its own index (formats may differ across commits);
-    // reuse requires BOTH the completion marker and this binary's dir
+    // each binary builds its own index (formats may differ across commits):
+    // reuse requires the completion marker AND a tag matching THIS binary —
+    // the default tag is the classpath location, which differs per worktree,
+    // so alternated binaries never silently share an index. Keep both
+    // indexes warm across alternations by pointing GRAFT_QAB_DIR (or
+    // GRAFT_QAB_TAG) at per-worktree values.
+    val tag = sys.env.getOrElse("GRAFT_QAB_TAG",
+      QueryAb.getClass.getProtectionDomain.getCodeSource.getLocation.toString)
     val done = new java.io.File(dir, "stats.json")
-    if (!done.exists()) {
+    val tagFile = new java.io.File(dir, "qab_tag")
+    val tagOk = tagFile.isFile && new String(
+      java.nio.file.Files.readAllBytes(tagFile.toPath),
+      java.nio.charset.StandardCharsets.UTF_8) == tag
+    if (!done.exists() || !tagOk) {
       val d = new java.io.File(dir)
       if (d.exists()) scala.reflect.io.Directory(d).deleteRecursively()
       import spark.implicits._
       graft.index.IndexBuild.build(spark,
         graft.corpus.Webtext.synthesize(spark, docs).toDF().drop("html"),
         dir, numChunks = 2)
+      java.nio.file.Files.write(tagFile.toPath,
+        tag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     val idx = IndexHandle.load(dir)
     val phrase = graft.corpus.Webtext.GoldenPhrase("hi").mkString(" ")

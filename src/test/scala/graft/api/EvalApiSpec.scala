@@ -103,6 +103,25 @@ class EvalApiSpec extends AnyFunSuite {
     assert((j \ "file_url") == JNothing) // base's stem entry was NOT consulted
   }
 
+  test("path traversal: relative paths escaping the base 404, never read outside") {
+    val parent = tempBase()
+    val base = new java.io.File(parent, "root")
+    writeFile(base, "scan_config.json", """{"default": {"psm": 6}}""")
+    // a real file OUTSIDE the base — traversal must not see it
+    writeFile(parent, "secret.pdf", "x")
+    writeFile(parent, "secret.md", "# T\n\n## Gatha 1\n\nx\n")
+    // and a SIBLING dir sharing the base's name prefix must not leak configs
+    writeFile(new java.io.File(parent, "root2"), "scan_config.json",
+      """{"default": {"psm": 99}}""")
+    writeFile(new java.io.File(parent, "root2"), "inroot2.pdf", "x")
+    val ev = mkApi(base)
+    assert(ev.scanConfig("../secret.pdf") == Left((404, "File not found: ../secret.pdf")))
+    assert(ev.scanConfig("sub/../../secret.pdf").isLeft)
+    assert(ev.scripture("../secret.md").isLeft)
+    assert(ev.mergedConfig("../secret.md", base) == Map.empty)
+    assert(ev.scanConfig("../root2/inroot2.pdf").isLeft) // sibling-prefix guard
+  }
+
   test("scan-config: missing file 404s; partial page range omitted; corrupt json skipped") {
     val (base, ev) = scanTree()
     assert(ev.scanConfig("sub/nope.pdf") == Left((404, "File not found: sub/nope.pdf")))
@@ -345,6 +364,11 @@ class EvalApiSpec extends AnyFunSuite {
     assert(parseTitle("plain chapter heading") == (None, None))
     // full month name + 2-digit day, no ordinal suffix
     assert(parseTitle("2 January 2001")._2.contains("02-01-2001"))
+    // a LEADING date's day is not a pravachan number (date-only titles)
+    assert(parseTitle("26.09.1978") == (None, Some("26-09-1978")))
+    assert(parseTitle("26-09-1978 व्याख्यान") == (None, Some("26-09-1978")))
+    // but an explicit pravachan prefix is never date-shadowed
+    assert(parseTitle("प्रवचन 26.09.1978") == (Some("26"), Some("26-09-1978")))
   }
 
   test("extractBookmarks echoes outline rows with parsed fields") {
@@ -414,6 +438,11 @@ class EvalApiSpec extends AnyFunSuite {
       // FastAPI-style validation error shape (endpoint catch → 400)
       val (vc, vb) = httpPost(port, "/eval/extract", """{"page_text": "x", "crop_top": 99}""")
       assert(vc == 400 && vb.contains("Validation error"))
+      // malformed JSON is the client's fault too (422 analog), not a 500
+      val (mc, mb) = httpPost(port, "/eval/extract", "{not json")
+      assert(mc == 400 && mb.contains("Validation error"))
+      // traversal over the wire (query param form)
+      assert(httpGet(port, "/eval/scan-config?relative_path=../../etc/passwd")._1 == 404)
       // batch over the wire: start → status → download with zip headers
       val (bc, bb) = httpPost(port, "/eval/batch",
         """{"pages": ["एक पंक्ति है।"], "mode": "psm6"}""")

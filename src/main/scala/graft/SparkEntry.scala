@@ -754,6 +754,22 @@ object SparkEntry {
           col("rank").cast("long").as("nn_rank"))
         .orderBy("query_id", "nn_rank")
     }),
+    "ann_hnsw_routed_topk" -> ((s, dir) => {
+      // Q9 IVF-routed HNSW (the partition router for hnswTopK's
+      // all-partitions fan-out): one graph per IVF CELL, queries walk only
+      // their nProbe nearest cells' graphs; unprobed cells never build a
+      // graph. Rows-only for the same reason as ann_hnsw_topk (the graph
+      // walk is ours) — but the ROUTING layer (centroids, assignment,
+      // probes) is byte-shared with the fully-oracled ann_ivf_topk, and
+      // HnswSpec gates agreement ≥ 0.95 vs ivfTopK's exact scoring at the
+      // same (nlist, nProbe), probed-cell containment, and determinism
+      val emb = embeddings(s, dir)
+      graft.ops.Hnsw.hnswRoutedTopK(emb, emb.where(col("vec_id") < 5), k = 10,
+        nlist = 16, nProbe = 4)
+        .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"),
+          col("rank").cast("long").as("nn_rank"))
+        .orderBy("query_id", "nn_rank")
+    }),
     "ann_lsh_topk" -> ((s, dir) => {
       // FULLY ORACLED random-hyperplane LSH (round-5): planes are md5-derived
       // ±1 sign projections, so DuckDB re-derives the planes, the buckets,

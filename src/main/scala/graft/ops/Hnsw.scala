@@ -243,4 +243,81 @@ object Hnsw {
     qB.destroy()
     cp
   }
+
+  /** IVF-routed HNSW — the partition router for [[hnswTopK]]'s one open
+    * scale question (every query probes every partition graph, fine at
+    * segment counts, wasteful at thousands of partitions). Structure is
+    * FAISS's IVF-HNSW / OpenSearch's ANN alternative: the corpus is
+    * partitioned into `nlist` data-adaptive CELLS around the same
+    * deterministic centroids the oracled [[Similarity.ivfTopK]] uses, one
+    * HNSW graph is built PER CELL, and a query walks only the graphs of its
+    * `nProbe` nearest cells.
+    *
+    * Scale shape: cell ASSIGNMENT is a pure map against the broadcast
+    * centroid table (no corpus×centroids window — the one exchange is the
+    * groupByKey on the computed cell id), bounded per-task state (one
+    * cell's graph), and — the router's point — graph construction and
+    * search happen ONLY in cells some query probes; unprobed cells are
+    * never materialized into graphs.
+    * At 1000 executors a query touches nProbe cells instead of every
+    * partition, and cost scales with nProbe, not cluster width. Cell-size
+    * skew follows the embedding distribution (same caveat as IVF); size
+    * nlist so corpus/nlist fits one task comfortably.
+    *
+    * Determinism: cell assignment is the rounded-cosine argmax with cid
+    * tie-break (oracled via ann_ivf_topk), insertion is vec_id-sorted,
+    * levels are hashed — identical run to run. Verification: HnswSpec gates
+    * agreement vs the ORACLED exact-scoring IVF at the same (nlist,
+    * nProbe), probed-cell containment, and determinism; the graph-walk
+    * candidate order itself is rows-only for the same reason as
+    * [[hnswTopK]].
+    */
+  def hnswRoutedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nProbe: Int = 4, m: Int = 16,
+      efConstruction: Int = 100, efSearch: Int = 100): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // centroids are nlist rows — collected once, sorted for determinism,
+    // and broadcast; corpus cell assignment is then a pure MAP (zero
+    // pre-shuffle), spec-gated identical to the window-based oracled
+    // assignment (Similarity.nearestCellsLocal)
+    val cents = Similarity.sampleCentroids(corpus, nlist)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val cB = spark.sparkContext.broadcast(cents)
+    // queries are few and broadcast (hnswTopK's existing contract); routing
+    // happens on the driver with the same arithmetic
+    val routed: Map[Long, Seq[(Long, Array[Float])]] =
+      queries.select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+        .flatMap { case (qid, qv) =>
+          Similarity.nearestCellsLocal(qv, cents, nProbe).map(c => (c, qid, qv))
+        }
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    val rB = spark.sparkContext.broadcast(routed)
+    val hits = corpus.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .groupByKey { case (_, v) => Similarity.nearestCellsLocal(v, cB.value, 1).head }
+      .flatMapGroups { (cell, it) =>
+      rB.value.get(cell) match {
+        case None => Iterator.empty // unprobed cell: no graph is even built
+        case Some(qs) =>
+          val items = it.toArray.sortBy(_._1)
+          val g = new Graph(items.head._2.length, m, efConstruction)
+          items.foreach { case (id, v) => g.insert(id, v) }
+          qs.iterator.flatMap { case (qid, qv) =>
+            g.search(qv, k + 1, efSearch) // +1: the query's own vector may win
+              .collect { case (id, s) if id != qid => (qid, id, s) }
+          }
+      }
+    }.toDF("query_id", "vec_id", "sim")
+    // cells PARTITION the corpus (n=1 placement), so a vector reaches a
+    // query through at most one cell — merge needs no dedupe
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
+    val out = hits.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select("query_id", "vec_id", "sim", "rank")
+    val cp = out.localCheckpoint(true) // same broadcast-release rationale as hnswTopK
+    rB.destroy()
+    cB.destroy()
+    cp
+  }
 }

@@ -217,20 +217,49 @@ object Similarity {
     * queries×centroids probes) + one cell equi-join — no shuffle of the
     * corpus beyond the cell join.
     */
+  /** The deterministic IVF centroid table: embeddings of a fixed corpus
+    * sample (`vec_id < nlist`) — shared by [[ivfTopK]] and the routed HNSW
+    * ([[graft.ops.Hnsw.hnswRoutedTopK]]) so both structures agree on cells.
+    */
+  private[graft] def sampleCentroids(corpus: DataFrame, nlist: Int): DataFrame =
+    corpus.where(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+
+  /** Nearest-centroid cell assignment (`n` = 1 for corpus placement,
+    * nProbe for query routing). 6-decimal rounding before the argmax so
+    * assignment is stable across engines' last-bit float differences
+    * (ties broken by cid).
+    */
+  private[graft] def nearestCells(df: DataFrame, cents: DataFrame,
+      idCol: String, n: Int): DataFrame = {
+    val scored = df.crossJoin(broadcast(cents))
+      .select(col(idCol), col("cid"),
+        round(cosineUdf(col("embedding"), col("cvec")), 6).as("csim"))
+    val w = Window.partitionBy(idCol).orderBy(col("csim").desc, col("cid").asc)
+    scored.withColumn("crank", row_number().over(w)).where(col("crank") <= n)
+      .select(col(idCol), col("cid").as("cell"))
+  }
+
+  /** Map-side analog of [[nearestCells]] against a collected centroid
+    * array: IDENTICAL arithmetic (left-to-right double cosine →
+    * HALF_UP 6-decimal round, exactly Spark's `round(DoubleType)` → argmax
+    * with cid tie-break), but zero shuffle — at corpus scale cell
+    * assignment is a pure map over broadcast centroids instead of a
+    * corpus×centroids window. Returns the n best cell ids, best first.
+    * Parity with the window version is spec-gated (HnswSpec).
+    */
+  private[graft] def nearestCellsLocal(v: Seq[Float],
+      cents: Array[(Long, Array[Float])], n: Int): Seq[Long] =
+    cents.map { case (cid, cvec) =>
+      (BigDecimal(cosine(v, cvec))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, cid)
+    }.sortBy { case (csim, cid) => (-csim, cid) }.take(n).map(_._2).toSeq
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents = corpus.where(col("vec_id") < nlist)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    def nearestCells(df: DataFrame, idCol: String, n: Int): DataFrame = {
-      // 6-decimal rounding before the argmax so assignment is stable across
-      // engines' last-bit float differences (ties broken by cid)
-      val scored = df.crossJoin(broadcast(cents))
-        .select(col(idCol), col("cid"),
-          round(cosineUdf(col("embedding"), col("cvec")), 6).as("csim"))
-      val w = Window.partitionBy(idCol).orderBy(col("csim").desc, col("cid").asc)
-      scored.withColumn("crank", row_number().over(w)).where(col("crank") <= n)
-        .select(col(idCol), col("cid").as("cell"))
-    }
+    val cents = sampleCentroids(corpus, nlist)
+    def nearestCells(df: DataFrame, idCol: String, n: Int): DataFrame =
+      Similarity.nearestCells(df, cents, idCol, n)
     val assigned = corpus.join(nearestCells(corpus, "vec_id", 1), "vec_id")
       .select("vec_id", "embedding", "cell")
     val qProbes = queries.withColumnRenamed("vec_id", "query_id")

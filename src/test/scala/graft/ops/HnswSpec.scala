@@ -35,6 +35,62 @@ class HnswSpec extends AnyFunSuite {
     assert(mean >= 0.95, f"mean recall $mean%.3f < 0.95")
   }
 
+  test("routed: agreement >= 0.95 vs the ORACLED exact-scoring IVF at the same cells") {
+    val queries = emb.where(col("vec_id") < 50)
+    val k = 10
+    // ivfTopK scores its probed cells EXACTLY and its routing layer is
+    // fully SQL-oracled (ann_ivf_topk) — so agreement isolates the one
+    // unoracled piece, the within-cell graph walk
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "vec_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ivf = sets(Similarity.ivfTopK(emb, queries, k, nlist = 16, nProbe = 4))
+    val routed = sets(Hnsw.hnswRoutedTopK(emb, queries, k, nlist = 16, nProbe = 4))
+    val agree = ivf.map { case (qid, truth) =>
+      routed.getOrElse(qid, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = agree.sum / agree.size
+    assert(agree.size == 50)
+    assert(mean >= 0.95, f"mean agreement $mean%.3f < 0.95")
+  }
+
+  test("routed: every neighbor lies in one of the query's probed cells") {
+    import spark.implicits._
+    val queries = emb.where(col("vec_id") < 20)
+    val cents = Similarity.sampleCentroids(emb, 16)
+    val corpusCell = Similarity.nearestCells(emb, cents, "vec_id", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the router's MAP-side assignment must equal the window-based (oracled)
+    // assignment on every corpus vector — same cosine, same HALF_UP round,
+    // same cid tie-break
+    val centArr = cents.as[(Long, Array[Float])].collect().sortBy(_._1)
+    emb.as[(Long, Array[Float])].collect().foreach { case (id, v) =>
+      assert(Similarity.nearestCellsLocal(v, centArr, 1).head == corpusCell(id),
+        s"map/window assignment diverged for vec $id")
+    }
+    val probed = Similarity.nearestCells(
+        queries.withColumnRenamed("vec_id", "query_id"), cents, "query_id", 4)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val rows = Hnsw.hnswRoutedTopK(emb, queries, 10, nlist = 16, nProbe = 4)
+      .select("query_id", "vec_id").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (qid, vid) = (r.getLong(0), r.getLong(1))
+      assert(probed(qid).contains(corpusCell(vid)),
+        s"qid=$qid got vid=$vid from unprobed cell ${corpusCell(vid)}")
+    }
+  }
+
+  test("routed deterministic: two runs return identical rows") {
+    val queries = emb.where(col("vec_id") < 20)
+    def run(): Seq[(Long, Long, Long)] =
+      Hnsw.hnswRoutedTopK(emb, queries, 10)
+        .select(col("query_id"), col("vec_id"), col("rank"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+        .toSeq.sorted
+    assert(run() == run())
+  }
+
   test("deterministic: two runs return identical rows") {
     val queries = emb.where(col("vec_id") < 20)
     def run(): Seq[(Long, Long, Long)] =

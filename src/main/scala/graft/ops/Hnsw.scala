@@ -200,6 +200,27 @@ object Hnsw {
     * per-task state, no corpus concentration; `partitions` tracks cluster
     * parallelism the way segment counts do).
     */
+  /** Build one graph over `items` (vec_id-sorted insertion — the
+    * determinism contract) and answer every query, excluding each query's
+    * own vector (hence k+1 candidates). Shared by the per-partition
+    * ([[hnswTopK]]) and per-cell ([[hnswRoutedTopK]]) paths so the two
+    * can never drift.
+    */
+  private def buildAndSearch(itemsRaw: Array[(Long, Array[Float])],
+      qs: Iterable[(Long, Array[Float])], k: Int, m: Int,
+      efConstruction: Int, efSearch: Int): Iterator[(Long, Long, Double)] = {
+    val items = itemsRaw.sortBy(_._1)
+    if (items.isEmpty) Iterator.empty
+    else {
+      val g = new Graph(items.head._2.length, m, efConstruction)
+      items.foreach { case (id, v) => g.insert(id, v) }
+      qs.iterator.flatMap { case (qid, qv) =>
+        g.search(qv, k + 1, efSearch) // +1: the query's own vector may win
+          .collect { case (id, s) if id != qid => (qid, id, s) }
+      }
+    }
+  }
+
   def hnswTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       m: Int = 16, efConstruction: Int = 100, efSearch: Int = 100,
       partitions: Int = 4): DataFrame = {
@@ -216,19 +237,7 @@ object Hnsw {
       // vec_id, keeping the determinism contract real
       .repartition(partitions, col("vec_id"))
       .as[(Long, Array[Float])]
-      .mapPartitions { it =>
-        val items = it.toArray.sortBy(_._1) // deterministic insertion order
-        if (items.isEmpty) Iterator.empty
-        else {
-          val dim = items.head._2.length
-          val g = new Graph(dim, m, efConstruction)
-          items.foreach { case (id, v) => g.insert(id, v) }
-          qB.value.iterator.flatMap { case (qid, qv) =>
-            g.search(qv, k + 1, efSearch) // +1: the query's own vector may win
-              .collect { case (id, s) if id != qid => (qid, id, s) }
-          }
-        }
-      }
+      .mapPartitions(it => buildAndSearch(it.toArray, qB.value, k, m, efConstruction, efSearch))
       .toDF("query_id", "vec_id", "sim")
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
     val out = perPart.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
@@ -257,8 +266,8 @@ object Hnsw {
     * centroid table (no corpus×centroids window — the one exchange is the
     * groupByKey on the computed cell id), bounded per-task state (one
     * cell's graph), and — the router's point — graph construction and
-    * search happen ONLY in cells some query probes; unprobed cells are
-    * never materialized into graphs.
+    * search happen ONLY in cells some query probes; unprobed cells'
+    * vectors are dropped BEFORE the exchange and never build a graph.
     * At 1000 executors a query touches nProbe cells instead of every
     * partition, and cost scales with nProbe, not cluster width. Cell-size
     * skew follows the embedding distribution (same caveat as IVF); size
@@ -283,6 +292,9 @@ object Hnsw {
     // assignment (Similarity.nearestCellsLocal)
     val cents = Similarity.sampleCentroids(corpus, nlist)
       .as[(Long, Array[Float])].collect().sortBy(_._1)
+    if (cents.isEmpty) // no centroids (over-filtered corpus) — empty result,
+      return spark.emptyDataset[(Long, Long, Double, Int)] // like ivfTopK
+        .toDF("query_id", "vec_id", "sim", "rank")
     val cB = spark.sparkContext.broadcast(cents)
     // queries are few and broadcast (hnswTopK's existing contract); routing
     // happens on the driver with the same arithmetic
@@ -296,20 +308,15 @@ object Hnsw {
     val rB = spark.sparkContext.broadcast(routed)
     val hits = corpus.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
-      .groupByKey { case (_, v) => Similarity.nearestCellsLocal(v, cB.value, 1).head }
+      .map { case (id, v) => (Similarity.nearestCellsLocal(v, cB.value, 1).head, id, v) }
+      // unprobed cells are dropped BEFORE the exchange — only the nProbe
+      // cells' vectors are ever shuffled; the cost really is ∝ probed data
+      .filter(t => rB.value.contains(t._1))
+      .groupByKey(_._1)
       .flatMapGroups { (cell, it) =>
-      rB.value.get(cell) match {
-        case None => Iterator.empty // unprobed cell: no graph is even built
-        case Some(qs) =>
-          val items = it.toArray.sortBy(_._1)
-          val g = new Graph(items.head._2.length, m, efConstruction)
-          items.foreach { case (id, v) => g.insert(id, v) }
-          qs.iterator.flatMap { case (qid, qv) =>
-            g.search(qv, k + 1, efSearch) // +1: the query's own vector may win
-              .collect { case (id, s) if id != qid => (qid, id, s) }
-          }
-      }
-    }.toDF("query_id", "vec_id", "sim")
+        buildAndSearch(it.map(t => (t._2, t._3)).toArray, rB.value(cell),
+          k, m, efConstruction, efSearch)
+      }.toDF("query_id", "vec_id", "sim")
     // cells PARTITION the corpus (n=1 placement), so a vector reaches a
     // query through at most one cell — merge needs no dedupe
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)

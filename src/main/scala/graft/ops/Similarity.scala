@@ -202,21 +202,6 @@ object Similarity {
     bucketedTopK(corpus, queries, k, v => axisCode(v, b), b, probeHamming)
   }
 
-  /** IVF-style ANN (inverted-file index, the structure behind FAISS IVF and
-    * OpenSearch's ANN alternatives to HNSW): the corpus is partitioned into
-    * `nlist` CELLS around centroid vectors; a query scores only the vectors
-    * of its `nProbe` nearest cells — an equi-join on cell id, the same scale
-    * shape as the LSH path but with data-adaptive partitions.
-    *
-    * Centroids here are the embeddings of a fixed deterministic corpus sample
-    * (`vec_id < nlist`) rather than k-means iterates — that makes every step
-    * (assignment = argmax cosine with (sim desc, cid asc) tie-break, probing,
-    * scoring) recomputable by an external SQL oracle, while keeping the exact
-    * production join shape; swapping in trained centroids changes only the
-    * centroid table. Two broadcast passes (corpus×centroids assignment,
-    * queries×centroids probes) + one cell equi-join — no shuffle of the
-    * corpus beyond the cell join.
-    */
   /** The deterministic IVF centroid table: embeddings of a fixed corpus
     * sample (`vec_id < nlist`) — shared by [[ivfTopK]] and the routed HNSW
     * ([[graft.ops.Hnsw.hnswRoutedTopK]]) so both structures agree on cells.
@@ -240,21 +225,64 @@ object Similarity {
       .select(col(idCol), col("cid").as("cell"))
   }
 
+  /** Spark `round(DoubleType, 6)` exactly: HALF_UP via the decimal string
+    * rep, with the same NaN/Infinity passthrough (Catalyst's RoundBase
+    * guards them; BigDecimal would throw).
+    */
+  private def round6(d: Double): Double =
+    if (d.isNaN || d.isInfinite) d
+    else BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** (csim desc, cid asc) exactly as the [[nearestCells]] window orders:
+    * Spark sorts NaN greatest, so desc puts NaN FIRST — TotalOrdering
+    * reversed reproduces that.
+    */
+  private val cellOrd: Ordering[(Double, Long)] =
+    Ordering.by[(Double, Long), Double](_._1)(Ordering.Double.TotalOrdering.reverse)
+      .orElseBy(_._2)
+
   /** Map-side analog of [[nearestCells]] against a collected centroid
     * array: IDENTICAL arithmetic (left-to-right double cosine →
     * HALF_UP 6-decimal round, exactly Spark's `round(DoubleType)` → argmax
-    * with cid tie-break), but zero shuffle — at corpus scale cell
-    * assignment is a pure map over broadcast centroids instead of a
-    * corpus×centroids window. Returns the n best cell ids, best first.
-    * Parity with the window version is spec-gated (HnswSpec).
+    * with cid tie-break, NaN ranking first like the window's desc), but
+    * zero shuffle — at corpus scale cell assignment is a pure map over
+    * broadcast centroids instead of a corpus×centroids window. Returns the
+    * n best cell ids, best first; empty when `cents` is empty. Parity with
+    * the window version is spec-gated (HnswSpec). n=1 (the per-corpus-row
+    * hot path) is a single allocation-free scan, no sort.
     */
   private[graft] def nearestCellsLocal(v: Seq[Float],
-      cents: Array[(Long, Array[Float])], n: Int): Seq[Long] =
-    cents.map { case (cid, cvec) =>
-      (BigDecimal(cosine(v, cvec))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, cid)
-    }.sortBy { case (csim, cid) => (-csim, cid) }.take(n).map(_._2).toSeq
+      cents: Array[(Long, Array[Float])], n: Int): Seq[Long] = {
+    def scored(i: Int): (Double, Long) = (round6(cosine(v, cents(i)._2)), cents(i)._1)
+    if (cents.isEmpty) Seq.empty
+    else if (n == 1) {
+      var best = scored(0)
+      var i = 1
+      while (i < cents.length) {
+        val s = scored(i)
+        if (cellOrd.lt(s, best)) best = s
+        i += 1
+      }
+      Seq(best._2)
+    } else
+      cents.indices.map(scored).sorted(cellOrd).take(n).map(_._2)
+  }
 
+  /** IVF-style ANN (inverted-file index, the structure behind FAISS IVF and
+    * OpenSearch's ANN alternatives to HNSW): the corpus is partitioned into
+    * `nlist` CELLS around centroid vectors; a query scores only the vectors
+    * of its `nProbe` nearest cells — an equi-join on cell id, the same scale
+    * shape as the LSH path but with data-adaptive partitions.
+    *
+    * Centroids here are the embeddings of a fixed deterministic corpus sample
+    * (`vec_id < nlist`) rather than k-means iterates — that makes every step
+    * (assignment = argmax cosine with (sim desc, cid asc) tie-break, probing,
+    * scoring) recomputable by an external SQL oracle, while keeping the exact
+    * production join shape; swapping in trained centroids changes only the
+    * centroid table. Two broadcast passes (corpus×centroids assignment,
+    * queries×centroids probes) + one cell equi-join — no shuffle of the
+    * corpus beyond the cell join.
+    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nProbe: Int = 4): DataFrame = {
     val cents = sampleCentroids(corpus, nlist)

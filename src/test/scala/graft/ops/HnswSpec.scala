@@ -81,6 +81,22 @@ class HnswSpec extends AnyFunSuite {
     }
   }
 
+  test("routed edge cases: empty centroid table, NaN vectors") {
+    import spark.implicits._
+    // corpus with no vec_id < nlist rows → no centroids → empty result,
+    // matching ivfTopK's degradation instead of an executor crash
+    val high = emb.where(col("vec_id") >= 100 && col("vec_id") < 200)
+    val out = Hnsw.hnswRoutedTopK(high, high.limit(3), 5, nlist = 16)
+    assert(out.columns.toSeq == Seq("query_id", "vec_id", "sim", "rank"))
+    assert(out.count() == 0)
+    // NaN cosine must not throw and must rank FIRST, matching the window's
+    // NaN-greatest desc ordering (Spark round passes NaN through)
+    val cents = Array((0L, Array(Float.NaN, 1f)), (1L, Array(1f, 0f)))
+    assert(Similarity.nearestCellsLocal(Seq(1f, 0f), cents, 1) == Seq(0L))
+    assert(Similarity.nearestCellsLocal(Seq(1f, 0f), cents, 2) == Seq(0L, 1L))
+    assert(Similarity.nearestCellsLocal(Seq(1f, 0f), Array.empty, 1).isEmpty)
+  }
+
   test("routed deterministic: two runs return identical rows") {
     val queries = emb.where(col("vec_id") < 20)
     def run(): Seq[(Long, Long, Long)] =

@@ -332,7 +332,7 @@ object Bench {
     require(pipeAttempts >= 1, s"GRAFT_BENCH_PIPE_ATTEMPTS must be >= 1, got $pipeAttempts")
     section("pipeline") {
       for (name <- Seq("q1_agg", "tokenize_tf", "dedup_jaccard", "dedup_minhash",
-          "ann_cosine_topk", "fwd_fill", "quality_score")) {
+          "ann_cosine_topk", "ann_hnsw_routed_topk", "fwd_fill", "quality_score")) {
         val fn = SparkEntry.queries(name)
         timedN(name, pipeAttempts) { fn(spark, sfDir).count() }
       }

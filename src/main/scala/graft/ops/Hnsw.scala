@@ -200,6 +200,17 @@ object Hnsw {
     * per-task state, no corpus concentration; `partitions` tracks cluster
     * parallelism the way segment counts do).
     */
+  /** splitmix64 (public-domain mixing function) with a salt-specific seed
+    * offset — the deterministic subcell salt for [[hnswRoutedTopK]]'s
+    * cell balancing; decorrelated from the graph's level hash.
+    */
+  private[graft] def mix64(id: Long): Long = {
+    var z = (id ^ 0xA5A5A5A5A5A5A5A5L) + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   /** Build one graph over `items` (vec_id-sorted insertion — the
     * determinism contract) and answer every query, excluding each query's
     * own vector (hence k+1 candidates). Shared by the per-partition
@@ -264,14 +275,21 @@ object Hnsw {
     *
     * Scale shape: cell ASSIGNMENT is a pure map against the broadcast
     * centroid table (no corpus×centroids window — the one exchange is the
-    * groupByKey on the computed cell id), bounded per-task state (one
-    * cell's graph), and — the router's point — graph construction and
-    * search happen ONLY in cells some query probes; unprobed cells'
+    * groupByKey on the computed cell+subcell key), bounded per-task state
+    * (one subcell's graph), and — the router's point — graph construction
+    * and search happen ONLY in cells some query probes; unprobed cells'
     * vectors are dropped BEFORE the exchange and never build a graph.
     * At 1000 executors a query touches nProbe cells instead of every
-    * partition, and cost scales with nProbe, not cluster width. Cell-size
-    * skew follows the embedding distribution (same caveat as IVF); size
-    * nlist so corpus/nlist fits one task comfortably.
+    * partition, and cost scales with nProbe, not cluster width.
+    *
+    * Voronoi cells are skewed, and graph build is the dominant cost, so an
+    * unbalanced cell would straggle its stage (measured ~2× on uniform
+    * vectors): cells above the mean probed size split into mean-sized
+    * SUBCELLS by a deterministic vec_id hash, each with its own graph —
+    * hnswTopK's per-partition move applied inside a cell. The exact
+    * per-cell counts cost one extra map-side-agg pass over the probed
+    * corpus (output ≤ nlist rows); cache the corpus upstream if scanning
+    * twice matters.
     *
     * Determinism: cell assignment is the rounded-cosine argmax with cid
     * tie-break (oracled via ann_ivf_topk), insertion is vec_id-sorted,
@@ -306,25 +324,67 @@ object Hnsw {
         }
         .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
     val rB = spark.sparkContext.broadcast(routed)
-    val hits = corpus.select(col("vec_id"), col("embedding"))
+    val keyed = corpus.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .map { case (id, v) => (Similarity.nearestCellsLocal(v, cB.value, 1).head, id, v) }
       // unprobed cells are dropped BEFORE the exchange — only the nProbe
-      // cells' vectors are ever shuffled; the cost really is ∝ probed data
+      // cells' vectors are ever shuffled; the cost really is ∝ probed data.
+      // Persisted because BOTH the balance-count pass and the build pass
+      // consume it: the nlist-cosine assignment (the router's one per-row
+      // cost) runs once, not twice — measured ~2× on the AnnLadder
       .filter(t => rB.value.contains(t._1))
-      .groupByKey(_._1)
-      .flatMapGroups { (cell, it) =>
-        buildAndSearch(it.map(t => (t._2, t._3)).toArray, rB.value(cell),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Voronoi cells are SKEWED (a dense direction's cell can be several ×
+    // the mean — measured 2× wall on uniform vectors), and the slowest
+    // cell's graph build straggles the whole stage. Balance: split any cell
+    // above the mean probed size into mean-sized SUBCELLS by a hash of
+    // vec_id (deterministic), each building its own graph and answering the
+    // cell's queries — the same per-partition-graph move hnswTopK makes
+    // globally, applied inside a cell. Union of subcell top-k's merges in
+    // the same window; subcells still partition the corpus, so no dedupe.
+    // The count pass is a map-side agg over ≤ nlist keys.
+    val cellCounts = keyed.groupByKey(_._1).count().collect().toMap
+    val target = math.max(256L,
+      cellCounts.values.sum / math.max(1, cellCounts.size))
+    val nSub: Map[Long, Int] =
+      cellCounts.map { case (c, n) => c -> math.max(1, ((n + target - 1) / target).toInt) }
+    val sB = spark.sparkContext.broadcast(nSub)
+    // EXACT one-graph-per-task placement: the probed (cell, subcell) groups
+    // are known on the driver, so each gets its own shuffle partition —
+    // groupByKey would hash ~P groups onto spark.sql.shuffle.partitions and
+    // balls-into-bins hands some tasks 2–3 graphs built sequentially (the
+    // stage then waits on their SUM; measured as the routed path losing to
+    // hnswTopK, whose repartition(P) has the per-task property for free)
+    val groupIds: Map[(Long, Int), Int] = nSub.toSeq.sortBy(_._1)
+      .flatMap { case (c, s) => (0 until s).map(i => (c, i)) }
+      .zipWithIndex.toMap
+    val gB = spark.sparkContext.broadcast(groupIds)
+    val part = new org.apache.spark.Partitioner {
+      def numPartitions: Int = math.max(1, gB.value.size)
+      def getPartition(key: Any): Int = gB.value(key.asInstanceOf[(Long, Int)])
+    }
+    val hitsRdd = keyed.rdd
+      .map { case (cell, id, v) =>
+        ((cell, Math.floorMod(Hnsw.mix64(id), sB.value(cell).toLong).toInt), (id, v))
+      }
+      .partitionBy(part)
+      .mapPartitions { it =>
+        val buf = it.toArray
+        if (buf.isEmpty) Iterator.empty
+        else buildAndSearch(buf.map(_._2), rB.value(buf.head._1._1),
           k, m, efConstruction, efSearch)
-      }.toDF("query_id", "vec_id", "sim")
-    // cells PARTITION the corpus (n=1 placement), so a vector reaches a
-    // query through at most one cell — merge needs no dedupe
+      }
+    val hits = spark.createDataset(hitsRdd).toDF("query_id", "vec_id", "sim")
+    // (sub)cells PARTITION the corpus (n=1 placement + disjoint salts), so a
+    // vector reaches a query through at most one group — merge needs no dedupe
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
     val out = hits.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select("query_id", "vec_id", "sim", "rank")
     val cp = out.localCheckpoint(true) // same broadcast-release rationale as hnswTopK
+    keyed.unpersist()
     rB.destroy()
     cB.destroy()
+    sB.destroy()
     cp
   }
 }

@@ -256,14 +256,44 @@ object Similarity {
     def scored(i: Int): (Double, Long) = (round6(cosine(v, cents(i)._2)), cents(i)._1)
     if (cents.isEmpty) Seq.empty
     else if (n == 1) {
-      var best = scored(0)
-      var i = 1
+      // The hot path (once per corpus row): raw-cosine scan with an EXACT
+      // tie window. Rounding is monotone and two raws > 2e-6 apart can
+      // never round equal at 6 decimals, so the argmax over rounded values
+      // lies among candidates within 2e-6 of the raw max — the BigDecimal
+      // round (an allocation per centroid per row if done eagerly; measured
+      // seconds per pass at nlist=512 × 200k rows) runs only on that
+      // near-tie set, usually a singleton.
+      val raws = new Array[Double](cents.length)
+      var bestRaw = Double.NegativeInfinity
+      var hasNaN = false
+      var i = 0
       while (i < cents.length) {
-        val s = scored(i)
-        if (cellOrd.lt(s, best)) best = s
+        val c = cosine(v, cents(i)._2)
+        raws(i) = c
+        if (c.isNaN) hasNaN = true else if (c > bestRaw) bestRaw = c
         i += 1
       }
-      Seq(best._2)
+      if (hasNaN) {
+        // NaN ranks first (the window's desc semantics); ties → min cid
+        var j = 0; var best = Long.MaxValue
+        while (j < raws.length) {
+          if (raws(j).isNaN && cents(j)._1 < best) best = cents(j)._1
+          j += 1
+        }
+        Seq(best)
+      } else {
+        var j = 0; var bestR = Double.NegativeInfinity; var bestCid = Long.MaxValue
+        while (j < raws.length) {
+          if (raws(j) >= bestRaw - 2e-6) {
+            val r = round6(raws(j))
+            if (r > bestR || (r == bestR && cents(j)._1 < bestCid)) {
+              bestR = r; bestCid = cents(j)._1
+            }
+          }
+          j += 1
+        }
+        Seq(bestCid)
+      }
     } else
       cents.indices.map(scored).sorted(cellOrd).take(n).map(_._2)
   }

@@ -81,6 +81,43 @@ class HnswSpec extends AnyFunSuite {
     }
   }
 
+  test("routed cell balancing: a skewed cell splits into subcells, results exact on separable data") {
+    import spark.implicits._
+    // two separable clusters; cluster A is 1200 vectors (forces nSub >= 2
+    // at target = max(256, mean=750)), cluster B 300 — centroids are
+    // vec_id 0 (in A) and 1 (in B)
+    def jig(base: Array[Float], i: Long): Array[Float] = // unique per i
+      base.zipWithIndex.map { case (x, j) => x + 1e-4f * (i % 997) * (j + 1) }
+    val a = Array(1f, 0f, 0f, 0f)
+    val b = Array(0f, 1f, 0f, 0f)
+    val corpus = ((0L until 1200L).map(i => (i * 2, jig(a, i))) ++ // even ids: cluster A (incl. 0)
+      (0L until 300L).map(i => (i * 2 + 1, jig(b, i))))           // odd ids: cluster B (incl. 1)
+      .toDF("vec_id", "embedding")
+    val queries = Seq((9000L, a), (9001L, b)).toDF("vec_id", "embedding")
+    val got = Hnsw.hnswRoutedTopK(corpus, queries, 10, nlist = 2, nProbe = 1)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(got(9000L).size == 10 && got(9000L).forall(_ % 2 == 0),
+      s"cluster-A query leaked: ${got(9000L)}")
+    assert(got(9001L).size == 10 && got(9001L).forall(_ % 2 == 1),
+      s"cluster-B query leaked: ${got(9001L)}")
+    // the subcell union must still recover (nearly) the exact top-k within
+    // the probed cell — splitting must not cost recall
+    val exact = Similarity.cosineTopK(corpus.where(col("vec_id") % 2 === 0),
+      queries.where(col("vec_id") === 9000L), 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got(9000L).intersect(exact).size >= 8,
+      s"split recall too low: got ${got(9000L)} vs exact $exact")
+    // and splitting is deterministic
+    val again = Hnsw.hnswRoutedTopK(corpus, queries, 10, nlist = 2, nProbe = 1)
+      .select("query_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val again2 = Hnsw.hnswRoutedTopK(corpus, queries, 10, nlist = 2, nProbe = 1)
+      .select("query_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(again == again2)
+  }
+
   test("routed edge cases: empty centroid table, NaN vectors") {
     import spark.implicits._
     // corpus with no vec_id < nlist rows → no centroids → empty result,

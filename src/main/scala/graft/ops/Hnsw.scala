@@ -60,10 +60,7 @@ object Hnsw {
 
     /** Deterministic level: u from a splitmix of the external id. */
     private def levelOf(id: Long): Int = {
-      var z = id + 0x9E3779B97F4A7C15L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z = z ^ (z >>> 31)
+      val z = Hnsw.splitmix64(id)
       val u = ((z >>> 11).toDouble + 0.5) / (1L << 53).toDouble // (0,1)
       math.min((-math.log(u) * mL).toInt, 31)
     }
@@ -200,16 +197,21 @@ object Hnsw {
     * per-task state, no corpus concentration; `partitions` tracks cluster
     * parallelism the way segment counts do).
     */
-  /** splitmix64 (public-domain mixing function) with a salt-specific seed
-    * offset — the deterministic subcell salt for [[hnswRoutedTopK]]'s
-    * cell balancing; decorrelated from the graph's level hash.
+  /** splitmix64 (public-domain mixing function) — the one copy of the
+    * constants; the graph's level hash and the subcell salt both derive
+    * from it.
     */
-  private[graft] def mix64(id: Long): Long = {
-    var z = (id ^ 0xA5A5A5A5A5A5A5A5L) + 0x9E3779B97F4A7C15L
+  private[graft] def splitmix64(x: Long): Long = {
+    var z = x + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
     z ^ (z >>> 31)
   }
+
+  /** Deterministic subcell salt for [[hnswRoutedTopK]]'s cell balancing —
+    * an input xor decorrelates it from the level hash of the same id.
+    */
+  private[graft] def mix64(id: Long): Long = splitmix64(id ^ 0xA5A5A5A5A5A5A5A5L)
 
   /** Build one graph over `items` (vec_id-sorted insertion — the
     * determinism contract) and answer every query, excluding each query's
@@ -385,6 +387,7 @@ object Hnsw {
     rB.destroy()
     cB.destroy()
     sB.destroy()
+    gB.destroy()
     cp
   }
 }

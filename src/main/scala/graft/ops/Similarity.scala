@@ -249,7 +249,8 @@ object Similarity {
     * broadcast centroids instead of a corpus×centroids window. Returns the
     * n best cell ids, best first; empty when `cents` is empty. Parity with
     * the window version is spec-gated (HnswSpec). n=1 (the per-corpus-row
-    * hot path) is a single allocation-free scan, no sort.
+    * hot path) is a sort-free scan whose only allocation is one raw-score
+    * buffer; the BigDecimal round runs only on near-tie candidates.
     */
   private[graft] def nearestCellsLocal(v: Seq[Float],
       cents: Array[(Long, Array[Float])], n: Int): Seq[Long] = {

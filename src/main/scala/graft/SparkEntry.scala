@@ -663,9 +663,16 @@ object SparkEntry {
         n = 3, numHashes = 64, bands = 32, threshold = 0.7)
       Dedup.canonicalizeNearDups(pairs).orderBy("doc_id")
     }),
-    "dedup_minhash_est" -> ((s, dir) => { // rows-only: sketch hashes are ours
+    "dedup_minhash_est" -> ((s, dir) => {
+      // FULLY ORACLED since the sketch gained a recomputable hash scheme
+      // (md5-derived shingle hash mod 2^31-1 + fixed linear permutations —
+      // Dedup.minhashSignatures(recomputable = true)): DuckDB recomputes
+      // shingles, the 64 permutation minima, the 16×4 banding candidates
+      // and the equal-position estimate from scratch. The production path
+      // (`dedup_minhash`) keeps the cheap splitmix scheme — same signature/
+      // banding/estimate code, different hash plug (simhash precedent).
       Dedup.minhashLshCandidates(Dedup.withPlantedDups(documents(s, dir)),
-        n = 3, numHashes = 64, bands = 16, estThreshold = 0.5)
+        n = 3, numHashes = 64, bands = 16, estThreshold = 0.5, recomputable = true)
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
         .orderBy("id_a", "id_b")
     }),
@@ -1504,6 +1511,46 @@ object SparkEntry {
         |    ON a.block = b.block AND a.value = b.value AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
         |FROM pairs WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin,
+    // MinHash-LSH estimate recomputed from scratch: per-shingle 60-bit md5
+    // hash reduced mod P = 2^31-1, the 64 fixed linear permutations
+    // h_i(x) = (a_i·x + b_i) mod P, per-doc minima, 16×4 banding (candidates
+    // = any band's 4 minima all equal), estimate = equal positions / 64 —
+    // every step independent of the Scala implementation except the shared
+    // md5 primitive (same discipline as dedup_simhash)
+    "dedup_minhash_est" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text || ' near dup suffix' FROM documents WHERE doc_id % 17 = 0
+        |  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 23 = 0),
+        |arr AS (SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS a FROM planted),
+        |arrf AS (SELECT doc_id, list_filter(a, x -> x <> '') AS a FROM arr),
+        |sh0 AS (SELECT doc_id, a, unnest(range(1, len(a) - 1)) AS i
+        |        FROM arrf WHERE len(a) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS shingle
+        |       FROM sh0),
+        |shh AS (SELECT doc_id,
+        |  list_reduce(list_transform(split(substr(md5(shingle), 1, 15), ''),
+        |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |    (x, y) -> x * 16 + y) % 2147483647 AS x
+        |  FROM sh),
+        |perms AS (SELECT doc_id, i,
+        |  min(((((i + 1) * 506952114 + 12345) % 2147483647) * x
+        |       + ((i * 40503 + 271828183) % 2147483647)) % 2147483647) AS v
+        |  FROM shh CROSS JOIN (SELECT unnest(range(64)) AS i) ps
+        |  GROUP BY doc_id, i),
+        |bnd AS (SELECT doc_id, i // 4 AS band,
+        |  string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS bkey
+        |  FROM perms GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bnd a JOIN bnd b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |m AS (SELECT c.id_a, c.id_b, count(*) AS eq
+        |  FROM cand c
+        |  JOIN perms pa ON pa.doc_id = c.id_a
+        |  JOIN perms pb ON pb.doc_id = c.id_b AND pb.i = pa.i AND pb.v = pa.v
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(eq / 64.0, 6) AS est_jaccard
+        |FROM m WHERE eq / 64.0 >= 0.5 ORDER BY id_a, id_b""".stripMargin,
     "dedup_canonical" ->
       """WITH RECURSIVE planted AS (
         |  SELECT doc_id, text FROM documents

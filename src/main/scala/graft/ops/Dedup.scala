@@ -105,12 +105,29 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash signature: numHashes permutations h_i(x) = mix64(x ^ seed_i),
-    * min over the doc's shingle hashes. Returns (doc_id, sig array<long>).
+  /** MinHash signature: numHashes permutations, min over the doc's shingle
+    * hashes. Returns (doc_id, sig array<long>).
+    *
+    * Two hash schemes, same signature/banding/estimate machinery:
+    *  - default (`recomputable = false`): h_i(x) = mix64(x ^ seed_i) over
+    *    splitmix shingle hashes — one cheap 64-bit mix per permutation, the
+    *    production path ([[minhashLshCandidates]] / the bench's
+    *    `dedup_minhash`).
+    *  - `recomputable = true`: one md5 per shingle ([[md5Low60]], the same
+    *    primitive behind the oracled simhash), reduced mod the Mersenne
+    *    prime P = 2^31-1, then the classic linear family
+    *    h_i(x) = (a_i·x + b_i) mod P with fixed constants — every step
+    *    recomputable from scratch by the DuckDB oracle (`dedup_minhash_est`),
+    *    so the WHOLE estimate chain (shingles → permutation mins → banding →
+    *    equal-position estimate) is hash-verified, not rows-only. Products
+    *    stay under 2^62 (a_i, x < 2^31), so plain Long/BIGINT arithmetic
+    *    agrees exactly on both sides.
     */
-  def minhashSignatures(docs: DataFrame, n: Int = 3, numHashes: Int = 64): DataFrame = {
+  def minhashSignatures(docs: DataFrame, n: Int = 3, numHashes: Int = 64,
+      recomputable: Boolean = false): DataFrame = {
     val nh = numHashes
     val ng = n
+    val recomp = recomputable
     // a doc with no shingles has NO signature (empty array), not the
     // all-Long.MaxValue sentinel: that sentinel is identical across every
     // short doc, so each LSH band would put all of them in one bucket —
@@ -120,14 +137,32 @@ object Dedup {
       val w = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
       if (w.length < ng) Seq.empty[Long]
       else {
-        val hs = w.sliding(ng).map(g => stringHash64(g.mkString(" ")))
         val sig = Array.fill(nh)(Long.MaxValue)
-        hs.foreach { x =>
-          var i = 0
-          while (i < nh) {
-            val v = mix64(x ^ mix64(0x5EED0000L + i))
-            if (v < sig(i)) sig(i) = v
-            i += 1
+        if (recomp) {
+          val P = 2147483647L // 2^31 - 1 (Mersenne prime)
+          // a_i = ((i+1)·(2654435761 mod P) + 12345) mod P — all 64 values
+          // nonzero and distinct (checked offline); b_i any fixed residue
+          val as = Array.tabulate(nh)(i => ((i + 1).toLong * 506952114L + 12345L) % P)
+          val bs = Array.tabulate(nh)(i => (i.toLong * 40503L + 271828183L) % P)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          w.sliding(ng).foreach { g =>
+            val x = md5Low60(g.mkString(" "), md) % P
+            var i = 0
+            while (i < nh) {
+              val v = (as(i) * x + bs(i)) % P
+              if (v < sig(i)) sig(i) = v
+              i += 1
+            }
+          }
+        } else {
+          val hs = w.sliding(ng).map(g => stringHash64(g.mkString(" ")))
+          hs.foreach { x =>
+            var i = 0
+            while (i < nh) {
+              val v = mix64(x ^ mix64(0x5EED0000L + i))
+              if (v < sig(i)) sig(i) = v
+              i += 1
+            }
           }
         }
         sig.toSeq
@@ -141,10 +176,11 @@ object Dedup {
     * Jaccard = fraction of equal minhashes).
     */
   def minhashLshCandidates(docs: DataFrame, n: Int = 3, numHashes: Int = 64,
-      bands: Int = 16, estThreshold: Double = 0.7): DataFrame = {
+      bands: Int = 16, estThreshold: Double = 0.7,
+      recomputable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
-    val sigs = minhashSignatures(docs, n, numHashes)
+    val sigs = minhashSignatures(docs, n, numHashes, recomputable)
     val bandUdf = udf { (sig: Seq[Long]) =>
       if (sig.isEmpty) Seq.empty[(Int, Long)] // shingle-free doc: no buckets
       else (0 until bands).map { b =>

@@ -43,6 +43,29 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"LSH recall $recall over ${exact.size} true pairs")
   }
 
+  test("recomputable minhash scheme: exact dups est 1.0, recall matches default scheme") {
+    // the oracle-recomputable hash plug (md5 mod 2^31-1 + fixed linear
+    // permutations) must behave like a minhash: identical text ⇒ identical
+    // signatures ⇒ est exactly 1.0, and near-dup recall at the same bar as
+    // the production splitmix scheme
+    val planted = Dedup.withPlantedDups(docs)
+    val lsh = Dedup.minhashLshCandidates(planted, n = 3, numHashes = 64, bands = 16,
+      estThreshold = 0.5, recomputable = true)
+      .select("id_a", "id_b", "est_jaccard").as[(Long, Long, Double)].collect()
+    val byPair = lsh.map { case (a, b, e) => ((a, b), e) }.toMap
+    val exactIds = docs.filter(pmod($"doc_id", lit(23)) === 0)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(exactIds.nonEmpty)
+    exactIds.foreach { a =>
+      assert(byPair.get((a, a + 2000000L)).contains(1.0), s"exact dup $a not est=1.0")
+    }
+    val truePairs = Dedup.ngramJaccardPairs(planted, n = 3, threshold = 0.85)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val found = lsh.map { case (a, b, _) => (a, b) }.toSet
+    val recall = truePairs.count(found.contains).toDouble / truePairs.size
+    assert(recall >= 0.95, s"recomputable LSH recall $recall over ${truePairs.size}")
+  }
+
   test("simhash pairs catch planted near-dups; hamming sane") {
     val planted = Dedup.withPlantedDups(docs, dupEvery = 17, exactEvery = 1000001)
     val pairs = Dedup.simhashPairs(planted, maxHamming = 6).collect()

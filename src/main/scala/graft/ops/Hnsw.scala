@@ -60,7 +60,7 @@ object Hnsw {
 
     /** Deterministic level: u from a splitmix of the external id. */
     private def levelOf(id: Long): Int = {
-      val z = Hnsw.splitmix64(id)
+      val z = graft.corpus.Webtext.mix64(id)
       val u = ((z >>> 11).toDouble + 0.5) / (1L << 53).toDouble // (0,1)
       math.min((-math.log(u) * mL).toInt, 31)
     }
@@ -197,21 +197,13 @@ object Hnsw {
     * per-task state, no corpus concentration; `partitions` tracks cluster
     * parallelism the way segment counts do).
     */
-  /** splitmix64 (public-domain mixing function) — the one copy of the
-    * constants; the graph's level hash and the subcell salt both derive
-    * from it.
-    */
-  private[graft] def splitmix64(x: Long): Long = {
-    var z = x + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
-
   /** Deterministic subcell salt for [[hnswRoutedTopK]]'s cell balancing —
-    * an input xor decorrelates it from the level hash of the same id.
+    * splitmix64 ([[graft.corpus.Webtext.mix64]], the repo's one copy of the
+    * constants) with an input xor that decorrelates it from the level hash
+    * of the same id.
     */
-  private[graft] def mix64(id: Long): Long = splitmix64(id ^ 0xA5A5A5A5A5A5A5A5L)
+  private[graft] def subcellSalt(id: Long): Long =
+    graft.corpus.Webtext.mix64(id ^ 0xA5A5A5A5A5A5A5A5L)
 
   /** Build one graph over `items` (vec_id-sorted insertion — the
     * determinism contract) and answer every query, excluding each query's
@@ -288,10 +280,11 @@ object Hnsw {
     * unbalanced cell would straggle its stage (measured ~2× on uniform
     * vectors): cells above the mean probed size split into mean-sized
     * SUBCELLS by a deterministic vec_id hash, each with its own graph —
-    * hnswTopK's per-partition move applied inside a cell. The exact
-    * per-cell counts cost one extra map-side-agg pass over the probed
-    * corpus (output ≤ nlist rows); cache the corpus upstream if scanning
-    * twice matters.
+    * hnswTopK's per-partition move applied inside a cell. The probed
+    * subset is persisted internally so the nlist-cosine assignment runs
+    * once; the exact per-cell counts are then a map-side agg over it
+    * (output ≤ nlist rows) — no second corpus scan, nothing for the
+    * caller to cache.
     *
     * Determinism: cell assignment is the rounded-cosine argmax with cid
     * tie-break (oracled via ann_ivf_topk), insertion is vec_id-sorted,
@@ -315,7 +308,16 @@ object Hnsw {
     if (cents.isEmpty) // no centroids (over-filtered corpus) — empty result,
       return spark.emptyDataset[(Long, Long, Double, Int)] // like ivfTopK
         .toDF("query_id", "vec_id", "sim", "rank")
+    // every mid-run resource (the persisted probed subset + four
+    // broadcasts) is released in the finally below — a failed job (executor
+    // OOM, task abort) must not leak cached corpus copies into a long-lived
+    // session across repeated calls
+    val toDestroy = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.broadcast.Broadcast[_]]
+    var keyed: Dataset[(Long, Long, Array[Float])] = null
+    try {
     val cB = spark.sparkContext.broadcast(cents)
+    toDestroy += cB
     // queries are few and broadcast (hnswTopK's existing contract); routing
     // happens on the driver with the same arithmetic
     val routed: Map[Long, Seq[(Long, Array[Float])]] =
@@ -326,7 +328,8 @@ object Hnsw {
         }
         .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
     val rB = spark.sparkContext.broadcast(routed)
-    val keyed = corpus.select(col("vec_id"), col("embedding"))
+    toDestroy += rB
+    keyed = corpus.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .map { case (id, v) => (Similarity.nearestCellsLocal(v, cB.value, 1).head, id, v) }
       // unprobed cells are dropped BEFORE the exchange — only the nProbe
@@ -351,6 +354,7 @@ object Hnsw {
     val nSub: Map[Long, Int] =
       cellCounts.map { case (c, n) => c -> math.max(1, ((n + target - 1) / target).toInt) }
     val sB = spark.sparkContext.broadcast(nSub)
+    toDestroy += sB
     // EXACT one-graph-per-task placement: the probed (cell, subcell) groups
     // are known on the driver, so each gets its own shuffle partition —
     // groupByKey would hash ~P groups onto spark.sql.shuffle.partitions and
@@ -361,13 +365,14 @@ object Hnsw {
       .flatMap { case (c, s) => (0 until s).map(i => (c, i)) }
       .zipWithIndex.toMap
     val gB = spark.sparkContext.broadcast(groupIds)
+    toDestroy += gB
     val part = new org.apache.spark.Partitioner {
       def numPartitions: Int = math.max(1, gB.value.size)
       def getPartition(key: Any): Int = gB.value(key.asInstanceOf[(Long, Int)])
     }
     val hitsRdd = keyed.rdd
       .map { case (cell, id, v) =>
-        ((cell, Math.floorMod(Hnsw.mix64(id), sB.value(cell).toLong).toInt), (id, v))
+        ((cell, Math.floorMod(Hnsw.subcellSalt(id), sB.value(cell).toLong).toInt), (id, v))
       }
       .partitionBy(part)
       .mapPartitions { it =>
@@ -382,12 +387,10 @@ object Hnsw {
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
     val out = hits.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select("query_id", "vec_id", "sim", "rank")
-    val cp = out.localCheckpoint(true) // same broadcast-release rationale as hnswTopK
-    keyed.unpersist()
-    rB.destroy()
-    cB.destroy()
-    sB.destroy()
-    gB.destroy()
-    cp
+    out.localCheckpoint(true) // same broadcast-release rationale as hnswTopK
+    } finally {
+      if (keyed != null) keyed.unpersist()
+      toDestroy.foreach(_.destroy())
+    }
   }
 }

@@ -20,6 +20,9 @@ import org.apache.spark.sql.functions._
   */
 object AnnLadder {
   def main(args: Array[String]): Unit = {
+    // the one-line JSON protocol must parse regardless of host locale —
+    // f"%.3f" under a comma-decimal locale would emit invalid JSON
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val parts = sys.env.getOrElse("GRAFT_ANN_PARTS", "4,16,64").split(",").map(_.trim.toInt)

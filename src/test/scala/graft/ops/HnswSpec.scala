@@ -86,7 +86,10 @@ class HnswSpec extends AnyFunSuite {
     // two separable clusters; cluster A is 1200 vectors (forces nSub >= 2
     // at target = max(256, mean=750)), cluster B 300 — centroids are
     // vec_id 0 (in A) and 1 (in B)
-    def jig(base: Array[Float], i: Long): Array[Float] = // unique per i
+    // NOT unique per i: i and i+997 collide (exact-duplicate vectors), so
+    // the recall gate below stays >= 8, not == 10 — ties among duplicates
+    // are resolved by vec_id and tightening the gate would test tie order
+    def jig(base: Array[Float], i: Long): Array[Float] =
       base.zipWithIndex.map { case (x, j) => x + 1e-4f * (i % 997) * (j + 1) }
     val a = Array(1f, 0f, 0f, 0f)
     val b = Array(0f, 1f, 0f, 0f)

@@ -74,6 +74,9 @@ object Bench {
       currentSection = name
       var tryN = 1
       var done = false
+      var bestProbe = -1.0
+      var bestResults: Map[String, Double] = Map.empty
+      var bestLog: Map[String, Seq[Double]] = Map.empty
       while (!done) {
         val pre = graft.tools.CpuProbe.efficiency(cpus.toInt)
         body // re-runs overwrite the section's results/attempt entries
@@ -81,7 +84,15 @@ object Bench {
         // DURING the body must flag the section too, not just one that was
         // already capped when it started (the round-4 failure mode)
         val probe = math.min(pre, graft.tools.CpuProbe.efficiency(cpus.toInt))
-        sectionProbes(name) = probe
+        // snapshot this try's section metrics; the published numbers come
+        // from the BEST window — a retry that lands in a WORSE window must
+        // not overwrite the first try's cleaner measurements
+        val keys = metricSection.collect { case (m, s) if s == name => m }.toSeq
+        if (probe > bestProbe) {
+          bestProbe = probe
+          bestResults = keys.flatMap(k => results.get(k).map(k -> _)).toMap
+          bestLog = keys.flatMap(k => attemptLog.get(k).map(k -> _)).toMap
+        }
         if (probe >= probeOk || tryN >= maxTries) done = true
         else {
           tryN += 1
@@ -89,6 +100,9 @@ object Bench {
             f"[bench] section $name probe=$probe%.2f < $probeOk%.2f — re-attempting once")
         }
       }
+      sectionProbes(name) = bestProbe
+      bestResults.foreach { case (k, v) => results(k) = v }
+      bestLog.foreach { case (k, v) => attemptLog(k) = v }
     }
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     def timedN(name: String, n: Int)(f: => Unit): Unit = {
@@ -190,6 +204,9 @@ object Bench {
       timedN(name, 50) { mem.search(q) }
     }
     section("serve") {
+      // drop the previous try's GB-scale index BEFORE re-loading: a retry
+      // that holds two resident indexes measures GC pressure, not the load
+      mem = null
       var memV: graft.query.InMemoryIndex = null
       timedN("serve_load", 3) { memV = graft.query.InMemoryIndex.load(spark, idx) }
       mem = memV
@@ -200,10 +217,16 @@ object Bench {
       // similar-documents serving engine: resident per-chunk HNSW graphs over
       // the sf embeddings table — every request is a graph walk + merge, no
       // Spark job (round-5: the endpoint moved off the per-request IVF job)
-      val similarNode = new graft.api.SimilarDocs(spark,
-        spark.read.parquet(s"$sfDir/embeddings.parquet"), numChunks = 2)
-      (1 to 5).foreach(_ => similarNode.similar(5L))
-      timedN("serve_similar_p50", 50) { similarNode.similar(5L) }
+      val embDf = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val similarNode = new graft.api.SimilarDocs(spark, embDf, numChunks = 2)
+      // probe a vec_id that EXISTS and require a non-empty answer — timing
+      // a Map-miss no-op would publish a meaningless sub-microsecond p50
+      val probeVec = embDf.agg(org.apache.spark.sql.functions.min("vec_id"))
+        .head.getLong(0)
+      require(similarNode.similar(probeVec).nonEmpty,
+        s"similar($probeVec) returned empty — refusing to time a no-op")
+      (1 to 5).foreach(_ => similarNode.similar(probeVec))
+      timedN("serve_similar_p50", 50) { similarNode.similar(probeVec) }
     }
     // concurrent serving THROUGHPUT (the fleet unit the north metric scales):
     // T worker threads drain a shared counter of mixed-shape queries against
@@ -238,7 +261,7 @@ object Bench {
       qpsQueries / ((System.nanoTime() - t0) / 1e9)
     }
     currentSection = "serve_qps"
-    sectionProbes("serve_qps") = graft.tools.CpuProbe.efficiency(cpus.toInt)
+    val qpsPreProbe = graft.tools.CpuProbe.efficiency(cpus.toInt)
     qpsRun(mem) // warmup
     val qpsAttempts = (1 to 3).map(_ => qpsRun(mem))
     val serveQps = qpsAttempts.max // peak capability; attempts show the spread
@@ -270,11 +293,17 @@ object Bench {
     // publishing a fleet/single inversion measured in different windows
     val singleRecheckQps = qpsRun(mem)
     val fleetSingleRatio = serveQpsFleet / singleRecheckQps
+    // pre/post min, the same discipline section() applies: a cap arriving
+    // DURING the qps/fleet attempts must flag this section, not just one
+    // already present when the probe was read (it used to be read before
+    // the warmup, long before the fleet attempts executed)
+    sectionProbes("serve_qps") =
+      math.min(qpsPreProbe, graft.tools.CpuProbe.efficiency(cpus.toInt))
 
     // ---- multi-PROCESS fleet: peer shard in its OWN JVM, scatter over
     // sockets (ProcFleet + /api/internal/partials) — the real serialization
     // + socket cost the in-process thread fleet hides ----
-    sectionProbes("serve_fleet_proc") = graft.tools.CpuProbe.efficiency(cpus.toInt)
+    val fleetProcPreProbe = graft.tools.CpuProbe.efficiency(cpus.toInt)
     var peerProc: Process = null
     val (fleetProcAttempts, singleRecheckQps2) =
       try {
@@ -315,6 +344,8 @@ object Bench {
     val fleetProcSingleRatio =
       if (serveQpsFleetProc > 0 && singleRecheckQps2 > 0) serveQpsFleetProc / singleRecheckQps2
       else 0.0
+    sectionProbes("serve_fleet_proc") = // pre/post min, as above
+      math.min(fleetProcPreProbe, graft.tools.CpuProbe.efficiency(cpus.toInt))
 
     // ---- representative pipeline operators over the sf tables ----
     // median-of-N per op (first run also pays plan compilation + scan cache;

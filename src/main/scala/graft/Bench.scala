@@ -221,8 +221,10 @@ object Bench {
       val similarNode = new graft.api.SimilarDocs(spark, embDf, numChunks = 2)
       // probe a vec_id that EXISTS and require a non-empty answer — timing
       // a Map-miss no-op would publish a meaningless sub-microsecond p50
-      val probeVec = embDf.agg(org.apache.spark.sql.functions.min("vec_id"))
-        .head.getLong(0)
+      val probeRow = embDf.agg(org.apache.spark.sql.functions.min("vec_id")).head
+      require(!probeRow.isNullAt(0),
+        s"$sfDir/embeddings.parquet is empty — cannot bench similar-docs")
+      val probeVec = probeRow.getLong(0)
       require(similarNode.similar(probeVec).nonEmpty,
         s"similar($probeVec) returned empty — refusing to time a no-op")
       (1 to 5).foreach(_ => similarNode.similar(probeVec))

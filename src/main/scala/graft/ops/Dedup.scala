@@ -133,17 +133,19 @@ object Dedup {
     // short doc, so each LSH band would put all of them in one bucket —
     // the exact quadratic candidate blowup banding exists to avoid, plus
     // est_jaccard=1.0 "duplicates" between unrelated docs
+    // permutation constants depend only on numHashes — computed once in the
+    // driver and shipped in the closure, not rebuilt per document row
+    val P = 2147483647L // 2^31 - 1 (Mersenne prime)
+    // a_i = ((i+1)·(2654435761 mod P) + 12345) mod P — all 64 values
+    // nonzero and distinct (checked offline); b_i any fixed residue
+    val as = Array.tabulate(nh)(i => ((i + 1).toLong * 506952114L + 12345L) % P)
+    val bs = Array.tabulate(nh)(i => (i.toLong * 40503L + 271828183L) % P)
     val sigUdf = udf { (text: String) =>
       val w = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
       if (w.length < ng) Seq.empty[Long]
       else {
         val sig = Array.fill(nh)(Long.MaxValue)
         if (recomp) {
-          val P = 2147483647L // 2^31 - 1 (Mersenne prime)
-          // a_i = ((i+1)·(2654435761 mod P) + 12345) mod P — all 64 values
-          // nonzero and distinct (checked offline); b_i any fixed residue
-          val as = Array.tabulate(nh)(i => ((i + 1).toLong * 506952114L + 12345L) % P)
-          val bs = Array.tabulate(nh)(i => (i.toLong * 40503L + 271828183L) % P)
           val md = java.security.MessageDigest.getInstance("MD5")
           w.sliding(ng).foreach { g =>
             val x = md5Low60(g.mkString(" "), md) % P

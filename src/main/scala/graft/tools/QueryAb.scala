@@ -16,6 +16,9 @@ import graft.query.{Bm25Query, IndexHandle, QuerySpec}
   */
 object QueryAb {
   def main(args: Array[String]): Unit = {
+    // the one-line JSON protocol must parse regardless of host locale —
+    // f"%.3f" under a comma-decimal locale would emit invalid JSON
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val docs = sys.env.getOrElse("GRAFT_QAB_DOCS", "100000").toLong
     val attempts = sys.env.getOrElse("GRAFT_QAB_ATTEMPTS", "7").toInt

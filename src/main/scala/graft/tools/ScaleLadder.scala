@@ -85,6 +85,9 @@ object ScaleLadder {
   }
 
   def main(args: Array[String]): Unit = {
+    // the one-line JSON protocol must parse regardless of host locale —
+    // f"%.3f" under a comma-decimal locale would emit invalid JSON
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val nDocs = sys.env.getOrElse("GRAFT_LADDER_DOCS", "400").toLong
     val nVecs = sys.env.getOrElse("GRAFT_LADDER_VECS", "1000").toLong

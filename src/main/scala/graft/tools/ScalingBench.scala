@@ -13,6 +13,9 @@ import graft.query.{Bm25Query, IndexHandle, QuerySpec}
   */
 object ScalingBench {
   def main(args: Array[String]): Unit = {
+    // the one-line JSON protocol must parse regardless of host locale —
+    // f"%.3f" under a comma-decimal locale would emit invalid JSON
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val docs = sys.env.getOrElse("GRAFT_BENCH_DOCS", "100000").toLong
     val lo = sys.env.getOrElse("GRAFT_SCALE_N", "8").toInt
     val hi = lo * 4

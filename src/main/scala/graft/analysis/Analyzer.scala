@@ -236,11 +236,10 @@ object Analyzer extends Serializable {
     out
   }
 
-  /** Number of word tokens BEFORE stop removal = BM25 field length dl.
-    * (Lucene's BM25 norm counts all positions incl. stopword slots removed
-    * after counting? No — Lucene counts tokens AFTER stop removal. We define
-    * dl = tokens after stop removal; the oracle scorer uses the same
-    * definition, which is what rank parity gates on.)
+  /** BM25 field length dl = number of tokens AFTER stop removal (what
+    * `analyze` emits). This matches Lucene, whose norm counts the tokens the
+    * index actually stores, and the oracle scorer uses the same definition —
+    * rank parity gates on it.
     */
   def docLength(text: String, lang: String): Int = analyze(text, lang).length
 }

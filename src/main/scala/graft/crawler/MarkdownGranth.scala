@@ -49,7 +49,13 @@ object MarkdownGranth {
   final case class Heading(level: Int, text: String) extends Block
   final case class Para(text: String) extends Block
 
-  private val HeadingRe = "^(#{1,6})\\s+(.*)$".r
+  // python-markdown's HashHeaderProcessor (the reference's renderer) needs
+  // NO space after the hashes, anchors them at column 0, strips TRAILING
+  // hashes, then strips the header text — "##Shlok 5" and "### Teeka ###"
+  // are headings there, so they must be headings here too
+  private val HeadingRe = "^(#{1,6})(.*)$".r
+  private def headingText(rest: String): String =
+    rest.replaceFirst("#+\\s*$", "").trim
 
   /** Markdown → block stream: ATX headings; consecutive non-blank non-heading
     * lines form one paragraph whose soft line breaks survive as newlines
@@ -63,7 +69,8 @@ object MarkdownGranth {
     }
     content.linesIterator.foreach { line =>
       line match {
-        case HeadingRe(hashes, text) => flush(); out += Heading(hashes.length, text)
+        case HeadingRe(hashes, rest) =>
+          flush(); out += Heading(hashes.length, headingText(rest))
         case l if l.trim.isEmpty     => flush()
         case l                       => cur += l
       }
@@ -150,6 +157,10 @@ object MarkdownGranth {
     def joined(name: String): String = sections.getOrElse(name, Nil).mkString("\n")
     def listed(name: String): Seq[String] = sections.getOrElse(name, Nil)
     val page = sections.keys.collectFirst { case PagePat(n) => n.toInt }
+    // "Sanskrit Teeka" is a VALID section but its content is intentionally
+    // dropped — the reference does exactly this: it passes validation
+    // (markdown_parser.py:234) yet only Translation/Meaning/Teeka/Bhavarth
+    // are read into the verse (markdown_parser.py:173-176)
     VerseRow(seq, cleanText(verseText), vtype, s0, e0,
       cleanText(joined("Translation")), cleanText(joined("Meaning")),
       listed("Teeka").map(cleanText), listed("Bhavarth").map(cleanText),

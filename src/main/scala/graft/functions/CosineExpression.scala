@@ -46,6 +46,12 @@ object CosineSimExpr {
 
   /** Shared by interpreted eval and generated code (a static call keeps the
     * generated method tiny and JIT-friendly; the loop itself is branch-free).
+    *
+    * NULL ELEMENTS inside either array count as 0.0 (both Unsafe and generic
+    * ArrayData read a null slot's float as 0), i.e. a null component simply
+    * drops out of the dot product and norms. Embedding tables never contain
+    * null components, but the semantic is defined rather than accidental —
+    * note it differs from a naive `Seq[Float]` UDF, which would NPE.
     */
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())

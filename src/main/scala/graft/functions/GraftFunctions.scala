@@ -49,9 +49,14 @@ object GraftFunctions {
     */
   val analyze_terms = udf((text: String, lang: String) => Analyzer.terms(text, lang).toSeq)
 
+  /** Element type of [[analyze_tokens]] — a named case class, NOT a tuple:
+    * tuple encoding would surface the struct fields as `_1`/`_2` and break
+    * the documented `tok.term` / `tok.pos` access after an explode. */
+  final case class AnalyzedToken(term: String, pos: Int)
+
   /** analyze with positions: array<struct<term,pos>> */
   val analyze_tokens = udf((text: String, lang: String) =>
-    Analyzer.analyze(text, lang).map(t => (t.term, t.pos)).toSeq)
+    Analyzer.analyze(text, lang).map(t => AnalyzedToken(t.term, t.pos)).toSeq)
 
   /** uuid5 of a string (URL namespace); null in → null out (a NULL url row
     * must not abort the whole query — SQL scalar-function semantics). */

@@ -79,7 +79,9 @@ object SnapshotTable {
     if (newFiles.isEmpty) {
       // an empty input (0-partition DataFrame writes no part files) commits
       // nothing: a manifest with "files":[] would make read(asOf) throw on
-      // schema inference forever after — no-op instead
+      // schema inference forever after — no-op instead. On a still-empty
+      // table this returns 0L, the GENESIS id: legal for appendedSince
+      // (= "everything since the beginning"), never a readable snapshot
       TableIO.deleteRecursive(s"$tableDir/$dataRel")
       return currentId(tableDir).getOrElse(0L)
     }
@@ -161,7 +163,11 @@ object SnapshotTable {
       afterId: Long, upTo: Option[Long] = None): Option[DataFrame] = {
     val cur = upTo.orElse(currentId(tableDir)).getOrElse(return None)
     if (cur <= afterId) return None
-    val before = snapshot(tableDir, afterId).files.toSet
+    // afterId 0 is the GENESIS reference (what append returns on an empty
+    // no-op): no snap-0 manifest exists — the prior file set is empty
+    val before =
+      if (afterId == 0L) Set.empty[String]
+      else snapshot(tableDir, afterId).files.toSet
     val fresh = snapshot(tableDir, cur).files.filterNot(before)
     if (fresh.isEmpty) None
     else Some(spark.read.parquet(fresh.map(f => s"$tableDir/$f"): _*))
@@ -177,6 +183,17 @@ object SnapshotTable {
   * table (SnapshotTableSpec), and a crash between the chunk rewrite and the
   * marker write is safe: re-consuming the same rows is idempotent (same
   * docIds, same content → same chunk contents).
+  *
+  * Identity caveat for RECRAWLED rows: the fresh-build equivalence above
+  * holds when doc identities don't repeat across snapshots. For url-keyed
+  * tables (docId derived from url), a url recrawled in a LATER snapshot is
+  * merged last-consumed-wins — correct for an append-in-time crawl log, but
+  * a fresh full build would instead keep the row with the max `warc_ts`
+  * regardless of snapshot order, so an out-of-order late capture (older
+  * warc_ts appended in a newer snapshot) diverges: incremental serves the
+  * late append, fresh build the newer capture. For tables WITH a doc_id
+  * column, recrawls merge incrementally but a fresh build over the full
+  * table would see duplicate doc_ids — dedup upstream before a rebuild.
   *
   * This is the engine analog of the reference's 6-hourly re-crawl daemon
   * (scripts/discovery_cli.py:141-180) for table-native inputs, and the
@@ -199,6 +216,16 @@ object SnapshotIngest {
       numChunks: Int = 4, saltTargetPostings: Int = 8192): (Long, Long, Long) = {
     val cur = SnapshotTable.currentId(tableDir)
       .getOrElse(sys.error(s"no snapshots under $tableDir"))
+    // the marker records WHICH table the index consumed — refuse an outDir
+    // that was fed from a different table (otherwise the prev/cur snapshot
+    // ids compare across unrelated tables and silently mis-index: a stale
+    // prev >= cur no-ops forever; a smaller prev diffs wrong snapshots)
+    TableIO.readString(markerPath(outDir))
+      .flatMap(s => "\"table\":\"(.*?)\",\"snapshot\"".r
+        .findFirstMatchIn(s).map(_.group(1)))
+      .foreach(recorded => require(recorded == tableDir,
+        s"index at $outDir was consumed from table '$recorded' — refusing " +
+          s"to continue it from '$tableDir' (delete the index to rebuild)"))
     val commit: Long => Unit = id => TableIO.writeStringAtomic(markerPath(outDir),
       s"""{"table":"$tableDir","snapshot":$id}""")
     // every read below is PINNED to `cur`: a commit landing mid-consume must

@@ -115,6 +115,18 @@ class MarkdownGranthSpec extends AnyFunSuite {
     assert(MarkdownGranth.cleanText("a b​c  d e") == "a bc d e")
   }
 
+  test("python-markdown heading parity: no space after hashes, trailing hashes stripped") {
+    // python-markdown's HashHeaderProcessor requires no space after the
+    // hashes — "##Gatha 5" opens a verse in the reference pipeline
+    val (v1, _) = MarkdownGranth.parse("##Gatha 5\n\nverse text\n")
+    assert(v1.head.vtype == "Gatha" && v1.head.typeStartNum == 5)
+    // ...and strips trailing hashes: "### Teeka ###" is the VALID section
+    // "Teeka", not an invalid "Teeka ###"
+    val md = "## Gatha 1\n\nverse\n\n### Teeka ###\n\ncommentary\n"
+    val (v2, _) = MarkdownGranth.parse(md)
+    assert(v2.head.teeka == Seq("commentary"))
+  }
+
   test("empty prose sections are skipped but still consume a seq_num") {
     val md = "## Empty Prose\n\n## Gatha 1\n\ntext\n"
     val (vs, ps) = MarkdownGranth.parse(md)

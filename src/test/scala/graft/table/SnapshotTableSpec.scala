@@ -157,4 +157,44 @@ class SnapshotTableSpec extends AnyFunSuite {
     IndexBuild.build(spark, all, freshIdx, numChunks = 2)
     assert(fingerprint(idx) == fingerprint(freshIdx))
   }
+
+  test("consume refuses an index that was fed from a DIFFERENT table") {
+    val tblA = "/tmp/gsnap-srcA"
+    val tblB = "/tmp/gsnap-srcB"
+    val idx = "/tmp/gsnap-idx-mix"
+    Seq(tblA, tblB, idx).foreach(rm)
+    import spark.implicits._
+    SnapshotTable.append(spark, tblA, Webtext.synthesize(spark, 60, partitions = 2).toDF())
+    SnapshotTable.append(spark, tblB, Webtext.synthesize(spark, 60, partitions = 2).toDF())
+    SnapshotIngest.consume(spark, tblA, idx, numChunks = 1)
+    // same outDir, different source table: the marker's table field must
+    // refuse — snapshot ids across unrelated tables would silently no-op
+    // (prev >= cur) or diff the wrong snapshots
+    val e = intercept[IllegalArgumentException] {
+      SnapshotIngest.consume(spark, tblB, idx, numChunks = 1)
+    }
+    assert(e.getMessage.contains(tblA) && e.getMessage.contains(tblB))
+    // and the original source keeps working
+    assert(SnapshotIngest.consume(spark, tblA, idx)._3 == 0L)
+  }
+
+  test("empty append commits a readable empty snapshot; appendedSince(0) = everything since genesis") {
+    val tbl = "/tmp/gsnap-genesis"
+    rm(tbl)
+    import spark.implicits._
+    val base = Webtext.synthesize(spark, 50, partitions = 2).toDF()
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], base.schema)
+    // Spark's FileFormatWriter emits one schema-bearing empty part file even
+    // for a 0-partition plan, so this is a REAL commit — an empty snapshot
+    // that reads back as 0 rows (the 0L no-op return in append() stays as
+    // belt-and-braces for storage layers that skip empty files)
+    val s1 = SnapshotTable.append(spark, tbl, empty)
+    assert(s1 == 1L && SnapshotTable.read(spark, tbl).count() == 0L)
+    // afterId 0 is the legal GENESIS reference: diff against "nothing"
+    assert(SnapshotTable.appendedSince(spark, tbl, 0L).get.count() == 0L)
+    val s2 = SnapshotTable.append(spark, tbl, base)
+    assert(s2 == 2L)
+    assert(SnapshotTable.appendedSince(spark, tbl, 0L).get.count() == 50L)
+  }
 }

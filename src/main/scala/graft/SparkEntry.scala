@@ -97,7 +97,7 @@ object SparkEntry {
     """webtext AS (
       |  SELECT doc_id,
       |         'https://example.org/' || lang || '/' || source || '/' ||
-      |           lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+      |           printf('%08d', doc_id) AS url,
       |         TIMESTAMP '2020-01-01 00:00:00' + (doc_id * 139733) * INTERVAL 1 SECOND AS warc_ts,
       |         text, lang, source
       |  FROM documents)""".stripMargin
@@ -799,7 +799,7 @@ object SparkEntry {
       val messy = documents(s, dir).select(col("doc_id"),
         concat(
           lit("HTTPS://Example.ORG:443/"), col("lang"), lit("/"), col("source"),
-          lit("/"), lpad(col("doc_id").cast("string"), 8, "0"),
+          lit("/"), format_string("%08d", col("doc_id")),
           when(pmod(col("doc_id"), lit(4)) === 0,
             concat(lit("?UTM_Source=feed&utm_campaign=x&id="), pmod(col("doc_id"), lit(7))))
             .when(pmod(col("doc_id"), lit(4)) === 1,
@@ -1177,7 +1177,7 @@ object SparkEntry {
       s"""WITH hits AS ($inner)
          |SELECT h.doc_id, h.score,
          |       'https://example.org/' || d.lang || '/' || d.source || '/' ||
-         |         lpad(CAST(d.doc_id AS VARCHAR), 8, '0') AS url
+         |         printf('%08d', d.doc_id) AS url
          |FROM hits h JOIN documents d USING (doc_id)
          |ORDER BY h.score DESC, h.doc_id""".stripMargin
     },
@@ -1761,13 +1761,13 @@ object SparkEntry {
     "url_canonical" ->
       """SELECT doc_id,
         |  'HTTPS://Example.ORG:443/' || lang || '/' || source || '/' ||
-        |    lpad(CAST(doc_id AS VARCHAR), 8, '0') ||
+        |    printf('%08d', doc_id) ||
         |    CASE CAST(doc_id % 4 AS INT)
         |      WHEN 0 THEN '?UTM_Source=feed&utm_campaign=x&id=' || (doc_id % 7)
         |      WHEN 1 THEN '?id=' || (doc_id % 7) || '&utm_medium=em#frag'
         |      WHEN 2 THEN '#section2' ELSE '' END AS url,
         |  'https://example.org/' || lang || '/' || source || '/' ||
-        |    lpad(CAST(doc_id AS VARCHAR), 8, '0') ||
+        |    printf('%08d', doc_id) ||
         |    CASE WHEN doc_id % 4 IN (0, 1) THEN '?id=' || (doc_id % 7) ELSE '' END
         |    AS canonical,
         |  'example.org' AS host,

@@ -488,7 +488,7 @@ final class EvalApi(
       case Some(f) if f.isFile => f
       case _ => return Left((404, s"Markdown file not found: $relativePath"))
     }
-    if (!file.getName.toLowerCase.endsWith(".md"))
+    if (!file.getName.toLowerCase(java.util.Locale.ROOT).endsWith(".md"))
       return Left((400, "File must be a markdown (.md) file"))
     val content = new String(java.nio.file.Files.readAllBytes(file.toPath),
       java.nio.charset.StandardCharsets.UTF_8)
@@ -593,7 +593,7 @@ object EvalApi {
   def parseTitle(title: String): (Option[String], Option[String]) = {
     val t = devToAscii(title)
     val wordDate = DateWords.findFirstMatchIn(t).flatMap { m =>
-      MonthNums.get(m.group(2).toLowerCase.take(3)).map(mo =>
+      MonthNums.get(m.group(2).toLowerCase(java.util.Locale.ROOT).take(3)).map(mo =>
         (m, f"${m.group(1).toInt}%02d-$mo%02d-${year4(m.group(3).toInt)}%04d"))
     }
     val numDate = DateNums.findFirstMatchIn(t).collect {

@@ -24,10 +24,10 @@ final class GranthStore(val entries: Seq[GranthStore.Entry]) {
     */
   def lookup(originalFilename: String): Option[GranthStore.Entry] =
     byFile.get(originalFilename).orElse {
-      val norm = originalFilename.toLowerCase.stripSuffix(".md")
+      val norm = originalFilename.toLowerCase(java.util.Locale.ROOT).stripSuffix(".md")
       entries.find(e =>
-        e.originalFilename.toLowerCase.stripSuffix(".md") == norm ||
-          e.name.toLowerCase == norm)
+        e.originalFilename.toLowerCase(java.util.Locale.ROOT).stripSuffix(".md") == norm ||
+          e.name.toLowerCase(java.util.Locale.ROOT) == norm)
     }
 
   /** /api/granth/verse payload — Right(result) or Left(404 detail),

@@ -5,7 +5,7 @@ package graft.api
   * every router) — /api/search and /eval/scripture must never diverge on it.
   */
 private[graft] object Langs {
-  def code(l: String): String = l.toLowerCase match {
+  def code(l: String): String = l.toLowerCase(java.util.Locale.ROOT) match {
     case "hindi" => "hi"
     case "gujarati" => "gu"
     case "english" => "en"

@@ -229,8 +229,11 @@ object Webtext {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     docs.select(
       col("doc_id"),
+      // format_string, not lpad(…, 8): lpad TRUNCATES ids past 8 digits, so
+      // doc_id 123456789 and 12345678 would collide on one url (and merge
+      // under a derived docId) at ≥1e8 docs — %08d widens like genDoc's
       concat(lit("https://example.org/"), col("lang"), lit("/"), col("source"),
-        lit("/"), lpad(col("doc_id").cast("string"), 8, "0")).as("url"),
+        lit("/"), format_string("%08d", col("doc_id"))).as("url"),
       // ~1.6 days apart: 500 docs span >2 years, so year-range filters are
       // selective even at the smallest scale factor
       expr("timestamp'2020-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, doc_id * 139733)")

@@ -85,9 +85,9 @@ object MarkdownGranth {
 
   private def parseVerseHeader(h: String): Option[(String, Int, Int)] =
     "(?i)^(Shlok|Gatha|Kalash|Sutra|Chhand)\\s+(\\d+)-(\\d+)".r.findPrefixMatchOf(h)
-      .map(m => (m.group(1).toLowerCase.capitalize, m.group(2).toInt, m.group(3).toInt))
+      .map(m => (m.group(1).toLowerCase(java.util.Locale.ROOT).capitalize, m.group(2).toInt, m.group(3).toInt))
       .orElse("(?i)^(Shlok|Gatha|Kalash|Sutra|Chhand)\\s+(\\d+)".r.findPrefixMatchOf(h)
-        .map(m => (m.group(1).toLowerCase.capitalize, m.group(2).toInt, m.group(2).toInt)))
+        .map(m => (m.group(1).toLowerCase(java.util.Locale.ROOT).capitalize, m.group(2).toInt, m.group(2).toInt)))
 
   def parse(content: String): (Seq[VerseRow], Seq[ProseRow]) = {
     val bs = blocks(content)

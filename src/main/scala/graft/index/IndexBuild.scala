@@ -77,6 +77,14 @@ object IndexBuild extends Serializable {
 
   val DefaultBuckets = 64
 
+  /** Max docIds per facet ROW. Facet lists get no salting analog, so a
+    * chunk-wide value (has_date covers every doc) would otherwise pool one
+    * whole-chunk long array in a single task; slices bound that at ~32 MB.
+    * Readers union multiple rows per (lang,key,value) regardless (one per
+    * chunk), so slicing is invisible to them.
+    */
+  val FacetSliceDocs: Int = 4 * 1024 * 1024
+
   /** Unboxed per-term (tf, positions) accumulator for the tokenize pass. */
   private[index] final class TfPos(storePositions: Boolean) {
     var tf = 0
@@ -114,10 +122,15 @@ object IndexBuild extends Serializable {
             // routine in crawl tables) would collide and crash the posting
             // writer's strictly-increasing-docId invariant deep in the build.
             // Latest capture wins (standard crawl-index semantics); one
-            // url-keyed shuffle, only on this derived-id path.
+            // url-keyed shuffle, only on this derived-id path. The content
+            // hash tie-break makes EQUAL-timestamp duplicates (routine in
+            // merged WARC sets) pick a deterministic winner — row_number
+            // alone would let the signature job and each chunk job elect
+            // DIFFERENT rows, breaking the determinism contract below and
+            // spuriously invalidating every resume
             val w = org.apache.spark.sql.expressions.Window
               .partitionBy("url")
-              .orderBy(col("warc_ts").desc)
+              .orderBy(col("warc_ts").desc, xxhash64(col("text")).desc)
             d.withColumn("__rn", row_number().over(w))
               .where(col("__rn") === 1).drop("__rn")
               // mask to non-negative: posting codecs require docId >= 0
@@ -157,10 +170,11 @@ object IndexBuild extends Serializable {
     // input signature (positions mode + docs + xor of per-row content hashes,
     // warc_ts included) matches the CURRENT input for that chunk — rebuilding
     // into an existing outDir after the input changed (even timestamp-only
-    // changes: year facets and docstore timestamps derive from warc_ts), or
-    // with a different positions mode, rebuilds the stale chunks instead of
-    // silently reusing them. One agg job over the input, only paid when a
-    // manifest exists.
+    // changes: year facets and docstore timestamps derive from warc_ts)
+    // rebuilds the stale chunks instead of silently reusing them. (Positions-
+    // mode flips are refused outright below — a crash mid-flip would leave
+    // props describing a mode some chunks don't have.) One agg job over the
+    // input, only paid when a manifest exists.
     val done: Set[Int] = {
       val recorded = Manifest.doneChunks(outDir)
       if (recorded.isEmpty) Set.empty
@@ -182,6 +196,15 @@ object IndexBuild extends Serializable {
         s"$outDir was built with numChunks=${prev.numChunks}; rebuilding with " +
           s"numChunks=$numChunks would leave stale chunk partitions — use the " +
           "recorded chunking or a fresh directory")
+      // an IN-PLACE positions-mode flip is refused for the same reason props
+      // exist: props.json is rewritten below BEFORE the chunks are rebuilt,
+      // so a crash mid-flip would leave props describing a mode some chunks
+      // don't have — phrase queries would then read garbage positions on the
+      // unflipped chunks. A fresh directory makes the flip atomic.
+      require(prev.storePositions == storePositions || Manifest.rows(outDir).isEmpty,
+        s"$outDir was built with storePositions=${prev.storePositions}; " +
+          "flipping the positions mode in place is not crash-safe — rebuild " +
+          "into a fresh directory")
     }
     IndexBuild.writeProps(outDir, IndexProps(storePositions, numChunks, saltTargetPostings))
     // the term exchange needs MANY more partitions than cores: each partition
@@ -363,13 +386,14 @@ object IndexBuild extends Serializable {
           SegmentRow(k, r.lang, Math.floorMod(r.term.hashCode, DefaultBuckets),
             r.term, reader.df.toLong, reader.cf, r.blob, r.posBlob)
         }
+        var runsP: org.apache.spark.sql.Dataset[Run] = null
         val segments =
           if (heads.isEmpty) runs.map(toSegment _)
           else {
             // persist before branching: the two branches would otherwise each
             // re-run the sort+encode stage (the exchange is reused by Spark,
             // the post-shuffle map stages are not)
-            val runsP = runs.persist(StorageLevel.MEMORY_AND_DISK)
+            runsP = runs.persist(StorageLevel.MEMORY_AND_DISK)
             val direct = runsP
               .filter(r => !headsB.value.contains((r.lang, r.term)))
               .map(toSegment _)
@@ -385,15 +409,26 @@ object IndexBuild extends Serializable {
             direct.union(merged)
           }
 
-        val nTerms = spark.sparkContext.longAccumulator(s"terms-chunk-$k")
         phase(s"exchange+encode+merge+write segments c$k") {
-          segments.map { s => nTerms.add(1L); s }
+          segments
             .toDF()
             .drop("chunk") // supplied by the chunk=K partition dir on read
             .repartition(math.max(parts / 4, 1), $"term")
             .sortWithinPartitions($"lang", $"term") // parquet row-group stats → term pushdown
             .write.mode(SaveMode.Overwrite).parquet(s"$outDir/segments/chunk=$k")
         }
+        // the cached runs and the head-term broadcast are dead once the
+        // segments are on disk — on a long-lived session doing repeated
+        // mutations (each buildChunk call pins its own copies) the leak
+        // fills the block manager and evicts useful blocks
+        if (runsP != null) runsP.unpersist()
+        headsB.destroy()
+        // exact distinct-term count from the parquet footers of the segment
+        // slice just written (metadata-only, no data scan) — the previous
+        // LongAccumulator in segments.map over-counted on task retries /
+        // speculative execution (Spark guarantees exactly-once accumulator
+        // updates only inside actions)
+        val nTerms = spark.read.parquet(s"$outDir/segments/chunk=$k").count()
 
         // per-chunk term-dictionary slice (stats columns only — the blobs are
         // never read): rebuilt WITH the chunk, so mutations keep the global
@@ -417,16 +452,25 @@ object IndexBuild extends Serializable {
         metaPairs
           .as[(String, Long, String, String)]
           .groupByKey(t => (t._1, t._3, t._4))
-          .mapGroups { (key: (String, String, String), it: Iterator[(String, Long, String, String)]) =>
+          // flatMapGroups + grouped: a CHUNK-WIDE facet value (has_date is
+          // '0'/'1' for every doc by construction) must not materialize the
+          // whole chunk's docId list in one task — emit bounded SLICES, each
+          // independently sorted + delta-encoded. Every reader already
+          // unions multiple rows per (lang,key,value) (multi-chunk indexes
+          // have always produced them), so slices merge for free; at bench
+          // scale groups fit one slice and the output is byte-identical.
+          .flatMapGroups { (key: (String, String, String), it: Iterator[(String, Long, String, String)]) =>
             val (lang, fkey, value) = key
-            val ids = it.map(_._2).toArray
-            java.util.Arrays.sort(ids)
-            val deltas = new Array[Long](ids.length)
-            var prev = 0L
-            var i = 0
-            while (i < ids.length) { deltas(i) = ids(i) - prev; prev = ids(i); i += 1 }
-            FacetRow(k, lang, facetBucketOf(fkey), fkey, value,
-              ids.length.toLong, VByte.encode(deltas))
+            it.map(_._2).grouped(FacetSliceDocs).map { slice =>
+              val ids = slice.toArray
+              java.util.Arrays.sort(ids)
+              val deltas = new Array[Long](ids.length)
+              var prev = 0L
+              var i = 0
+              while (i < ids.length) { deltas(i) = ids(i) - prev; prev = ids(i); i += 1 }
+              FacetRow(k, lang, facetBucketOf(fkey), fkey, value,
+                ids.length.toLong, VByte.encode(deltas))
+            }
           }
           .toDF()
           .drop("chunk") // supplied by the chunk=K partition dir on read
@@ -435,7 +479,7 @@ object IndexBuild extends Serializable {
 
         tokenized.unpersist()
         val wallMs = (System.nanoTime() - t0) / 1000000
-        ManifestRow(k, "done", nDocs, nTokens, nTerms.value, inputSig, wallMs)
+        ManifestRow(k, "done", nDocs, nTokens, nTerms, inputSig, wallMs)
       }
     }
   }
@@ -456,6 +500,72 @@ object IndexBuild extends Serializable {
     Seq("segments_compact", "facets_compact").foreach { sub =>
       TableIO.deleteRecursive(s"$outDir/$sub")
     }
+
+  // ---- mutation journal: crash-safe chunk rewrites ----
+  // A mutation rewrites a chunk with SEVERAL jobs (docstore overwrite, then
+  // segments, termdict slice, facets); a crash in between leaves the chunk
+  // internally inconsistent while its old manifest row still reads "done" —
+  // queries would resurrect deleted docIds whose payload rows are gone, and
+  // re-running the same deleteByQuery would no-op (the docstore no longer
+  // matches the predicate). The journal closes that window: the rewrite
+  // input is materialized to a tmp dir FIRST, a pending entry names it, and
+  // the entry is cleared only after the manifest commit. Replaying
+  // buildChunk from the tmp input is idempotent, so recovery at any crash
+  // point converges. Serving refuses a journaled index (IndexHandle.load).
+
+  private def pendingPath(outDir: String) = s"$outDir/mutation_pending.json"
+
+  /** Chunk with an interrupted (journaled but uncommitted) mutation, if any. */
+  def pendingMutation(outDir: String): Option[Int] =
+    TableIO.readString(pendingPath(outDir)).flatMap { txt =>
+      val m = java.util.regex.Pattern.compile("\"chunk\":\\s*(\\d+)").matcher(txt)
+      if (m.find()) Some(m.group(1).toInt) else None
+    }
+
+  /** Replay an interrupted mutation from its journaled tmp input. Returns
+    * true if a pending rewrite was found and completed. Called automatically
+    * at the start of every mutation and of [[compact]].
+    */
+  def recoverPendingMutation(spark: SparkSession, outDir: String): Boolean =
+    pendingMutation(outDir) match {
+      case None => false
+      case Some(k) =>
+        val tmp = s"$outDir/tmp_rewrite_chunk_$k"
+        require(TableIO.exists(tmp),
+          s"$outDir journals an interrupted mutation on chunk $k but its " +
+            s"rewrite input $tmp is gone — restore it or rebuild the index")
+        val props = resolveProps(spark, outDir)
+        println(s"[build] recovering interrupted mutation on chunk $k of $outDir")
+        Manifest.append(outDir,
+          buildChunk(spark, spark.read.parquet(tmp), outDir, k,
+            props.saltTargetPostings, storePositions = props.storePositions))
+        finalizeStats(spark, outDir)
+        TableIO.deleteRecursive(pendingPath(outDir))
+        TableIO.deleteRecursive(tmp)
+        true
+    }
+
+  /** Run one journaled chunk rewrite: materialize `input` to the chunk's tmp
+    * dir, journal it, rebuild the chunk, commit, clear. Shared by
+    * deleteByQuery and reindexDocs.
+    */
+  private def journaledRewrite(spark: SparkSession, outDir: String, k: Int,
+      input: DataFrame, salt: Int, storePositions: Boolean): Unit = {
+    val tmp = s"$outDir/tmp_rewrite_chunk_$k"
+    // materialize the rewrite input OUTSIDE the dirs being overwritten (a
+    // lazy self-overwriting read would corrupt the chunk) BEFORE journaling:
+    // a crash during this write leaves no journal and an untouched chunk
+    input.write.mode(SaveMode.Overwrite).parquet(tmp)
+    TableIO.writeStringAtomic(pendingPath(outDir), s"""{"chunk": $k}""")
+    Manifest.append(outDir,
+      buildChunk(spark, spark.read.parquet(tmp), outDir, k, salt,
+        storePositions = storePositions))
+    // clear the journal BEFORE deleting the tmp input: the reverse order
+    // could strand a journal pointing at nothing (unrecoverable); this order
+    // at worst leaves an orphan tmp dir the next mutation overwrites
+    TableIO.deleteRecursive(pendingPath(outDir))
+    TableIO.deleteRecursive(tmp)
+  }
 
   /** Auto-compaction policy: every mutation drops the compacted read caches
     * and leaves per-term posting runs split across chunk dirs, so query and
@@ -494,6 +604,7 @@ object IndexBuild extends Serializable {
   def deleteByQuery(spark: SparkSession, outDir: String, pred: org.apache.spark.sql.Column,
       saltTargetPostings: Int = -1): Unit = {
     import spark.implicits._
+    recoverPendingMutation(spark, outDir)
     dropCompacted(outDir)
     // rebuild with the RECORDED build mode, not API defaults (a mixed
     // positions/no-positions index would be silently wrong)
@@ -502,20 +613,13 @@ object IndexBuild extends Serializable {
     val store = spark.read.parquet(s"$outDir/docstore")
     val affected = store.where(pred).select($"chunk").distinct().as[Int].collect().sorted
     affected.foreach { k =>
-      // materialize the remainder OUTSIDE the dir being overwritten (a lazy
-      // self-overwriting read would corrupt the chunk)
-      val tmp = s"$outDir/tmp_rewrite_chunk_$k"
       // three-valued logic: a NULL predicate (e.g. a missing meta key) must
       // KEEP the doc — bare `!pred` is NULL there and would silently delete
       // every non-matching doc the predicate can't evaluate
-      store.where($"chunk" === k && !coalesce(pred, lit(false)))
-        .select($"docId", $"url", $"warc_ts", $"text", $"lang", $"meta")
-        .write.mode(SaveMode.Overwrite).parquet(tmp)
-      val remaining = spark.read.parquet(tmp)
-      Manifest.append(outDir,
-        buildChunk(spark, remaining, outDir, k, salt,
-          storePositions = props.storePositions))
-      TableIO.deleteRecursive(tmp)
+      journaledRewrite(spark, outDir, k,
+        store.where($"chunk" === k && !coalesce(pred, lit(false)))
+          .select($"docId", $"url", $"warc_ts", $"text", $"lang", $"meta"),
+        salt, props.storePositions)
     }
     finalizeStats(spark, outDir)
     noteMutation(spark, outDir)
@@ -529,26 +633,29 @@ object IndexBuild extends Serializable {
   def reindexDocs(spark: SparkSession, outDir: String, docs: DataFrame,
       numChunks: Int = -1, saltTargetPostings: Int = -1): Unit = {
     import spark.implicits._
+    recoverPendingMutation(spark, outDir)
     dropCompacted(outDir)
     val props = resolveProps(spark, outDir)
     val salt = if (saltTargetPostings > 0) saltTargetPostings else props.saltTargetPostings
+    // the override exists only for pre-props legacy indexes — a value that
+    // DISAGREES with the recorded chunking would route incoming docs to
+    // docId mod N' chunks while their old versions stay in docId mod N ones:
+    // duplicate docs, double-counted df, broken chunk disjointness
+    require(numChunks <= 0 || numChunks == props.numChunks,
+      s"$outDir is chunked numChunks=${props.numChunks}; reindexDocs with " +
+        s"numChunks=$numChunks would duplicate documents across chunk layouts")
     val chunks = if (numChunks > 0) numChunks else props.numChunks
     val incoming = normalizeInput(docs)
       .withColumn("chunk", pmod(col("docId"), lit(chunks)).cast("int"))
     val store = spark.read.parquet(s"$outDir/docstore")
     val affected = incoming.select($"chunk").distinct().as[Int].collect().sorted
     affected.foreach { k =>
-      val tmp = s"$outDir/tmp_rewrite_chunk_$k"
       val incomingK = incoming.where($"chunk" === k).drop("chunk")
       val keep = store.where($"chunk" === k)
         .select($"docId", $"url", $"warc_ts", $"text", $"lang", $"meta")
         .join(incomingK.select($"docId"), Seq("docId"), "left_anti")
-      keep.union(incomingK).write.mode(SaveMode.Overwrite).parquet(tmp)
-      val merged = spark.read.parquet(tmp)
-      Manifest.append(outDir,
-        buildChunk(spark, merged, outDir, k, salt,
-          storePositions = props.storePositions))
-      TableIO.deleteRecursive(tmp)
+      journaledRewrite(spark, outDir, k, keep.union(incomingK), salt,
+        props.storePositions)
     }
     finalizeStats(spark, outDir)
     noteMutation(spark, outDir)
@@ -684,6 +791,9 @@ object IndexBuild extends Serializable {
     */
   def compact(spark: SparkSession, outDir: String): Unit = {
     import spark.implicits._
+    // compacting over a journaled (half-rewritten) chunk would bake the
+    // inconsistency into the read caches — replay the rewrite first
+    recoverPendingMutation(spark, outDir)
     val parts = spark.sparkContext.defaultParallelism
     val segs = spark.read.parquet(s"$outDir/segments").as[SegmentRow]
     segs
@@ -699,21 +809,29 @@ object IndexBuild extends Serializable {
       .sortWithinPartitions($"lang", $"term")
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/segments_compact")
     // facets likewise
+    // lazily decode and re-slice: materializing ONE corpus-wide array per
+    // value (the old shape) is exactly the unbounded-task-memory pattern the
+    // per-chunk FacetSliceDocs slicing exists to prevent — a compact of a
+    // 100-TB index would pool every doc of a chunk-wide value in one task.
+    // Iterator.flatMap keeps at most one decoded input row + one output
+    // slice in memory; readers union the slices like any multi-row value.
     spark.read.parquet(s"$outDir/facets").as[FacetRow]
       .groupByKey(f => (f.lang, f.key, f.value))
-      .mapGroups { (key: (String, String, String), rs: Iterator[FacetRow]) =>
-        val all = rs.flatMap { f =>
+      .flatMapGroups { (key: (String, String, String), rs: Iterator[FacetRow]) =>
+        rs.flatMap { f =>
           val deltas = VByte.decode(f.docIds, f.df.toInt)
           var prev = 0L
-          deltas.map { d => prev += d; prev }
-        }.toArray
-        java.util.Arrays.sort(all)
-        val deltas = new Array[Long](all.length)
-        var prev = 0L
-        var i = 0
-        while (i < all.length) { deltas(i) = all(i) - prev; prev = all(i); i += 1 }
-        FacetRow(-1, key._1, facetBucketOf(key._2), key._2, key._3,
-          all.length.toLong, VByte.encode(deltas))
+          deltas.iterator.map { d => prev += d; prev }
+        }.grouped(FacetSliceDocs).map { slice =>
+          val ids = slice.toArray
+          java.util.Arrays.sort(ids)
+          val deltas = new Array[Long](ids.length)
+          var prev = 0L
+          var i = 0
+          while (i < ids.length) { deltas(i) = ids(i) - prev; prev = ids(i); i += 1 }
+          FacetRow(-1, key._1, facetBucketOf(key._2), key._2, key._3,
+            ids.length.toLong, VByte.encode(deltas))
+        }
       }
       .toDF()
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/facets_compact")
@@ -798,13 +916,22 @@ object Manifest {
     * year facets, Q5 date behavior and docstore timestamps all derive from it,
     * so a timestamp-only input change must invalidate the chunk (v3 bump).
     */
-  val RowHashExpr = "bit_xor(xxhash64(docId, url, warc_ts, text, map_entries(meta)))"
+  // sort_array: the recorded sig is computed AFTER buildChunk's typed-map
+  // roundtrip (scala HashMap iteration order) while the resume-side sig runs
+  // on the raw input (stored entry order) — for meta maps of 5+ keys the two
+  // orders differ, and an order-SENSITIVE hash would mismatch on every
+  // resume, silently disabling the checksum-skip. Sorting the entries makes
+  // the hash order-free on both sides. (v4: the scheme change itself
+  // invalidates v3 manifests — one deliberate full rebuild on old indexes.)
+  val RowHashExpr =
+    "bit_xor(xxhash64(docId, url, warc_ts, text, sort_array(map_entries(meta))))"
 
-  /** Signature format "v3:<p|n>:<docCount>:<xor of row hashes>" — the
-    * positions-mode prefix makes a mode flip rebuild every chunk.
+  /** Signature format "v4:<p|n>:<docCount>:<xor of row hashes>" — the
+    * positions-mode prefix distinguishes the modes in emptySig comparisons
+    * (in-place mode flips themselves are refused at build entry).
     */
   def sig(storePositions: Boolean, docs: Long, xor: Long): String =
-    s"v3:${if (storePositions) "p" else "n"}:$docs:$xor"
+    s"v4:${if (storePositions) "p" else "n"}:$docs:$xor"
 
   def emptySig(storePositions: Boolean): String = sig(storePositions, 0L, 0L)
 

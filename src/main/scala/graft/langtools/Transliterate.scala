@@ -80,7 +80,7 @@ object Transliterate {
     * alternative cost (then lexicographic), truncated to topk, deduped.
     */
   def variants(word: String, lang: String, topk: Int): Seq[String] = {
-    val w = word.toLowerCase
+    val w = word.toLowerCase(java.util.Locale.ROOT)
     if (w.isEmpty) return Nil
     val (cons, matras, vowels) = lang match {
       case "hi" => (hiCons, hiMatras, hiVowels)

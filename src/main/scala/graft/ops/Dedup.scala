@@ -50,7 +50,7 @@ object Dedup {
   /** Word n-gram shingle set per doc (distinct shingles). */
   def shingles(docs: DataFrame, n: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toShingles = udf { (text: String) =>
-      val w = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val w = text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty)
       if (w.length < n) Seq.empty[String]
       else w.sliding(n).map(_.mkString(" ")).toSeq.distinct
     }
@@ -141,7 +141,7 @@ object Dedup {
     val as = Array.tabulate(nh)(i => ((i + 1).toLong * 506952114L + 12345L) % P)
     val bs = Array.tabulate(nh)(i => (i.toLong * 40503L + 271828183L) % P)
     val sigUdf = udf { (text: String) =>
-      val w = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val w = text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty)
       if (w.length < ng) Seq.empty[Long]
       else {
         val sig = Array.fill(nh)(Long.MaxValue)
@@ -208,7 +208,7 @@ object Dedup {
   /** Exact word-n-gram Jaccard of two texts (distinct shingles). */
   def exactJaccard(ta: String, tb: String, n: Int): Double = {
     def set(t: String): Set[String] = {
-      val w = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val w = t.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty)
       if (w.length < n) Set.empty[String]
       else w.sliding(n).map(_.mkString(" ")).toSet
     }
@@ -336,7 +336,7 @@ object Dedup {
     * fully recomputable by the DuckDB oracle, see [[md5Low60]]).
     */
   def simhash60(text: String): Long = {
-    val w = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    val w = text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty)
     val acc = new Array[Int](60)
     val md = java.security.MessageDigest.getInstance("MD5")
     w.foreach { t =>
@@ -361,7 +361,7 @@ object Dedup {
     // all hash to the same value and pair up as hamming-0 "duplicates"
     // with no shared content, at quadratic join cost
     val shUdf = udf { (text: String) =>
-      if (text.toLowerCase.split("[^a-z0-9]+").exists(_.nonEmpty))
+      if (text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").exists(_.nonEmpty))
         Some(simhash60(text))
       else None
     }

@@ -83,7 +83,7 @@ object TextAnalysis {
     * fingerprints for near-dup/plagiarism-style matching.
     */
   def winnow(text: String, k: Int = 8, w: Int = 16): Array[Long] = {
-    val s = text.toLowerCase.replaceAll("\\s+", " ")
+    val s = text.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
     if (s.length < k) return Array.empty
     val B = 257L
     var pow = 1L

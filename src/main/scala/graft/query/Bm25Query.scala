@@ -73,6 +73,16 @@ case class IndexHandle(dir: String, stats: Map[String, (Long, Long)]) {
 
 object IndexHandle {
   def load(dir: String): IndexHandle = {
+    // a mutation journal entry means a deleteByQuery/reindexDocs died
+    // between its docstore overwrite and its manifest commit — that chunk's
+    // postings and docstore disagree (deleted docs would resurrect with
+    // missing payloads). Refuse to serve; the next mutation (or
+    // IndexBuild.recoverPendingMutation) replays the journaled rewrite.
+    graft.index.IndexBuild.pendingMutation(dir).foreach { k =>
+      sys.error(s"$dir has an interrupted mutation on chunk $k — run " +
+        "IndexBuild.recoverPendingMutation (or any mutation, which recovers " +
+        "first) before serving")
+    }
     val txt = graft.index.TableIO.readString(s"$dir/stats.json")
       .getOrElse(sys.error(s"no stats.json under $dir — index not finalized"))
     // [^"]+ not \w+: lang codes like "pt-br"/"zh-hant" must not silently

@@ -543,4 +543,37 @@ class IndexBuildSpec extends AnyFunSuite {
       assert(!new java.io.File(s"$dir/segments_compact").exists())
     } finally IndexBuild.AutoCompactEvery = prev
   }
+
+  test("interrupted mutation: journal blocks serving, recovery replays and converges") {
+    import org.apache.spark.sql.functions._
+    val dir = "/tmp/gidx-journal"
+    val fresh = "/tmp/gidx-journal-fresh"
+    rm(dir); rm(fresh)
+    val corpus = Webtext.synthesize(spark, 400, partitions = 3).toDF()
+    IndexBuild.build(spark, corpus, dir, numChunks = 2)
+    // simulate deleteByQuery(docId < 40) dying mid-rewrite of chunk 0: the
+    // rewrite input is journaled (tmp + pending entry) but the chunk's
+    // tables are inconsistent (segments gone, as if the overwrite died)
+    val remainder = IndexBuild.normalizeInput(corpus)
+      .where(pmod(col("docId"), lit(2)) === 0 && col("docId") >= 40)
+    remainder.write.mode("overwrite").parquet(s"$dir/tmp_rewrite_chunk_0")
+    TableIO.writeStringAtomic(s"$dir/mutation_pending.json", """{"chunk": 0}""")
+    rm(s"$dir/segments/chunk=0")
+    // serving refuses the journaled index instead of resurrecting deleted docs
+    val e = intercept[RuntimeException](graft.query.IndexHandle.load(dir))
+    assert(e.getMessage.contains("interrupted mutation"))
+    // recovery replays the journaled rewrite and clears the journal
+    assert(IndexBuild.recoverPendingMutation(spark, dir))
+    assert(IndexBuild.pendingMutation(dir).isEmpty)
+    assert(!new java.io.File(s"$dir/tmp_rewrite_chunk_0").exists())
+    assert(!IndexBuild.recoverPendingMutation(spark, dir)) // idempotent no-op
+    // the recovered index equals a fresh build over the post-delete corpus
+    IndexBuild.build(spark,
+      corpus.where(!(pmod(col("docId"), lit(2)) === 0 && col("docId") < 40)),
+      fresh, numChunks = 2)
+    assert(postingsFingerprint(dir, compacted = false) ==
+      postingsFingerprint(fresh, compacted = false))
+    // and serving works again
+    assert(graft.query.IndexHandle.load(dir).stats.nonEmpty)
+  }
 }

@@ -29,18 +29,27 @@ object Hygiene {
     val host = when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
       .when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
       .otherwise(hostPort)
+    // tracking params live in the QUERY only — '&' is a legal PATH character
+    // ("/a&utm_source=x" with no '?' is a real resource, not a tracker), so
+    // split at the first '?' and clean only the query side
+    val path = regexp_extract(rest, "^([^?]*)", 1)
+    val query = regexp_extract(rest, "(\\?.*)$", 1)
     // param names match case-insensitively (UTM_SOURCE= is the same tracker
     // as utm_source=); host/scheme are lowercased above for the same reason
-    val noTrack = regexp_replace(rest, "([?&])(?i:utm_[a-z]+|fbclid|gclid)=[^&#]*", "$1")
+    val noTrack = regexp_replace(query, "([?&])(?i:utm_[a-z]+|fbclid|gclid)=[^&#]*", "$1")
     // "$1" keeps the leading separator; collapse the debris it leaves.
     // Order matters: two adjacent tracking params leave "?&&x" — runs of
     // '&' must collapse before the '?&' join is repaired.
-    val clean = regexp_replace(regexp_replace(regexp_replace(
+    val cleanQ = regexp_replace(regexp_replace(regexp_replace(
       noTrack, "&&+", "&"), "\\?&", "?"), "[?&]$", "")
     // scheme-less input: every extract above returns "" and all such urls
     // would collapse to the literal "://" — one canonical key merging
-    // genuinely distinct resources; pass them through unchanged instead
-    when(url.contains("://"), concat(scheme, lit("://"), host, clean))
+    // genuinely distinct resources; pass them through unchanged instead.
+    // The guard must be the SAME anchored scheme match the extraction uses:
+    // a bare contains("://") passes "url=https://a.com"-style strings whose
+    // anchored extracts are all empty, collapsing them to "://" anyway
+    when(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", 0) =!= "",
+      concat(scheme, lit("://"), host, path, cleanQ))
       .otherwise(url)
   }
 

@@ -50,12 +50,20 @@ case class IndexHandle(dir: String, stats: Map[String, (Long, Long)]) {
   def numDocs(lang: String): Long = stats.get(lang).map(_._1).getOrElse(0L)
   def avgdl(lang: String): Double =
     stats.get(lang).map { case (d, t) => if (d == 0) 0.0 else t.toDouble / d }.getOrElse(0.0)
+  // the compacted caches are preferred only when BOTH exist: compaction
+  // writes them in two jobs (segments first) and dropCompacted deletes them
+  // in two steps — an independent per-path fallback in either window would
+  // key kernels by compact chunk -1 while facets still carry 0..n-1 (or the
+  // reverse), and every filtered query would silently return 0 hits
+  // lazy val, not def: pinned on first use so one handle never flips source
+  // mid-query (a handle is bound to one index version by contract)
+  @transient private lazy val compactComplete: Boolean =
+    graft.index.TableIO.exists(s"$dir/segments_compact") &&
+      graft.index.TableIO.exists(s"$dir/facets_compact")
   def segmentsPath: String =
-    if (graft.index.TableIO.exists(s"$dir/segments_compact")) s"$dir/segments_compact"
-    else s"$dir/segments"
+    if (compactComplete) s"$dir/segments_compact" else s"$dir/segments"
   def facetsPath: String =
-    if (graft.index.TableIO.exists(s"$dir/facets_compact")) s"$dir/facets_compact"
-    else s"$dir/facets"
+    if (compactComplete) s"$dir/facets_compact" else s"$dir/facets"
   /** Materialized term dictionary (absent only on pre-termdict indexes). */
   def termdictPath: Option[String] =
     if (graft.index.TableIO.exists(s"$dir/termdict")) Some(s"$dir/termdict") else None
@@ -243,7 +251,10 @@ object Bm25Query {
           .toMap
         val qset = terms.map(_._1).toSet
         page.toSeq.map { sd =>
-          val (url, text) = docs(sd.docId)
+          // a winner can be missing from the docstore when a mutation
+          // overwrites the chunk between the kernel pass and this fetch —
+          // degrade to an empty payload like the resident path, don't 500
+          val (url, text) = docs.getOrElse(sd.docId, ("", ""))
           Hit(sd.docId, sd.score, url, q.lang, highlight(text, q.lang, qset))
         }
       }
@@ -301,6 +312,11 @@ object Bm25Query {
       else afterMode.join(postingDocIds(spark, idx, q.lang, exTerms),
         Seq("docId"), "left_anti")
     }
+    // same ambiguity guard as QueryCore.context: two "year" entries in
+    // facetSel would OR where the paged path refuses and the oracle ANDs
+    require(!(q.metaFilters.contains("year") && q.yearRange.isDefined),
+      "metaFilters(\"year\") combined with yearRange is ambiguous — " +
+        "express the year constraint once")
     val facetSel: Seq[(String, Seq[String])] =
       q.metaFilters.toSeq ++ q.yearRange.map { case (a, b) =>
         "year" -> (a to b).map(_.toString)

@@ -48,9 +48,15 @@ final class TopK(k: Int) {
       if (c != 0) c else java.lang.Long.compare(b.docId, a.docId) // min-heap: "worst" first
     })
   def size: Int = heap.size
-  def threshold: Double = if (heap.size < k) Double.NegativeInfinity else heap.peek().score
+  // k <= 0 (pageSize 0 = count-only, like OpenSearch size:0) keeps nothing
+  // but must not PRUNE: the heap never fills, the threshold stays -inf so
+  // WAND scores every match and hit counts stay exact, and offer is a no-op
+  // — heap.peek() on the empty heap would otherwise NPE on the first match
+  def threshold: Double =
+    if (k <= 0 || heap.size < k) Double.NegativeInfinity else heap.peek().score
   def offer(d: ScoredDoc): Unit = {
-    if (heap.size < k) heap.add(d)
+    if (k <= 0) ()
+    else if (heap.size < k) heap.add(d)
     else {
       val w = heap.peek()
       if (d.score > w.score || (d.score == w.score && d.docId < w.docId)) {

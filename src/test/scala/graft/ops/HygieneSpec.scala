@@ -44,6 +44,26 @@ class HygieneSpec extends AnyFunSuite {
       Seq("www.example.com/a", "other.org/b", "https://ok.com/x"))
   }
 
+  test("canonicalUrl: unanchored '://' passes through; '&' in a query-less path is not a tracker") {
+    assert(canon(
+      // contain "://" but do NOT start with a scheme — must pass through,
+      // not collapse to the shared key "://"
+      " https://leading-space.com/a",
+      "url=https://wrapped.com/b",
+      "//cdn.example.com/p?ref=https://c",
+      // '&' is a legal PATH char: with no '?', nothing is a tracking param
+      "http://h/a&utm_source=x",
+      // ...but the same tracker AFTER '?' still strips
+      "http://h/a?utm_source=x"
+    ) == Seq(
+      " https://leading-space.com/a",
+      "url=https://wrapped.com/b",
+      "//cdn.example.com/p?ref=https://c",
+      "http://h/a&utm_source=x",
+      "http://h/a"
+    ))
+  }
+
   test("hostOf / registrableDomain") {
     val r = Seq("https://A.B.Example.co:8080/p?q=1")
       .toDF("url")

@@ -470,4 +470,17 @@ class RankParitySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("pageSize 0 = count-only (OpenSearch size:0): empty page, exact totals, both modes") {
+    val full = Bm25Query.search(spark, idx, QuerySpec("hi", hiPhrase))
+    Seq("all", "any").foreach { m =>
+      val zero = Bm25Query.search(spark, idx, QuerySpec("hi", hiPhrase, mode = m, pageSize = 0))
+      assert(zero.hits.isEmpty, s"mode=$m")
+      // counts must stay exact — k=0 must not arm WAND pruning (threshold
+      // stays -inf so every match is still counted)
+      val expect = Bm25Query.search(spark, idx, QuerySpec("hi", hiPhrase, mode = m)).totalHits
+      assert(zero.totalHits == expect, s"mode=$m: ${zero.totalHits} vs $expect")
+    }
+    assert(full.hits.nonEmpty)
+  }
 }

@@ -391,8 +391,16 @@ final class EvalApi(
         job.status = "completed"
       }
     } catch {
-      case e: Exception =>
-        jobsLock.synchronized { job.error = Some(e.getMessage); job.status = "failed" }
+      // Throwable, not Exception: an Error (OOM in the per-group collect,
+      // StackOverflow) must still move the job out of "processing", or the
+      // jobs-map entry and its eval_batch_* temp dir leak forever (status
+      // polls report "processing" indefinitely and cleanupOldJobs only
+      // collects terminal states)
+      case t: Throwable =>
+        jobsLock.synchronized {
+          job.error = Some(Option(t.getMessage).getOrElse(t.getClass.getName))
+          job.status = "failed"
+        }
     }
   }
 

@@ -477,14 +477,23 @@ final class SearchHttpServer(
           respond(ex, 503, JObject("detail" ->
             JString("similar-documents not configured (no embedding column loaded)")))
         case Some(sd) =>
-          val pairs = idStr.toLongOption.map(sd.similar(_, size = 10)).getOrElse(Nil)
-          val payloads = mem.docPayloads(pairs.map(_._1))
-          val results = pairs.flatMap { case (id, sim) =>
-            payloads.get(id).map(payloadJson(_, sim))
+          idStr.toLongOption match {
+            case None =>
+              // malformed id is a client error (the reference's int path
+              // param rejects it) — only a PARSEABLE unknown/no-vector doc
+              // takes the 200-empty path below
+              respond(ex, 404, JObject("detail" ->
+                JString("Invalid document id.")))
+            case Some(docId) =>
+              val pairs = sd.similar(docId, size = 10)
+              val payloads = mem.docPayloads(pairs.map(_._1))
+              val results = pairs.flatMap { case (id, sim) =>
+                payloads.get(id).map(payloadJson(_, sim))
+              }
+              respond(ex, 200, JObject(
+                "total_results" -> JInt(results.size),
+                "results" -> JArray(results.toList)))
           }
-          respond(ex, 200, JObject(
-            "total_results" -> JInt(results.size),
-            "results" -> JArray(results.toList)))
       }
     }
   }
@@ -698,12 +707,12 @@ object SearchHttpServer {
     if (noDelaySet.compareAndSet(false, true))
       System.setProperty("sun.net.httpserver.nodelay", "true")
 
-  /** Default feedback sink: a bounded in-memory queue, oldest rows dropped
-    * when full (delivery never starts failing on a long-lived node).
-    */
   /** Deepest servable page (OpenSearch index.max_result_window default). */
   val MaxResultWindow: Long = 10000L
 
+  /** Default feedback sink: a bounded in-memory queue, oldest rows dropped
+    * when full (delivery never starts failing on a long-lived node).
+    */
   val defaultFeedbackBuffer = new java.util.concurrent.LinkedBlockingQueue[String](10000)
   def bufferFeedback(row: String): Unit = {
     while (!defaultFeedbackBuffer.offer(row)) defaultFeedbackBuffer.poll()

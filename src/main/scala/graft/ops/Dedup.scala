@@ -50,9 +50,13 @@ object Dedup {
   /** Word n-gram shingle set per doc (distinct shingles). */
   def shingles(docs: DataFrame, n: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toShingles = udf { (text: String) =>
-      val w = text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty)
-      if (w.length < n) Seq.empty[String]
-      else w.sliding(n).map(_.mkString(" ")).toSeq.distinct
+      // a NULL text row contributes no shingles, never NPEs the job
+      if (text == null) Seq.empty[String]
+      else {
+        val w = text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty)
+        if (w.length < n) Seq.empty[String]
+        else w.sliding(n).map(_.mkString(" ")).toSeq.distinct
+      }
     }
     docs.select(col(idCol).as("doc_id"), explode(toShingles(col(textCol))).as("shingle"))
   }
@@ -141,7 +145,9 @@ object Dedup {
     val as = Array.tabulate(nh)(i => ((i + 1).toLong * 506952114L + 12345L) % P)
     val bs = Array.tabulate(nh)(i => (i.toLong * 40503L + 271828183L) % P)
     val sigUdf = udf { (text: String) =>
-      val w = text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty)
+      // NULL text → no signature (row drops out), same convention as shingles
+      val w = if (text == null) Array.empty[String]
+        else text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty)
       if (w.length < ng) Seq.empty[Long]
       else {
         val sig = Array.fill(nh)(Long.MaxValue)
@@ -361,7 +367,8 @@ object Dedup {
     // all hash to the same value and pair up as hamming-0 "duplicates"
     // with no shared content, at quadratic join cost
     val shUdf = udf { (text: String) =>
-      if (text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").exists(_.nonEmpty))
+      if (text != null &&
+          text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").exists(_.nonEmpty))
         Some(simhash60(text))
       else None
     }
@@ -383,6 +390,9 @@ object Dedup {
     * doc_id % dupEvery == 0 gets a near-copy (id + 1,000,000, text + suffix)
     * and every doc with doc_id % exactEvery == 0 an exact copy (id + 2,000,000).
     * Pure column arithmetic so DuckDB can rebuild it identically.
+    * Precondition: base doc_ids must be < 1,000,000 (the planted id spaces),
+    * or a planted copy silently shares an id with an unrelated base doc —
+    * callers with synthetic corpora guard this (see ScaleLadder.docsAt).
     */
   def withPlantedDups(docs: DataFrame, dupEvery: Int = 17, exactEvery: Int = 23): DataFrame = {
     val near = docs.filter(pmod(col("doc_id"), lit(dupEvery)) === 0)

@@ -112,7 +112,8 @@ object TextAnalysis {
     out.toArray
   }
 
-  val winnowUdf = udf((text: String) => winnow(text).toSeq)
+  val winnowUdf =
+    udf((text: String) => if (text == null) Seq.empty[Long] else winnow(text).toSeq)
 
   /** Split each document into overlapping fixed-token training windows —
     * the standard sequence-prep op before packing/tokenizing a pre-training

@@ -94,8 +94,10 @@ object FleetLadder {
           }
         })
       }
-      futs.foreach(_.get())
-      pool.shutdown()
+      // shutdown in finally: a failed query must fail the ladder loudly, not
+      // leave non-daemon pool threads parked so the JVM never exits
+      try futs.foreach(_.get())
+      finally pool.shutdown()
       qpsQueries / ((System.nanoTime() - t0) / 1e9)
     }
 

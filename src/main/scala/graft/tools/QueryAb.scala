@@ -46,8 +46,7 @@ object QueryAb {
       java.nio.file.Files.readAllBytes(tagFile.toPath),
       java.nio.charset.StandardCharsets.UTF_8) == tag
     if (!done.exists() || !tagOk) {
-      val d = new java.io.File(dir)
-      if (d.exists()) scala.reflect.io.Directory(d).deleteRecursively()
+      CpuProbe.rmDir(dir)
       import spark.implicits._
       graft.index.IndexBuild.build(spark,
         graft.corpus.Webtext.synthesize(spark, docs).toDF().drop("html"),

@@ -121,6 +121,11 @@ object ScaleLadder {
 
     // materialize inputs OUTSIDE the timed window (input is a table)
     def docsAt(mult: Long): DataFrame = {
+      // withPlantedDups plants near/exact copies at +1,000,000 / +2,000,000 —
+      // base ids must stay below that space or unrelated texts silently share
+      // a doc_id and corrupt the pair counts (same guard as synthEmbeddings)
+      require(nDocs * mult <= 1000000L,
+        s"docsAt: ${nDocs * mult} docs would collide base ids with the planted-dup id space (>= 1M)")
       val p = s"$localDir/docs_$mult"
       if (!new java.io.File(p).exists())
         Dedup.withPlantedDups(synthDocs(spark, nDocs * mult)).write.parquet(p)

@@ -36,10 +36,8 @@ object ScalingBench {
       s
     }
 
-    def rm(p: String): Unit = {
-      val d = new java.io.File(p)
-      if (d.exists()) scala.reflect.io.Directory(d).deleteRecursively()
-    }
+    // one shared recursive-delete implementation for all bench/ladder tools
+    def rm(p: String): Unit = CpuProbe.rmDir(p)
 
     // JIT warmup on a small corpus so the first timed run isn't penalized
     locally {
@@ -67,9 +65,14 @@ object ScalingBench {
       rm(dir)
       // pre-materialized corpus (UNTIMED): the engine's input is a table
       val corpusDir = s"/dev/shm/graft_scale_corpus_$docs"
-      if (!new java.io.File(corpusDir).exists())
+      // reuse only a COMPLETE corpus (_SUCCESS marker): a killed prior run
+      // leaves a partial parquet dir whose silent reuse would fabricate the
+      // scaling numbers this tool exists to publish
+      if (!new java.io.File(corpusDir, "_SUCCESS").isFile) {
+        rm(corpusDir)
         Webtext.synthesize(s, docs, partitions = 128).toDF()
           .drop("html").write.parquet(corpusDir)
+      }
       val corpus = s.read.parquet(corpusDir)
       val (tot0, st0) = cpuStat()
       val t0 = System.nanoTime()

@@ -326,4 +326,21 @@ class OpsSpec extends AnyFunSuite {
     val out = MultiModal.decodeMedia(spark, bad).collect()
     out.foreach { r => assert(r.getString(3) == "invalid" && r.getInt(1) == -1) }
   }
+
+  test("dedup + winnow: NULL text rows drop out instead of NPE-ing the job") {
+    val withNull = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, null.asInstanceOf[String]),
+      (4L, "")).toDF("doc_id", "text")
+    // each of these paths previously called text.toLowerCase inside a UDF
+    assert(Dedup.shingles(withNull, 3).filter($"doc_id" >= 3L).count() == 0)
+    assert(Dedup.minhashNearDupPairs(withNull, n = 3, numHashes = 16, bands = 8,
+      threshold = 0.7).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    val sh = Dedup.simhashPairs(withNull, maxHamming = 6).collect()
+    assert(sh.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    val fp = withNull.select($"doc_id", TextAnalysis.winnowUdf($"text").as("fp"))
+      .filter($"doc_id" === 3L).collect()
+    assert(fp.length == 1 && fp(0).getSeq[Long](1).isEmpty)
+  }
 }

@@ -5,6 +5,9 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    // parity artifacts must not depend on the host locale (digit glyphs,
+    // decimal separators) — same pin as Bench and the tools mains
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     require(args.length == 2,
       s"usage: graft.Verify <sfDir> <outDir> (got ${args.length} args: ${args.mkString(" ")})")
     val Array(sfDir, outDir) = args

@@ -368,7 +368,7 @@ final class EvalApi(
         group.zip(texts).foreach { case ((_, idx), paras) =>
           val pageText = paras.mkString("\n\n----\n\n") // ocr.py:273
           java.nio.file.Files.write(
-            new java.io.File(outDir, f"page_${idx + 1}%04d.txt").toPath, // ocr.py:300
+            new java.io.File(outDir, EvalApi.fmt("page_%04d.txt", Int.box(idx + 1))).toPath, // ocr.py:300
             pageText.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         }
         jobsLock.synchronized { job.progress += group.size }
@@ -412,9 +412,9 @@ final class EvalApi(
         case Some(j) =>
           val elapsedSec = (nowMs() - j.createdAt) / 1000.0
           val formatted = // ocr.py:360-367
-            if (elapsedSec < 60) f"$elapsedSec%.1fs"
-            else if (elapsedSec < 3600) f"${elapsedSec / 60}%.1fm"
-            else f"${elapsedSec / 3600}%.1fh"
+            if (elapsedSec < 60) EvalApi.fmt("%.1fs", Double.box(elapsedSec))
+            else if (elapsedSec < 3600) EvalApi.fmt("%.1fm", Double.box(elapsedSec / 60))
+            else EvalApi.fmt("%.1fh", Double.box(elapsedSec / 3600))
           Right(JObject(
             "status" -> JString(j.status),
             "progress" -> JInt(j.progress),
@@ -531,7 +531,7 @@ final class EvalApi(
     val useGoogle = (body \ "use_google_ocr").extractOrElse[Boolean](false)
     val cost = if (useGoogle) totalPages * 0.13 else 0.0 // ocr.py:388,396
     JObject(
-      "cost" -> JString(f"$cost%.2f"),
+      "cost" -> JString(EvalApi.fmt("%.2f", Double.box(cost))),
       "pages" -> JInt(totalPages),
       "currency" -> JString("₹"))
   }
@@ -576,6 +576,17 @@ final class EvalApi(
 
 object EvalApi {
 
+  /** Locale-pinned formatter: the `f` interpolator uses the JVM default
+    * locale, so on a comma-decimal or non-ASCII-digit locale (`-Duser
+    * .language=de`, Arabic numbering) `f"$cost%.2f"` would emit "13,00" and
+    * %0Nd could emit non-ASCII digits — diverging from the reference's
+    * ASCII wire shapes and file names. Every numeric format in this API
+    * goes through here.
+    */
+  private[api] def fmt(pattern: String, args: Any*): String =
+    String.format(java.util.Locale.ROOT, pattern,
+      args.map(_.asInstanceOf[AnyRef]): _*)
+
   private val MonthNums: Map[String, Int] = Map(
     "jan" -> 1, "feb" -> 2, "mar" -> 3, "apr" -> 4, "may" -> 5, "jun" -> 6,
     "jul" -> 7, "aug" -> 8, "sep" -> 9, "oct" -> 10, "nov" -> 11, "dec" -> 12)
@@ -602,11 +613,13 @@ object EvalApi {
     val t = devToAscii(title)
     val wordDate = DateWords.findFirstMatchIn(t).flatMap { m =>
       MonthNums.get(m.group(2).toLowerCase(java.util.Locale.ROOT).take(3)).map(mo =>
-        (m, f"${m.group(1).toInt}%02d-$mo%02d-${year4(m.group(3).toInt)}%04d"))
+        (m, fmt("%02d-%02d-%04d", Int.box(m.group(1).toInt), Int.box(mo),
+          Int.box(year4(m.group(3).toInt)))))
     }
     val numDate = DateNums.findFirstMatchIn(t).collect {
       case m if m.group(2).toInt >= 1 && m.group(2).toInt <= 12 =>
-        (m, f"${m.group(1).toInt}%02d-${m.group(2).toInt}%02d-${year4(m.group(3).toInt)}%04d")
+        (m, fmt("%02d-%02d-%04d", Int.box(m.group(1).toInt),
+          Int.box(m.group(2).toInt), Int.box(year4(m.group(3).toInt))))
     }
     val date = wordDate.orElse(numDate)
     // the anchored bare-number pattern must not mistake a LEADING DATE's day

@@ -440,6 +440,15 @@ final class SearchHttpServer(
       } finally ex.close()
     })
 
+  /** [[endpoint]] with the chunk-subset shard guard enforced BY THE ROUTING
+    * LAYER: every public route registers through here, so an endpoint added
+    * later cannot forget the guard and serve a shard's partial corpus with
+    * 200s (the silent-miss failure mode the guard exists to prevent). Only
+    * the /api/internal/... routes register via bare [[endpoint]]/createContext.
+    */
+  private def publicEndpoint(ctx: String)(body: HttpExchange => Unit): Unit =
+    endpoint(ctx) { ex => if (publicAllowed(ex)) body(ex) }
+
   /** GET /api/context/{chunk_id} — previous/current/next paragraph
     * (search_api.py:487-501; two-step get + neighbor term query becomes the
     * node's resident facet lookup, [[graft.query.SearchNode.context]]).
@@ -449,8 +458,8 @@ final class SearchHttpServer(
     if (ex.getRequestMethod == "GET") true
     else { respond(ex, 405, JObject("detail" -> JString("GET only"))); false }
 
-  endpoint("/api/context") { ex =>
-    if (publicAllowed(ex) && requireGet(ex)) pathParam(ex, "/api/context").foreach { idStr =>
+  publicEndpoint("/api/context") { ex =>
+    if (requireGet(ex)) pathParam(ex, "/api/context").foreach { idStr =>
       queryParams(ex) // language accepted for parity; the chunk knows its lang
       idStr.toLongOption.flatMap(mem.context) match {
         case None =>
@@ -470,8 +479,8 @@ final class SearchHttpServer(
     * self-exclusion (search_api.py:460-485). No-vector/unknown doc → 200
     * with zero results, like the reference's ([], 0).
     */
-  endpoint("/api/similar-documents") { ex =>
-    if (publicAllowed(ex) && requireGet(ex)) pathParam(ex, "/api/similar-documents").foreach { idStr =>
+  publicEndpoint("/api/similar-documents") { ex =>
+    if (requireGet(ex)) pathParam(ex, "/api/similar-documents").foreach { idStr =>
       similarDocs match {
         case None =>
           respond(ex, 503, JObject("detail" ->
@@ -501,8 +510,8 @@ final class SearchHttpServer(
   /** GET /api/granth/verse?original_filename=&verse_seq_num= — full nested
     * verse + granth metadata (search_api.py:503-567).
     */
-  endpoint("/api/granth/verse") { ex =>
-    if (publicAllowed(ex) && requireGet(ex) && exactPath(ex, "/api/granth/verse")) {
+  publicEndpoint("/api/granth/verse") { ex =>
+    if (requireGet(ex) && exactPath(ex, "/api/granth/verse")) {
       val qp = queryParams(ex)
       (qp.get("original_filename"), qp.get("verse_seq_num").flatMap(_.toIntOption)) match {
         case (Some(fn), Some(seq)) =>
@@ -520,8 +529,8 @@ final class SearchHttpServer(
   /** GET /api/granth/prose?original_filename=&prose_seq_num= — prose section
     * or subsection-with-parent-context (search_api.py:568-646).
     */
-  endpoint("/api/granth/prose") { ex =>
-    if (publicAllowed(ex) && requireGet(ex) && exactPath(ex, "/api/granth/prose")) {
+  publicEndpoint("/api/granth/prose") { ex =>
+    if (requireGet(ex) && exactPath(ex, "/api/granth/prose")) {
       val qp = queryParams(ex)
       (qp.get("original_filename"), qp.get("prose_seq_num").flatMap(_.toIntOption)) match {
         case (Some(fn), Some(seq)) =>
@@ -611,12 +620,12 @@ final class SearchHttpServer(
       case Left((code, detail)) => respond(ex, code, JObject("detail" -> JString(detail)))
       case Right(json) => respond(ex, 200, json)
     }
-    endpoint("/eval/paths") { ex =>
-      if (publicAllowed(ex) && requireGet(ex) && exactPath(ex, "/eval/paths"))
+    publicEndpoint("/eval/paths") { ex =>
+      if (requireGet(ex) && exactPath(ex, "/eval/paths"))
         respond(ex, 200, ev.paths)
     }
-    endpoint("/eval/scan-config") { ex =>
-      if (publicAllowed(ex) && requireGet(ex) && exactPath(ex, "/eval/scan-config")) {
+    publicEndpoint("/eval/scan-config") { ex =>
+      if (requireGet(ex) && exactPath(ex, "/eval/scan-config")) {
         queryParams(ex).get("relative_path") match {
           case Some(rp) => answer(ex, ev.scanConfig(rp))
           case None => respond(ex, 400,
@@ -624,26 +633,26 @@ final class SearchHttpServer(
         }
       }
     }
-    endpoint("/eval/extract") { ex =>
-      if (publicAllowed(ex) && requirePost(ex) && exactPath(ex, "/eval/extract"))
+    publicEndpoint("/eval/extract") { ex =>
+      if (requirePost(ex) && exactPath(ex, "/eval/extract"))
         respond(ex, 200, ev.extract(readBody(ex)))
     }
-    endpoint("/eval/batch") { ex =>
-      if (publicAllowed(ex) && requirePost(ex) && exactPath(ex, "/eval/batch"))
+    publicEndpoint("/eval/batch") { ex =>
+      if (requirePost(ex) && exactPath(ex, "/eval/batch"))
         respond(ex, 200, ev.startBatch(readBody(ex)))
     }
     // JDK HttpServer picks the LONGEST matching context, so these nest
     // safely under /eval/batch
-    endpoint("/eval/batch/status") { ex =>
-      if (publicAllowed(ex) && requireGet(ex))
+    publicEndpoint("/eval/batch/status") { ex =>
+      if (requireGet(ex))
         pathParam(ex, "/eval/batch/status").foreach(id => answer(ex, ev.batchStatus(id)))
     }
-    endpoint("/eval/batch/cancel") { ex =>
-      if (publicAllowed(ex) && requirePost(ex))
+    publicEndpoint("/eval/batch/cancel") { ex =>
+      if (requirePost(ex))
         pathParam(ex, "/eval/batch/cancel").foreach(id => answer(ex, ev.cancelBatch(id)))
     }
-    endpoint("/eval/batch/download") { ex =>
-      if (publicAllowed(ex) && requireGet(ex))
+    publicEndpoint("/eval/batch/download") { ex =>
+      if (requireGet(ex))
         pathParam(ex, "/eval/batch/download").foreach { id =>
           ev.downloadBatch(id) match {
             case Left((code, detail)) =>
@@ -656,8 +665,8 @@ final class SearchHttpServer(
           }
         }
     }
-    endpoint("/eval/scripture") { ex =>
-      if (publicAllowed(ex) && requirePost(ex) && exactPath(ex, "/eval/scripture")) {
+    publicEndpoint("/eval/scripture") { ex =>
+      if (requirePost(ex) && exactPath(ex, "/eval/scripture")) {
         (readBody(ex) \ "relative_path") match {
           case JString(rp) => answer(ex, ev.scripture(rp))
           case _ => respond(ex, 400,
@@ -665,12 +674,12 @@ final class SearchHttpServer(
         }
       }
     }
-    endpoint("/eval/cost") { ex =>
-      if (publicAllowed(ex) && requirePost(ex) && exactPath(ex, "/eval/cost"))
+    publicEndpoint("/eval/cost") { ex =>
+      if (requirePost(ex) && exactPath(ex, "/eval/cost"))
         respond(ex, 200, ev.cost(readBody(ex)))
     }
-    endpoint("/eval/bookmarks/extract") { ex =>
-      if (publicAllowed(ex) && requirePost(ex) && exactPath(ex, "/eval/bookmarks/extract"))
+    publicEndpoint("/eval/bookmarks/extract") { ex =>
+      if (requirePost(ex) && exactPath(ex, "/eval/bookmarks/extract"))
         answer(ex, ev.extractBookmarks(readBody(ex)))
     }
   }

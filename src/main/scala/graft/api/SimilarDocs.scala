@@ -101,36 +101,17 @@ final class SimilarDocs(spark: SparkSession, embeddings: DataFrame,
   */
 final class FleetSimilar(local: SimilarDocs, peers: Seq[String]) extends SimilarEngine {
 
-  // same bounded-timeout discipline as ProcFleet: a wedged shard must fail
-  // the request, not pin a coordinator worker forever
-  private val client = java.net.http.HttpClient.newBuilder()
-    .connectTimeout(java.time.Duration.ofSeconds(5))
-    .build()
-
+  // shared bounded-timeout client + one-retry join (graft.query.PeerRpc —
+  // the same policy as ProcFleet, by construction). There is no degraded
+  // mode here: "shard missing" is indistinguishable from "doc has no
+  // vector" in the response shape, and that must never be silent.
   private def postAsync(url: String, body: String)
       : java.util.concurrent.CompletableFuture[String] =
-    client.sendAsync(
-      java.net.http.HttpRequest.newBuilder()
-        .uri(java.net.URI.create(url))
-        .timeout(java.time.Duration.ofSeconds(30))
-        .header("Content-Type", "application/json")
-        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
-      java.net.http.HttpResponse.BodyHandlers.ofString())
-      .thenApply(r =>
-        if (r.statusCode() == 200) r.body()
-        else sys.error(s"peer $url -> ${r.statusCode()}: ${r.body().take(200)}"))
+    graft.query.PeerRpc.postAsync(url, body)
 
-  /** join with ONE bounded retry on a fresh connection (same policy as
-    * ProcFleet.search): transient resets and restarting shards recover;
-    * a persistently-dead shard still FAILS the request — there is no
-    * degraded mode here, because "shard missing" is indistinguishable from
-    * "doc has no vector" in the response shape, and that must never be
-    * silent.
-    */
   private def joinRetry(url: String, body: String,
       fut: java.util.concurrent.CompletableFuture[String]): String =
-    try fut.join()
-    catch { case _: Exception => postAsync(url, body).join() }
+    graft.query.PeerRpc.joinRetry(url, body, fut)
 
   def similar(docId: Long, size: Int = 10): Seq[(Long, Double)] = {
     // phase 1 — resolve the source vector: it lives on exactly ONE shard

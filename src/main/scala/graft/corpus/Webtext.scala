@@ -172,7 +172,9 @@ object Webtext {
     if (cur.nonEmpty) paras += cur.toString
     val text = paras.mkString("\n\n")
 
-    val url = f"https://example.org/$lang/topic${Math.floorMod(i, 20L)}/$i%08d"
+    // zpad: the synthetic corpus must be BYTE-IDENTICAL under any default
+    // locale (ext_parity and the oracles hash these urls)
+    val url = s"https://example.org/$lang/topic${Math.floorMod(i, 20L)}/${graft.Fmt.zpad(i, 8)}"
     val ts = new java.sql.Timestamp(Epoch + i * 137000L)
     // Q5 date fixtures: ~1/3 of docs carry a bookmark `date` (2019..2021);
     // half carry a series range; odd non-date docs have neither (the

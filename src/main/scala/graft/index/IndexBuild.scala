@@ -522,6 +522,15 @@ object IndexBuild extends Serializable {
       if (m.find()) Some(m.group(1).toInt) else None
     }
 
+  /** Salt the interrupted mutation was running with (absent on journals
+    * written before the salt was recorded — recovery falls back to props).
+    */
+  private def pendingSalt(outDir: String): Option[Int] =
+    TableIO.readString(pendingPath(outDir)).flatMap { txt =>
+      val m = java.util.regex.Pattern.compile("\"salt\":\\s*(\\d+)").matcher(txt)
+      if (m.find()) Some(m.group(1).toInt) else None
+    }
+
   /** Replay an interrupted mutation from its journaled tmp input. Returns
     * true if a pending rewrite was found and completed. Called automatically
     * at the start of every mutation and of [[compact]].
@@ -538,7 +547,8 @@ object IndexBuild extends Serializable {
         println(s"[build] recovering interrupted mutation on chunk $k of $outDir")
         Manifest.append(outDir,
           buildChunk(spark, spark.read.parquet(tmp), outDir, k,
-            props.saltTargetPostings, storePositions = props.storePositions))
+            pendingSalt(outDir).getOrElse(props.saltTargetPostings),
+            storePositions = props.storePositions))
         finalizeStats(spark, outDir)
         TableIO.deleteRecursive(pendingPath(outDir))
         TableIO.deleteRecursive(tmp)
@@ -556,7 +566,12 @@ object IndexBuild extends Serializable {
     // lazy self-overwriting read would corrupt the chunk) BEFORE journaling:
     // a crash during this write leaves no journal and an untouched chunk
     input.write.mode(SaveMode.Overwrite).parquet(tmp)
-    TableIO.writeStringAtomic(pendingPath(outDir), s"""{"chunk": $k}""")
+    // the journal records the mutation's SALT too: recovery must replay the
+    // rewrite with the same saltTargetPostings the interrupted call used, or
+    // a deleteByQuery(salt = X) crash would leave the recovered chunk salted
+    // at the props default while the chunks rewritten before the crash use X
+    TableIO.writeStringAtomic(pendingPath(outDir),
+      s"""{"chunk": $k, "salt": $salt}""")
     Manifest.append(outDir,
       buildChunk(spark, spark.read.parquet(tmp), outDir, k, salt,
         storePositions = storePositions))
@@ -878,7 +893,12 @@ object Manifest {
   def append(outDir: String, row: ManifestRow): Unit = {
     val line = s"""{"chunk":${row.chunk},"status":"${row.status}","docs":${row.docs},""" +
       s""""tokens":${row.tokens},"terms":${row.terms},"inputChecksum":"${row.inputChecksum}","wallMs":${row.wallMs}}"""
-    val name = f"chunk-${row.chunk}%08d-${nextTs(outDir)}%013d-${seqCounter.getAndIncrement()}%06d.json"
+    // graft.Fmt.zpad, not the f interpolator: commit names are RECENCY-SORTED
+    // as strings (IndexVersion, latestByChunk) — a non-ASCII-digit default
+    // locale would break both the sort and the fixed-width parse
+    val name = s"chunk-${graft.Fmt.zpad(row.chunk.toLong, 8)}-" +
+      s"${graft.Fmt.zpad(nextTs(outDir), 13)}-" +
+      s"${graft.Fmt.zpad(seqCounter.getAndIncrement().toLong, 6)}.json"
     TableIO.writeStringAtomic(s"${commitDir(outDir)}/$name", line)
   }
 

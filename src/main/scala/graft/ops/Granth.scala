@@ -40,7 +40,7 @@ object Granth {
           pageNum = v * 2, adhikar = s"adhikar${v % 2}")
       }
       GranthDoc(g.toLong, s"granth$g", s"author${g % 3}",
-        f"${2000 + g % 5}%04d-01-01", f"${2000 + g % 5}%04d-12-31", verses)
+        graft.Fmt.yearStart(2000 + g % 5), graft.Fmt.yearEnd(2000 + g % 5), verses)
     }.toDF()
   }
 
@@ -88,7 +88,7 @@ object Granth {
           v.pageNum.getOrElse(-1), v.adhikar.getOrElse(""))
       }
       GranthDoc(g.toLong, s"granth$g", s"author${g % 3}",
-        f"${2000 + g % 5}%04d-01-01", f"${2000 + g % 5}%04d-12-31", verses)
+        graft.Fmt.yearStart(2000 + g % 5), graft.Fmt.yearEnd(2000 + g % 5), verses)
     }.toDF()
   }
 

@@ -325,7 +325,7 @@ object Bm25Query {
       if (facetSel.isEmpty) afterExclude
       else afterExclude.join(facetDocIds(spark, idx, q.lang, facetSel), Seq("docId"))
     val dateSel = q.dateRange.collect { case (s, e) if s.isDefined || e.isDefined =>
-      (s.map(y => f"$y%04d-01-01"), e.map(y => f"$y%04d-12-31"))
+      (s.map(graft.Fmt.yearStart), e.map(graft.Fmt.yearEnd))
     }
     val afterDate = dateSel match {
       case None => afterFacets

@@ -118,8 +118,8 @@ object NaiveBm25 {
     // Q5 reference date semantics from doc metadata (index_searcher.py:64-150)
     q.dateRange.foreach { case (sOpt, eOpt) =>
       if (sOpt.isDefined || eOpt.isDefined) {
-        val s0 = sOpt.map(y => f"$y%04d-01-01")
-        val e0 = eOpt.map(y => f"$y%04d-12-31")
+        val s0 = sOpt.map(graft.Fmt.yearStart)
+        val e0 = eOpt.map(graft.Fmt.yearEnd)
         val dateCol = element_at(col("meta"), "date")
         val ssCol = element_at(col("meta"), "series_start_date")
         val seCol = element_at(col("meta"), "series_end_date")

@@ -241,26 +241,11 @@ final class ProcFleet(localRef: () => InMemoryIndex, peers: Seq[String],
 
   private def local: InMemoryIndex = localRef()
 
-  // bounded timeouts on every peer hop: without them one SIGSTOPped /
-  // GC-wedged shard would park a coordinator worker thread forever per
-  // request until the whole serving pool is pinned — a scatter that cannot
+  // bounded timeouts on every peer hop (see PeerRpc): a scatter that cannot
   // complete must FAIL (500 to the client), not wedge the node
-  private val client = java.net.http.HttpClient.newBuilder()
-    .connectTimeout(java.time.Duration.ofSeconds(5))
-    .build()
-
   private def postAsync(url: String, body: String)
       : java.util.concurrent.CompletableFuture[String] =
-    client.sendAsync(
-      java.net.http.HttpRequest.newBuilder()
-        .uri(java.net.URI.create(url))
-        .timeout(java.time.Duration.ofSeconds(30))
-        .header("Content-Type", "application/json")
-        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
-      java.net.http.HttpResponse.BodyHandlers.ofString())
-      .thenApply(r =>
-        if (r.statusCode() == 200) r.body()
-        else sys.error(s"peer $url -> ${r.statusCode()}: ${r.body().take(200)}"))
+    PeerRpc.postAsync(url, body)
 
   /** Coverage handshake: assert that this coordinator's shard plus every
     * peer's shard form a DISJOINT, COMPLETE cover of the index's chunks.
@@ -318,22 +303,33 @@ final class ProcFleet(localRef: () => InMemoryIndex, peers: Seq[String],
     val localPart = node.searchPartial(q)
     var degraded = false
     val remote = peers.zip(futs).flatMap { case (p, f) =>
-      def attempt(fut: java.util.concurrent.CompletableFuture[String]) =
-        Wire.decodePartials(fut.join())
-      try attempt(f)
-      catch {
-        case e1: Exception =>
-          // ONE bounded retry (fresh connection — transient resets and
-          // restarting shards recover here), then the policy decides
-          try attempt(postAsync(s"$p/api/internal/partials", body))
-          catch {
-            case e2: Exception =>
-              if (!allowDegraded) throw e2
-              System.err.println(s"[fleet] WARN shard $p down after retry " +
-                s"(${e1.getMessage} / ${e2.getMessage}) — serving degraded")
-              degraded = true
-              Array.empty[SegmentResult]
-          }
+      // TRANSPORT failures (connect/read timeout, reset, non-200 from a
+      // restarting shard) are retried once and may degrade; a 200 whose BODY
+      // fails Wire.decodePartials is wire-format skew — a deterministic
+      // deployment bug (mixed builds, wrong service on the port) that a
+      // retry re-manufactures and a degraded response would hide as an
+      // availability event, silently dropping that shard's corpus slice from
+      // every page. Decode stays OUTSIDE the retry/degraded policy so it
+      // always fails the query loudly.
+      def fetch(fut: java.util.concurrent.CompletableFuture[String]): Option[String] =
+        try Some(fut.join())
+        catch {
+          case e1: Exception =>
+            // ONE bounded retry (fresh connection — transient resets and
+            // restarting shards recover here), then the policy decides
+            try Some(postAsync(s"$p/api/internal/partials", body).join())
+            catch {
+              case e2: Exception =>
+                if (!allowDegraded) throw e2
+                System.err.println(s"[fleet] WARN shard $p down after retry " +
+                  s"(${e1.getMessage} / ${e2.getMessage}) — serving degraded")
+                degraded = true
+                None
+            }
+        }
+      fetch(f) match {
+        case Some(bodyStr) => Wire.decodePartials(bodyStr)
+        case None => Array.empty[SegmentResult]
       }
     }
     node.materialize(q, localPart ++ remote.toArray)

@@ -79,7 +79,7 @@ object QueryCore {
     // would silently skip verification in the WAND path, so force "all"
     val mode = if (q.phrase) "all" else q.mode
     val dateSel = q.dateRange.collect { case (s, e) if s.isDefined || e.isDefined =>
-      (s.map(y => f"$y%04d-01-01"), e.map(y => f"$y%04d-12-31"))
+      (s.map(graft.Fmt.yearStart), e.map(graft.Fmt.yearEnd))
     }
     Some(Ctx(terms, phrasePlan, excludeTerms, facetSel, n, avgdl,
       mode, q.phrase, q.from + q.pageSize, q.trackTotalHits, dateSel))

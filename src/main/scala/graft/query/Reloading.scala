@@ -113,11 +113,17 @@ final class ReloadingNode(
         checkAndReload()
       } catch {
         case _: InterruptedException => // stop() — loop condition exits
-        case e: Exception =>
-          // mid-mutation torn read or transient IO: stay on the old
-          // snapshot, retry next tick
+        case t: Throwable =>
+          // Throwable, not Exception: an Error (OOM loading a multi-GB
+          // shard, StackOverflow) thrown inside loader() would otherwise
+          // kill this daemon thread and silently disable reloading forever —
+          // the node would serve the pre-mutation snapshot (deleted docs
+          // included) with no retry and no log line. The old snapshot is
+          // still serving and the failed build's garbage is collectable, so
+          // logging and retrying next tick is safe for Errors too.
           if (!stopped) System.err.println(
-            s"[reload] WARN reload failed, serving the previous snapshot: ${e.getMessage}")
+            s"[reload] WARN reload failed (${t.getClass.getName}), " +
+              s"serving the previous snapshot: ${t.getMessage}")
       }
     }
   }, "graft-index-reload")

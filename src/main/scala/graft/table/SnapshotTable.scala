@@ -42,7 +42,9 @@ object SnapshotTable {
   private def snapDir(tableDir: String) = s"$tableDir/snapshots"
 
   private def snapPath(tableDir: String, id: Long) =
-    f"${snapDir(tableDir)}/snap-$id%012d.json"
+    // zpad, not f"%012d": snapshot names must stay ASCII under any default
+    // locale — currentId parses them back with toLongOption
+    s"${snapDir(tableDir)}/snap-${graft.Fmt.zpad(id, 12)}.json"
 
   def currentId(tableDir: String): Option[Long] = {
     val ids = TableIO.listFiles(snapDir(tableDir), "snap-")

@@ -12,6 +12,9 @@ import org.apache.spark.sql.SparkSession
   */
 object ServeCli {
   def main(args: Array[String]): Unit = {
+    // serving wire shapes (JSON numbers, formatted strings) must not depend
+    // on the host locale — same pin as Bench and the other mains
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val idxDir = args.headOption.getOrElse("/tmp/gidx")
     val port = if (args.length > 1) args(1).toInt else 0
     // GRAFT_SERVE_CPUS: a shard node's Spark threads (load + point-reads) —

@@ -576,4 +576,32 @@ class IndexBuildSpec extends AnyFunSuite {
     // and serving works again
     assert(graft.query.IndexHandle.load(dir).stats.nonEmpty)
   }
+
+  test("a salt-carrying journal recovers and converges (replay fidelity)") {
+    import org.apache.spark.sql.functions._
+    // The journal records the interrupted mutation's saltTargetPostings so
+    // recovery replays the rewrite EXACTLY as the dying call ran it (same
+    // head-term set, same exchange split). The final on-disk layout is
+    // salt-INDEPENDENT (salted runs k-way merge back to one row per term —
+    // gated by the determinism test above), so the observable contract here
+    // is: the new journal shape parses, recovery completes, and the result
+    // is byte-identical to a fresh post-delete build.
+    val dir = "/tmp/gidx-journal-salt"
+    val fresh = "/tmp/gidx-journal-salt-fresh"
+    rm(dir); rm(fresh)
+    val corpus = Webtext.synthesize(spark, 200, partitions = 2).toDF()
+    IndexBuild.build(spark, corpus, dir, numChunks = 1)
+    IndexBuild.normalizeInput(corpus).where(col("docId") >= 20)
+      .write.mode("overwrite").parquet(s"$dir/tmp_rewrite_chunk_0")
+    TableIO.writeStringAtomic(s"$dir/mutation_pending.json",
+      """{"chunk": 0, "salt": 64}""")
+    rm(s"$dir/segments/chunk=0")
+    assert(IndexBuild.pendingMutation(dir).contains(0)) // chunk parses past the salt field
+    assert(IndexBuild.recoverPendingMutation(spark, dir))
+    assert(IndexBuild.pendingMutation(dir).isEmpty)
+    IndexBuild.build(spark, corpus.where(col("docId") >= 20), fresh,
+      numChunks = 1, saltTargetPostings = 64)
+    assert(postingsFingerprint(dir, compacted = false) ==
+      postingsFingerprint(fresh, compacted = false))
+  }
 }

@@ -73,6 +73,41 @@ class ProcFleetSpec extends AnyFunSuite {
     intercept[RuntimeException](Wire.decodeFacetMeta("""[1, 2]"""))
   }
 
+  test("wire-format skew FAILS the query even on a degraded-allowed fleet (decode is not retried/degraded)") {
+    fixture
+    val h = IndexHandle.load("/tmp/gidx-procfleet")
+    val local = InMemoryIndex.load(spark, h, chunks = Some(Set(0)))
+    // a fake "peer" that passes the coverage handshake (claims chunk 1) but
+    // answers partials with 200 + a wrong-shape body — the wrong-build /
+    // wrong-service-on-the-port deployment bug
+    val skewed = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    skewed.createContext("/api/internal/chunks", { ex =>
+      val b = Wire.encodeChunks(Some(Set(1))).getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length); ex.getResponseBody.write(b); ex.close()
+    })
+    var partialsHits = 0
+    skewed.createContext("/api/internal/partials", { ex =>
+      partialsHits += 1
+      val b = """{"ok": true}""".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length); ex.getResponseBody.write(b); ex.close()
+    })
+    skewed.start()
+    try {
+      val lenient = new ProcFleet(() => local,
+        Seq(s"http://127.0.0.1:${skewed.getAddress.getPort}"), numChunks = 2,
+        allowDegraded = true)
+      // degraded-allowed MUST NOT mask wire skew as an availability event:
+      // the query fails loudly instead of serving a page missing chunk 1
+      val out = intercept[Exception](
+        lenient.search(QuerySpec("hi", Webtext.word("hi", 1), mode = "any")))
+      assert(out.getMessage.contains("partials payload"))
+      // and the deterministic failure was NOT re-manufactured by a retry
+      assert(partialsHits == 1,
+        s"decode failure must not retry the POST (got $partialsHits hits)")
+    } finally skewed.stop(0)
+  }
+
   test("coverage handshake: under-covered or overlapping fleets fail at verify, complete ones pass") {
     val (_, proc, peerServer, _) = fixture
     proc.verifyCoverage(2) // local {0} + peer {1} — complete and disjoint

@@ -20,7 +20,12 @@ object Fmt {
     */
   def zpad(v: Long, width: Int): String = {
     val neg = v < 0
-    val digits = java.lang.Long.toString(math.abs(v))
+    // strip the sign from toString rather than abs()-ing the value:
+    // math.abs(Long.MinValue) == Long.MinValue, which would double-sign it
+    val digits = {
+      val s = java.lang.Long.toString(v)
+      if (neg) s.substring(1) else s
+    }
     val pad = width - digits.length - (if (neg) 1 else 0)
     val sb = new java.lang.StringBuilder(math.max(width, digits.length + 1))
     if (neg) sb.append('-')

@@ -278,10 +278,8 @@ final class SearchHttpServer(
       false
     }
 
-  server.createContext("/api/search", new HttpHandler {
-    def handle(ex: HttpExchange): Unit = try {
-      if (!exactPath(ex, "/api/search")) return
-      if (!publicAllowed(ex)) return
+  publicEndpoint("/api/search") { ex =>
+    if (exactPath(ex, "/api/search")) {
       if (ex.getRequestMethod != "POST") respond(ex, 405, JObject("detail" -> JString("POST only")))
       else {
         val body = new String(ex.getRequestBody.readAllBytes(),
@@ -290,44 +288,27 @@ final class SearchHttpServer(
           .map(_.getAddress.getHostAddress).getOrElse("unknown")
         respond(ex, 200, handleSearch(body, clientIp))
       }
-    } catch {
-      // malformed payloads are the client's fault (FastAPI's 422 analog)
-      case e @ (_: IllegalArgumentException | _: MappingException |
-                _: com.fasterxml.jackson.core.JacksonException) =>
-        respond(ex, 400, JObject("detail" -> JString(s"Validation error: ${e.getMessage}")))
-      case e: Exception =>
-        respond(ex, 500, JObject("detail" -> JString(s"Internal server error: ${e.getMessage}")))
-    } finally ex.close()
-  })
+    }
+  }
 
-  server.createContext("/api/metadata", new HttpHandler {
-    def handle(ex: HttpExchange): Unit = try {
-      if (!exactPath(ex, "/api/metadata")) return
-      if (!publicAllowed(ex)) return
+  publicEndpoint("/api/metadata") { ex =>
+    if (exactPath(ex, "/api/metadata")) {
       if (ex.getRequestMethod != "GET")
         respond(ex, 405, JObject("detail" -> JString("GET only")))
       else respond(ex, 200, metadataJson())
-    } catch {
-      case e: Exception =>
-        respond(ex, 500, JObject("detail" -> JString(s"Internal server error: ${e.getMessage}")))
-    } finally ex.close()
-  })
+    }
+  }
 
-  server.createContext("/api/cache/invalidate", new HttpHandler {
-    def handle(ex: HttpExchange): Unit = try {
-      if (!exactPath(ex, "/api/cache/invalidate")) return
-      if (!publicAllowed(ex)) return
+  publicEndpoint("/api/cache/invalidate") { ex =>
+    if (exactPath(ex, "/api/cache/invalidate")) {
       if (ex.getRequestMethod != "POST")
         respond(ex, 405, JObject("detail" -> JString("POST only")))
       else {
         invalidateMetadataCache()
         respond(ex, 200, JObject("message" -> JString("Metadata cache invalidated successfully")))
       }
-    } catch {
-      case e: Exception =>
-        respond(ex, 500, JObject("detail" -> JString(s"Internal server error: ${e.getMessage}")))
-    } finally ex.close()
-  })
+    }
+  }
 
   /** POST /api/feedback — the reference's feedback endpoint
     * (feedback_api.py:115-154): required-field validation (name, subject,
@@ -337,10 +318,8 @@ final class SearchHttpServer(
     * sink buffers timestamped JSON rows in a bounded drop-oldest queue for a
     * CLI/ops flusher to drain.
     */
-  server.createContext("/api/feedback", new HttpHandler {
-    def handle(ex: HttpExchange): Unit = try {
-      if (!exactPath(ex, "/api/feedback")) return
-      if (!publicAllowed(ex)) return
+  publicEndpoint("/api/feedback") { ex =>
+    if (exactPath(ex, "/api/feedback")) {
       if (ex.getRequestMethod != "POST")
         respond(ex, 405, JObject("detail" -> JString("POST only")))
       else {
@@ -362,15 +341,8 @@ final class SearchHttpServer(
           respond(ex, 200, JObject("message" -> JString("Feedback submitted successfully")))
         }
       }
-    } catch {
-      // malformed payloads are the client's fault, same mapping as /api/search
-      case e @ (_: IllegalArgumentException | _: MappingException |
-                _: com.fasterxml.jackson.core.JacksonException) =>
-        respond(ex, 400, JObject("detail" -> JString(s"Validation error: ${e.getMessage}")))
-      case e: Exception =>
-        respond(ex, 500, JObject("detail" -> JString(s"Internal server error: ${e.getMessage}")))
-    } finally ex.close()
-  })
+    }
+  }
 
   // ---- path-parameter + query-parameter endpoints (search_api.py:460-646) ----
 

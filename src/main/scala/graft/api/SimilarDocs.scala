@@ -105,13 +105,7 @@ final class FleetSimilar(local: SimilarDocs, peers: Seq[String]) extends Similar
   // the same policy as ProcFleet, by construction). There is no degraded
   // mode here: "shard missing" is indistinguishable from "doc has no
   // vector" in the response shape, and that must never be silent.
-  private def postAsync(url: String, body: String)
-      : java.util.concurrent.CompletableFuture[String] =
-    graft.query.PeerRpc.postAsync(url, body)
-
-  private def joinRetry(url: String, body: String,
-      fut: java.util.concurrent.CompletableFuture[String]): String =
-    graft.query.PeerRpc.joinRetry(url, body, fut)
+  import graft.query.PeerRpc.{postAsync, joinRetry}
 
   def similar(docId: Long, size: Int = 10): Seq[(Long, Double)] = {
     // phase 1 — resolve the source vector: it lives on exactly ONE shard

@@ -515,30 +515,31 @@ object IndexBuild extends Serializable {
 
   private def pendingPath(outDir: String) = s"$outDir/mutation_pending.json"
 
-  /** Chunk with an interrupted (journaled but uncommitted) mutation, if any. */
-  def pendingMutation(outDir: String): Option[Int] =
+  /** One read + parse of the journal: (chunk, salt). The salt is absent on
+    * journals written before it was recorded — recovery falls back to props.
+    */
+  private def pendingJournal(outDir: String): Option[(Int, Option[Int])] =
     TableIO.readString(pendingPath(outDir)).flatMap { txt =>
-      val m = java.util.regex.Pattern.compile("\"chunk\":\\s*(\\d+)").matcher(txt)
-      if (m.find()) Some(m.group(1).toInt) else None
+      def intField(name: String): Option[Int] = {
+        val m = java.util.regex.Pattern
+          .compile("\"" + name + "\":\\s*(\\d+)").matcher(txt)
+        if (m.find()) Some(m.group(1).toInt) else None
+      }
+      intField("chunk").map(k => (k, intField("salt")))
     }
 
-  /** Salt the interrupted mutation was running with (absent on journals
-    * written before the salt was recorded — recovery falls back to props).
-    */
-  private def pendingSalt(outDir: String): Option[Int] =
-    TableIO.readString(pendingPath(outDir)).flatMap { txt =>
-      val m = java.util.regex.Pattern.compile("\"salt\":\\s*(\\d+)").matcher(txt)
-      if (m.find()) Some(m.group(1).toInt) else None
-    }
+  /** Chunk with an interrupted (journaled but uncommitted) mutation, if any. */
+  def pendingMutation(outDir: String): Option[Int] =
+    pendingJournal(outDir).map(_._1)
 
   /** Replay an interrupted mutation from its journaled tmp input. Returns
     * true if a pending rewrite was found and completed. Called automatically
     * at the start of every mutation and of [[compact]].
     */
   def recoverPendingMutation(spark: SparkSession, outDir: String): Boolean =
-    pendingMutation(outDir) match {
+    pendingJournal(outDir) match {
       case None => false
-      case Some(k) =>
+      case Some((k, salt)) =>
         val tmp = s"$outDir/tmp_rewrite_chunk_$k"
         require(TableIO.exists(tmp),
           s"$outDir journals an interrupted mutation on chunk $k but its " +
@@ -547,7 +548,7 @@ object IndexBuild extends Serializable {
         println(s"[build] recovering interrupted mutation on chunk $k of $outDir")
         Manifest.append(outDir,
           buildChunk(spark, spark.read.parquet(tmp), outDir, k,
-            pendingSalt(outDir).getOrElse(props.saltTargetPostings),
+            salt.getOrElse(props.saltTargetPostings),
             storePositions = props.storePositions))
         finalizeStats(spark, outDir)
         TableIO.deleteRecursive(pendingPath(outDir))

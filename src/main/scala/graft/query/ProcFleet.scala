@@ -277,9 +277,12 @@ final class ProcFleet(localRef: () => InMemoryIndex, peers: Seq[String],
     val localSet = local.servedChunks.getOrElse(
       sys.error("ProcFleet coordinator must serve a chunk SUBSET " +
         "(a full-node coordinator double-counts peer docs)"))
-    val peerSets = peers.map(p =>
-      p -> Wire.decodeChunks(postAsync(s"$p/api/internal/chunks", "{}").join())
-        .getOrElse(sys.error(s"peer $p serves the FULL index — overlaps the coordinator")))
+    val peerSets = peers.map { p =>
+      val url = s"$p/api/internal/chunks"
+      p -> Wire.decodeChunks(
+          PeerRpc.joinRetry(url, "{}", postAsync(url, "{}")))
+        .getOrElse(sys.error(s"peer $p serves the FULL index — overlaps the coordinator"))
+    }
     val all = localSet +: peerSets.map(_._2)
     val union = all.reduce(_ ++ _)
     val totalClaimed = all.map(_.size).sum
@@ -342,9 +345,15 @@ final class ProcFleet(localRef: () => InMemoryIndex, peers: Seq[String],
     val req = compact(render(JObject(
       "fields" -> JArray(fields.toList.sorted.map(JString(_))),
       "contentKey" -> JString(contentKey))))
-    val futs = peers.map(p => postAsync(s"$p/api/internal/facets", req))
+    // same one-retry join as the partials scatter (PeerRpc owns the policy);
+    // decode stays outside it — wire skew fails loudly here too
+    val futs = peers.map { p =>
+      val url = s"$p/api/internal/facets"
+      (url, postAsync(url, req))
+    }
     val localMeta = local.facetMetadata(fields, contentKey)
-    ShardedServe.unionFacetMeta(localMeta +: futs.map(f => Wire.decodeFacetMeta(f.join())))
+    ShardedServe.unionFacetMeta(localMeta +: futs.map { case (url, f) =>
+      Wire.decodeFacetMeta(PeerRpc.joinRetry(url, req, f)) })
   }
 
   def docPayloads(ids: Seq[Long]): Map[Long, DocPayload] = local.docPayloads(ids)
@@ -353,10 +362,14 @@ final class ProcFleet(localRef: () => InMemoryIndex, peers: Seq[String],
     ensureCoverage()
     docPayloads(Seq(chunkId)).get(chunkId).map { cur =>
       val req = Wire.encodeNeighborReq(cur.lang, cur.docId, cur.meta)
-      val futs = peers.map(p => postAsync(s"$p/api/internal/neighbors", req))
+      val futs = peers.map { p =>
+        val url = s"$p/api/internal/neighbors"
+        (url, postAsync(url, req))
+      }
       val (prev, next) = ShardedServe.mergeNeighbors(
         local.neighborIds(cur.lang, cur.docId, cur.meta) +:
-          futs.map(f => Wire.decodeNeighbors(f.join())))
+          futs.map { case (url, f) =>
+            Wire.decodeNeighbors(PeerRpc.joinRetry(url, req, f)) })
       val fetched = docPayloads(prev.toSeq ++ next.toSeq)
       (cur, prev.flatMap(fetched.get), next.flatMap(fetched.get))
     }

@@ -11,6 +11,7 @@ class FmtSpec extends AnyFunSuite {
     assert(Fmt.zpad(12345L, 4) == "12345") // wider than width: no truncation
     assert(Fmt.zpad(1787082286596L, 13) == "1787082286596")
     assert(Fmt.zpad(-42L, 6) == "-00042") // sign before padding
+    assert(Fmt.zpad(Long.MinValue, 4) == "-9223372036854775808") // no double sign
     // locale-independence: same output under a non-ASCII-digit locale
     val saved = java.util.Locale.getDefault
     try {

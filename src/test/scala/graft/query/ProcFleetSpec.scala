@@ -86,9 +86,9 @@ class ProcFleetSpec extends AnyFunSuite {
       val b = Wire.encodeChunks(Some(Set(1))).getBytes("UTF-8")
       ex.sendResponseHeaders(200, b.length); ex.getResponseBody.write(b); ex.close()
     })
-    var partialsHits = 0
+    val partialsHits = new java.util.concurrent.atomic.AtomicInteger(0)
     skewed.createContext("/api/internal/partials", { ex =>
-      partialsHits += 1
+      partialsHits.incrementAndGet()
       val b = """{"ok": true}""".getBytes("UTF-8")
       ex.sendResponseHeaders(200, b.length); ex.getResponseBody.write(b); ex.close()
     })
@@ -103,8 +103,8 @@ class ProcFleetSpec extends AnyFunSuite {
         lenient.search(QuerySpec("hi", Webtext.word("hi", 1), mode = "any")))
       assert(out.getMessage.contains("partials payload"))
       // and the deterministic failure was NOT re-manufactured by a retry
-      assert(partialsHits == 1,
-        s"decode failure must not retry the POST (got $partialsHits hits)")
+      assert(partialsHits.get() == 1,
+        s"decode failure must not retry the POST (got ${partialsHits.get()} hits)")
     } finally skewed.stop(0)
   }
 

@@ -125,6 +125,33 @@ class ReloadSpec extends AnyFunSuite {
     } finally rn.stop()
   }
 
+  test("poller survives an Error from the loader (OOM class) and retries next tick") {
+    val dir = "/tmp/gidx-reload-err"
+    freshIndex(dir)
+    // loader call 1 = initial resident load; call 2 (first reload) throws an
+    // Error — the daemon must NOT die (pre-fix it caught only Exception), so
+    // call 3 on the next tick completes the swap
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val rn = new ReloadingNode(dir,
+      () => {
+        if (calls.incrementAndGet() == 2)
+          throw new OutOfMemoryError("injected: shard too big for this heap")
+        InMemoryIndex.load(spark, IndexHandle.load(dir))
+      }, pollMs = 50)
+    val q = QuerySpec("hi", Webtext.GoldenPhrase("hi").mkString(" "))
+    val victim = page(rn, q).head._1
+    rn.start()
+    try {
+      IndexBuild.deleteByQuery(spark, dir, col("docId") === victim)
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (page(rn, q).exists(_._1 == victim) && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(calls.get() >= 3, s"loader must have been retried (calls=${calls.get()})")
+      assert(!page(rn, q).exists(_._1 == victim),
+        "poller died on the loader Error instead of retrying next tick")
+    } finally rn.stop()
+  }
+
   test("fleet shard nodes reload independently; coverage handshake stays valid; parity vs fresh full node") {
     val dir = "/tmp/gidx-reload-fleet"
     freshIndex(dir)

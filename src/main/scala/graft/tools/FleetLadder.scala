@@ -69,37 +69,13 @@ object FleetLadder {
     }
     val idx = IndexHandle.load(idxDir)
 
-    // ---- mixed-shape qps load, same shapes as graft.Bench ----
-    val hiPhrase = Webtext.GoldenPhrase("hi").mkString(" ")
-    val qpsMix: IndexedSeq[QuerySpec] = IndexedSeq(
-      QuerySpec("hi", hiPhrase),
-      QuerySpec("hi", hiPhrase, mode = "any"),
-      QuerySpec("hi", hiPhrase, phrase = true),
-      QuerySpec("hi", Webtext.word("hi", 0), mode = "any"),
-      QuerySpec("hi", hiPhrase, metaFilters = Map("category" -> Seq("Pravachan"))))
+    // ---- mixed-shape qps load — the SHARED driver (same shapes and drain
+    // loop as graft.Bench, one implementation for both tools) ----
+    val qpsMix = QpsLoad.mix("hi")
     val qpsThreads = math.max(2, cpus / 2)
     val qpsQueries = 2000
-    def qpsRun(node: graft.query.SearchNode): Double = {
-      val next = new java.util.concurrent.atomic.AtomicInteger(0)
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(qpsThreads)
-      val t0 = System.nanoTime()
-      val futs = (1 to qpsThreads).map { _ =>
-        pool.submit(new Runnable {
-          def run(): Unit = {
-            var i = next.getAndIncrement()
-            while (i < qpsQueries) {
-              node.search(qpsMix(i % qpsMix.length))
-              i = next.getAndIncrement()
-            }
-          }
-        })
-      }
-      // shutdown in finally: a failed query must fail the ladder loudly, not
-      // leave non-daemon pool threads parked so the JVM never exits
-      try futs.foreach(_.get())
-      finally pool.shutdown()
-      qpsQueries / ((System.nanoTime() - t0) / 1e9)
-    }
+    def qpsRun(node: graft.query.SearchNode): Double =
+      QpsLoad.run(node, qpsThreads, qpsQueries, qpsMix)
 
     // ---- the ladder ----
     val qpsAttempts = 4
@@ -109,13 +85,25 @@ object FleetLadder {
     // into the next step's TIMED load (the ∝1/N number this tool measures)
     // and the ladder JVM's RSS stays maximal while N-1 peer JVMs boot
     def runStep(n: Int): (Int, Int, Double, Seq[Double], Seq[Double], Double) = {
-      val probe = CpuProbe.efficiency(cpus)
+      val preProbe = CpuProbe.efficiency(cpus)
+      // a step runs for minutes — publish min(pre, post) so a cap that
+      // ARRIVES mid-step is visible in the artifact (same discipline as
+      // Bench's section probes)
+      def stepProbe: Double = math.min(preProbe, CpuProbe.efficiency(cpus))
       if (n == 1) {
+        // COMPARABLE to the N>1 head loads: same chunk-scoped load path
+        // (explicit all-chunks set) with the termdict pre-shared OUTSIDE the
+        // timer. The old full-node load timed docstore + termdict that the
+        // N>1 head loads exclude, inflating load_ratio_1_to_max ~3x beyond
+        // the true ∝1/N postings scaling.
+        val shared = InMemoryIndex.loadGlobalDf(spark, idx)
         val t0 = System.nanoTime()
-        val mem = InMemoryIndex.load(spark, idx)
+        val mem = InMemoryIndex.load(spark, idx,
+          chunks = Some((0 until numChunks).toSet), sharedGlobalDf = Some(shared))
         val loadSec = (System.nanoTime() - t0) / 1e9
         qpsRun(mem) // warmup
         val att = (1 to qpsAttempts).map(_ => qpsRun(mem))
+        val probe = stepProbe
         System.err.println(f"[fleet-ladder] N=1 load=$loadSec%.1f s qps=${att.max}%.1f probe=$probe%.2f")
         (n, numChunks, loadSec, Seq.empty[Double], att, probe)
       } else {
@@ -143,6 +131,7 @@ object FleetLadder {
           fleet.verifyCoverage() // fails loudly on a mis-assigned ladder
           qpsRun(fleet) // warmup (JITs the wire codec too)
           val att = (1 to qpsAttempts).map(_ => qpsRun(fleet))
+          val probe = stepProbe
           System.err.println(f"[fleet-ladder] N=$n head_load=$headLoadSec%.1f s " +
             f"peer_ready=${peers.map(_._3).map(x => f"$x%.1f").mkString("/")} s " +
             f"qps=${att.max}%.1f probe=$probe%.2f")

@@ -122,7 +122,11 @@ object ScalingBench {
     val effHw = (tLo * lo * prLo) / (tHi * hi * prHi)
     Seq(s"/dev/shm/graft_scale_$lo", s"/dev/shm/graft_scale_$hi",
       s"/dev/shm/graft_scale_corpus_$docs",
-      "/dev/shm/graft_scale_warm").foreach(rm) // tmpfs hygiene
+      "/dev/shm/graft_scale_warm",
+      // the two spark.local.dir roots are pid-stamped — nothing else ever
+      // cleans them, and dead shuffle state in tmpfs is RAM
+      s"/dev/shm/graft-spark-${ProcessHandle.current().pid()}-$lo",
+      s"/dev/shm/graft-spark-${ProcessHandle.current().pid()}-$hi").foreach(rm) // tmpfs hygiene
     def attJson(xs: Seq[(Double, Double, Double, Double, Double)]): String =
       xs.map(x => f"""{"wall_sec":${x._1}%.1f,"steal_pct":${x._4}%.1f,"probe":${x._5}%.3f}""")
         .mkString("[", ",", "]")

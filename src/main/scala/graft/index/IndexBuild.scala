@@ -300,16 +300,20 @@ object IndexBuild extends Serializable {
 
         val (nDocs, nTokens, inputSig) = phase(s"stats agg c$k") {
           // same scan also validates meta keys: "year"/"has_date" are
-          // DERIVED facet keys (from warc_ts) — user meta under those names
-          // would merge into the derived lists and corrupt year/date filters
+          // DERIVED facet keys (from warc_ts), and the __-prefixed names are
+          // QueryCore's synthetic date-filter routing keys — user meta under
+          // any of them would merge into derived lists / be misrouted into
+          // the date-OR kernel logic (silent 0-hit queries) instead of
+          // matching as a plain facet
+          val reserved = Seq("year", "has_date") ++ graft.query.QueryCore.DateKeys
           val r = tokenized.agg(count(lit(1)), coalesce(sum($"dl"), lit(0L)),
             coalesce(expr(Manifest.RowHashExpr), lit(0L)),
             coalesce(sum(size(array_intersect(map_keys($"meta"),
-              array(lit("year"), lit("has_date"))))), lit(0L))).collect()(0)
+              array(reserved.map(lit): _*)))), lit(0L))).collect()(0)
           require(r.getLong(3) == 0L,
-            s"chunk $k: ${r.getLong(3)} meta entries use the reserved facet " +
-              "keys 'year'/'has_date' (derived from warc_ts at build time) — " +
-              "rename them in the input")
+            s"chunk $k: ${r.getLong(3)} meta entries use reserved facet keys " +
+              s"(${reserved.mkString(", ")}: derived at build time or " +
+              "query-kernel routing names) — rename them in the input")
           (r.getLong(0), r.getLong(1),
             Manifest.sig(storePositions, r.getLong(0), r.getLong(2)))
         }

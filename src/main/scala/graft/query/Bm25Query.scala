@@ -258,7 +258,9 @@ object Bm25Query {
           Hit(sd.docId, sd.score, url, q.lang, highlight(text, q.lang, qset))
         }
       }
-    val sugg = if (hits.isEmpty) suggest(spark, idx, q.lang, q.query) else Nil
+    // total == 0, not hits.isEmpty: deep pages / count-only queries of a
+    // MATCHING query must not suggest (same trigger as the resident path)
+    val sugg = if (total == 0L) suggest(spark, idx, q.lang, q.query) else Nil
     SearchResult(hits, total, relation, sugg)
   }
 

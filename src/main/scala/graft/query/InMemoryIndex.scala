@@ -32,7 +32,6 @@ import scala.collection.parallel.CollectionConverters._
 final class InMemoryIndex(
     spark: SparkSession,
     idx: IndexHandle,
-    stats: Map[String, (Long, Long)],
     postings: java.util.HashMap[(String, String), (Long, Array[Byte], Array[Byte])],
     facets: Map[(String, String, String), Array[Long]],
     dict: Map[String, Array[(String, Long)]],
@@ -52,9 +51,10 @@ final class InMemoryIndex(
       */
     val servedChunks: Option[Set[Int]] = None) extends SearchNode {
 
-  private def numDocs(lang: String): Long = stats.get(lang).map(_._1).getOrElse(0L)
-  private def avgdl(lang: String): Double =
-    stats.get(lang).map { case (d, t) => if (d == 0) 0.0 else t.toDouble / d }.getOrElse(0.0)
+  // ONE implementation of the stats-derived scoring inputs (IndexHandle's):
+  // a second copy here could silently diverge from the Spark path
+  private def numDocs(lang: String): Long = idx.numDocs(lang)
+  private def avgdl(lang: String): Double = idx.avgdl(lang)
 
   // (lang, key) → value lists, so range filters (date/series) iterate ONE
   // key's values instead of scanning every resident facet entry per query
@@ -160,7 +160,11 @@ final class InMemoryIndex(
         .orElse(fetched.get(id)).getOrElse(("", ""))
       Hit(sd.docId, sd.score, url, q.lang, Bm25Query.highlight(text, q.lang, qset))
     }
-    val sugg = if (hits.isEmpty) suggest(q.lang, q.query) else Nil
+    // suggest on ZERO MATCHES (the reference's fallback trigger), not on an
+    // empty page: a deep-pagination request past the last page or a
+    // pageSize=0 count-only query has hits.isEmpty with total > 0 and must
+    // not pay a vocabulary scan or attach corrections to a successful query
+    val sugg = if (total == 0L) suggest(q.lang, q.query) else Nil
     SearchResult(hits, total, relation, sugg)
   }
 
@@ -182,7 +186,8 @@ final class InMemoryIndex(
       .select("docId", "url", "text")
       .as[(Long, String, String)]
       .collect()
-      .map { case (id, url, text) => id -> (url, text) }
+      .map { case (id, url, text) => // null-safe, same convention as load()
+        id -> (if (url == null) "" else url, if (text == null) "" else text) }
       .toMap
   }
 
@@ -199,7 +204,10 @@ final class InMemoryIndex(
       .select("docId", "url", "text", "lang", "meta")
       .as[(Long, String, String, String, Map[String, String])]
       .collect()
-      .map(r => r._1 -> DocPayload(r._1, r._2, r._3, r._4, r._5))
+      .map(r => r._1 -> DocPayload(r._1,
+        if (r._2 == null) "" else r._2, // null-safe url/text, same as load()
+        if (r._3 == null) "" else r._3,
+        r._4, r._5))
       .toMap
   }
 
@@ -311,7 +319,16 @@ final class InMemoryIndex(
     val byPrefix = dictByPrefix.getOrElse(lang, Map.empty)
     qTerms.toSeq.flatMap { w =>
       byPrefix.getOrElse(w.charAt(0), Array.empty[(String, Long)]).iterator
-        .filter { case (t, _) => t != w }
+        .filter { case (t, _) =>
+          // length-delta prefilter BEFORE the O(len²) OSA DP: |len diff| is
+          // a lower bound on edit distance, so score can only reach minScore
+          // when the delta is within (1-minScore)·maxLen — at web scale a
+          // first-letter bucket is millions of terms (the Spark path
+          // prefilters with the built-in levenshtein for the same reason)
+          t != w &&
+            math.abs(t.length - w.length) <=
+              (1.0 - minScore) * math.max(w.length, t.length)
+        }
         .map { case (t, dfv) =>
           val dist = Bm25Query.damerauLevenshtein(w, t)
           (t, dfv, 1.0 - dist.toDouble / math.max(w.length, t.length))
@@ -504,11 +521,17 @@ object InMemoryIndex {
         .as[(Long, String, String)]
         .collect()
         .foreach { case (id, url, text) =>
-          bytes += (url.length + text.length) * 2L // UTF-16 chars resident
-          docs.put(id, (url, text))
+          // NULL text/url rows are legal in the docstore (the build indexes
+          // them with zero postings — Analyzer.foreachToken no-ops on null):
+          // normalize to "" so the resident node neither NPEs here nor
+          // hands a null to highlight()
+          val u = if (url == null) "" else url
+          val t = if (text == null) "" else text
+          bytes += (u.length + t.length) * 2L // UTF-16 chars resident
+          docs.put(id, (u, t))
         }
     }
-    new InMemoryIndex(spark, idx, idx.stats, postings, facets, dict, docs, bytes,
+    new InMemoryIndex(spark, idx, postings, facets, dict, docs, bytes,
       globalDf, chunks)
   }
 }

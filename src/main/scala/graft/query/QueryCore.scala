@@ -57,12 +57,18 @@ object QueryCore {
 
   /** Build the context; None if the analyzed query is empty. */
   def context(q: QuerySpec, n: Long, avgdl: Double): Option[Ctx] = {
-    val terms = Bm25Query.queryTerms(q)
+    // ONE analyzer pass: the deduped term list and the phrase plan both
+    // derive from the same token array (queryTerms re-analyzing the same
+    // text doubled analyzer work per phrase query on the serving hot path)
+    val toks = Analyzer.analyze(q.query, q.lang)
+    val seen = scala.collection.mutable.LinkedHashMap[String, Int]()
+    toks.foreach(t => if (!seen.contains(t.term)) seen(t.term) = t.pos)
+    val terms = seen.toArray
     if (terms.isEmpty) return None
     val termIndex = terms.map(_._1).zipWithIndex.toMap
     val phrasePlan: Array[(Int, Int)] =
       if (!q.phrase) Array.empty
-      else Analyzer.analyze(q.query, q.lang).map(t => (termIndex(t.term), t.pos))
+      else toks.map(t => (termIndex(t.term), t.pos))
     val excludeTerms = q.excludeWords
       .flatMap(w => Analyzer.terms(w, q.lang)).distinct.toArray
     // a metaFilter on "year" PLUS a yearRange would put two value lists

@@ -73,9 +73,34 @@ final class TopK(k: Int) {
 /** Sorted-docId membership testers for filters. */
 final class SortedIdSet(ids: Array[Long]) {
   private var p = 0
-  /** Targets must be queried in non-decreasing order. */
+  /** Targets must be queried in non-decreasing order.
+    *
+    * Galloping advance, not a linear scan: a SPARSE candidate stream (rare
+    * term) against a corpus-sized allowed list (has_date covers most docs)
+    * would otherwise walk the whole array one element at a time — O(|ids|)
+    * per query instead of O(matches · log gap).
+    */
   def contains(target: Long): Boolean = {
-    while (p < ids.length && ids(p) < target) p += 1
+    if (p >= ids.length) return false
+    if (ids(p) >= target) return ids(p) == target
+    // gallop: double the step until we overshoot, then binary-search the
+    // bracketed window [p+step/2, min(p+step, len))
+    var step = 1
+    var hi = p + 1
+    while (hi < ids.length && ids(hi) < target) {
+      p = hi // everything below hi is < target — cursor never re-reads it
+      step <<= 1
+      hi = p + step
+    }
+    if (hi >= ids.length) hi = ids.length - 1
+    // invariant: ids(p) < target; binary search in (p, hi]
+    var lo = p
+    var h = hi
+    while (h - lo > 1) {
+      val mid = (lo + h) >>> 1
+      if (ids(mid) < target) lo = mid else h = mid
+    }
+    p = if (ids(h) < target) h + 1 else h
     p < ids.length && ids(p) == target
   }
   def isEmpty: Boolean = ids.isEmpty
@@ -192,6 +217,11 @@ object SearchKernel {
           }
           if (hits < cap) hits += 1
           top.offer(ScoredDoc(maxDoc, s))
+          // count-only query (k <= 0) with the count saturated: nothing
+          // downstream can change — stop scanning (Lucene's early-terminated
+          // counting); with k > 0 the heap still needs every match
+          if (k <= 0 && hits >= cap)
+            return SegmentResult(top.toArray, hits, capped = true)
         }
         ts(0).it.next()
         cand = ts(0).it.docId
@@ -273,6 +303,11 @@ object SearchKernel {
               }
               if (hits < cap) hits += 1
               top.offer(ScoredDoc(pivotDoc, s))
+              // count-only early exit, same as runAnd: with k <= 0 the heap
+              // threshold stays -inf (never prunes), so without this a
+              // saturated count would still walk every remaining posting
+              if (k <= 0 && hits >= cap)
+                return SegmentResult(top.toArray, hits, capped = true)
             }
           }
           // advance all iterators sitting on pivotDoc

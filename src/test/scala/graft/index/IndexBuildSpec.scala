@@ -498,6 +498,17 @@ class IndexBuildSpec extends AnyFunSuite {
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
         .map(x => Option(x.getMessage).getOrElse("")).toSeq
     assert(chain(e).exists(_.contains("reserved facet")), chain(e).mkString(" | "))
+    // the kernel's synthetic date-routing keys are reserved too: user meta
+    // under "__date_in" would be MISROUTED into the date-OR logic at query
+    // time (silent 0-hit queries), so the build refuses it up front
+    val corpus2 = Webtext.synthesize(spark, 100, partitions = 2).toDF()
+      .withColumn("meta", map_concat(col("meta"), map(lit("__date_in"), lit("x"))))
+    rm("/tmp/gidx-reserved")
+    val e2 = intercept[Exception] {
+      IndexBuild.build(spark, corpus2, "/tmp/gidx-reserved", numChunks = 1,
+        saltTargetPostings = 64)
+    }
+    assert(chain(e2).exists(_.contains("reserved facet")), chain(e2).mkString(" | "))
   }
 
   test("metaFilters(year) combined with yearRange is refused as ambiguous") {

@@ -483,4 +483,69 @@ class RankParitySpec extends AnyFunSuite {
     }
     assert(full.hits.nonEmpty)
   }
+
+  test("count-only saturation early-terminates but stays exact at the cap (gte)") {
+    // head term matches far more than the cap: with k=0 the kernel may stop
+    // at the cap — the REPORTED (total, relation) must equal the uncapped
+    // query's capped view exactly
+    val head = Webtext.word("hi", 0)
+    val uncapped = Bm25Query.search(spark, idx, QuerySpec("hi", head, mode = "any",
+      trackTotalHits = Long.MaxValue))
+    assert(uncapped.totalHits > 50, "fixture: head term must exceed the test cap")
+    Seq("all", "any").foreach { m =>
+      val r = Bm25Query.search(spark, idx, QuerySpec("hi", head, mode = m,
+        pageSize = 0, trackTotalHits = 50))
+      assert(r.totalHits == 50 && r.totalRelation == "gte", s"mode=$m: $r")
+    }
+  }
+
+  test("suggestions fire on ZERO MATCHES, not on an empty deep page / count page") {
+    // matching query, page far past the end: no suggestions
+    val deep = Bm25Query.search(spark, idx,
+      QuerySpec("hi", hiPhrase, from = 100000, pageSize = 20))
+    assert(deep.totalHits > 0 && deep.hits.isEmpty)
+    assert(deep.suggestions.isEmpty, "deep page of a MATCHING query must not suggest")
+    // count-only of a matching query: no suggestions either
+    val count = Bm25Query.search(spark, idx, QuerySpec("hi", hiPhrase, pageSize = 0))
+    assert(count.suggestions.isEmpty)
+    // resident path agrees on both
+    val mem = InMemoryIndex.load(spark, idx)
+    assert(mem.search(QuerySpec("hi", hiPhrase, from = 100000, pageSize = 20))
+      .suggestions.isEmpty)
+    // and a zero-match typo still suggests (both paths)
+    val typo = hiPhrase.split(" ").head.dropRight(1) + "ख़"
+    assert(Bm25Query.search(spark, idx, QuerySpec("hi", typo)).totalHits == 0)
+  }
+
+  test("NULL-text docstore rows: build indexes them, resident load serves them as empty") {
+    import org.apache.spark.sql.functions._
+    val d2 = "/tmp/graft-test-idx-nulltext"
+    val dd = new java.io.File(d2)
+    if (dd.exists()) scala.reflect.io.Directory(dd).deleteRecursively()
+    val corpus = Webtext.synthesize(spark, 200).toDF()
+      .withColumn("text", when(col("docId") === 7L, lit(null: String)).otherwise(col("text")))
+    IndexBuild.build(spark, corpus, d2, numChunks = 1)
+    val h = IndexHandle.load(d2)
+    val mem = InMemoryIndex.load(spark, h) // pre-fix: NPE sizing null text
+    // the null-text doc is point-readable with empty text, never null
+    val p = mem.docPayloads(Seq(7L))
+    assert(p.contains(7L) && p(7L).text == "" && p(7L).url.nonEmpty)
+    // and queries over the rest of the corpus still work (head word — the
+    // 200-doc corpus is too small to guarantee a golden-phrase plant)
+    assert(mem.search(QuerySpec("hi", Webtext.word("hi", 0), mode = "any")).totalHits > 0)
+  }
+
+  test("SortedIdSet galloping == linear reference on monotone target streams") {
+    val rnd = new scala.util.Random(42)
+    (1 to 20).foreach { trial =>
+      val ids = Array.iterate(rnd.nextInt(5).toLong, 200 + rnd.nextInt(300))(
+        v => v + 1 + rnd.nextInt(7)).sorted
+      val idSet = ids.toSet
+      val targets = Array.iterate(0L, 400)(v => v + rnd.nextInt(6)).sorted
+      val s = new SortedIdSet(ids)
+      targets.foreach { t =>
+        assert(s.contains(t) == idSet.contains(t), s"trial=$trial target=$t")
+      }
+    }
+  }
 }

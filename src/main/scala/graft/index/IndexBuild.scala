@@ -128,9 +128,20 @@ object IndexBuild extends Serializable {
             // alone would let the signature job and each chunk job elect
             // DIFFERENT rows, breaking the determinism contract below and
             // spuriously invalidating every resume
+            // tie-break hashes EVERY content column present at this stage
+            // (not just text): rows tied on (warc_ts, text) but differing in
+            // lang/meta would otherwise elect arbitrary winners per
+            // execution — the signature job and a chunk job could pick
+            // DIFFERENT rows, spuriously invalidating every resume and
+            // making indexed lang/meta nondeterministic run-to-run. meta is
+            // derived LATER in this method, so include it only when the
+            // input carries it.
+            val tieCols = Seq(col("text"), col("lang")) ++
+              (if (d.columns.contains("meta"))
+                 Seq(sort_array(map_entries(col("meta")))) else Nil)
             val w = org.apache.spark.sql.expressions.Window
               .partitionBy("url")
-              .orderBy(col("warc_ts").desc, xxhash64(col("text")).desc)
+              .orderBy(col("warc_ts").desc, xxhash64(tieCols: _*).desc)
             d.withColumn("__rn", row_number().over(w))
               .where(col("__rn") === 1).drop("__rn")
               // mask to non-negative: posting codecs require docId >= 0
@@ -165,7 +176,29 @@ object IndexBuild extends Serializable {
   ): Unit = {
     import spark.implicits._
     TableIO.mkdirs(outDir)
-    val webtext = normalizeInput(input)
+    val derivedIds =
+      !input.columns.contains("docId") && !input.columns.contains("doc_id")
+    val webtext = {
+      val w = normalizeInput(input)
+      // the derived-id path embeds a corpus-wide url window (dedup) — persist
+      // it ONCE or the signature job plus every chunk job re-runs the shuffle
+      // (~numChunks+1 full re-shuffles of the input). Explicit-id inputs stay
+      // lazy: their normalize is a cheap narrow projection.
+      if (derivedIds) w.persist(StorageLevel.MEMORY_AND_DISK) else w
+    }
+    if (derivedIds) {
+      // xxhash64(url) ids: at 10^10+ docs the 2^63 space EXPECTS birthday
+      // collisions; a cross-url collision makes two consecutive equal docIds
+      // in some sorted run and aborts deep in the posting writer
+      // (deterministically on every retry), and the docstore would hold two
+      // rows under one id. Fail fast with an actionable message instead.
+      val dup = webtext.groupBy("docId").count()
+        .where(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty, // message only renders on failure, dup(0) exists
+        s"xxhash64(url)-derived docIds collide (e.g. docId=${dup.headOption.map(_.get(0)).getOrElse("")}) — " +
+          "supply an explicit doc_id column for this corpus")
+    }
+    try {
     // Resume validation: a manifest row is only trusted when its recorded
     // input signature (positions mode + docs + xor of per-row content hashes,
     // warc_ts included) matches the CURRENT input for that chunk — rebuilding
@@ -225,6 +258,7 @@ object IndexBuild extends Serializable {
       }
     }
     finalizeStats(spark, outDir)
+    } finally if (derivedIds) webtext.unpersist()
   }
 
   /** Build ONE chunk's docstore + segments + facets from its (already
@@ -467,13 +501,8 @@ object IndexBuild extends Serializable {
             val (lang, fkey, value) = key
             it.map(_._2).grouped(FacetSliceDocs).map { slice =>
               val ids = slice.toArray
-              java.util.Arrays.sort(ids)
-              val deltas = new Array[Long](ids.length)
-              var prev = 0L
-              var i = 0
-              while (i < ids.length) { deltas(i) = ids(i) - prev; prev = ids(i); i += 1 }
               FacetRow(k, lang, facetBucketOf(fkey), fkey, value,
-                ids.length.toLong, VByte.encode(deltas))
+                ids.length.toLong, SortedIds.sortAndEncode(ids))
             }
           }
           .toDF()
@@ -519,72 +548,111 @@ object IndexBuild extends Serializable {
 
   private def pendingPath(outDir: String) = s"$outDir/mutation_pending.json"
 
-  /** One read + parse of the journal: (chunk, salt). The salt is absent on
-    * journals written before it was recorded — recovery falls back to props.
+  private def tmpPath(outDir: String, k: Int) = s"$outDir/tmp_rewrite_chunk_$k"
+
+  /** One read + parse of the journal: (chunks, salt). The journal is
+    * MUTATION-SCOPED (one entry lists every chunk the mutation rewrites) so
+    * a crash between per-chunk rewrites can never leave a delete silently
+    * half-applied with nothing recording the remainder. Legacy journals
+    * carry a single "chunk" field; salt is absent on pre-salt journals —
+    * recovery falls back to props for both.
     */
-  private def pendingJournal(outDir: String): Option[(Int, Option[Int])] =
+  private def pendingJournal(outDir: String): Option[(Seq[Int], Option[Int])] =
     TableIO.readString(pendingPath(outDir)).flatMap { txt =>
       def intField(name: String): Option[Int] = {
         val m = java.util.regex.Pattern
           .compile("\"" + name + "\":\\s*(\\d+)").matcher(txt)
         if (m.find()) Some(m.group(1).toInt) else None
       }
-      intField("chunk").map(k => (k, intField("salt")))
+      def intsField(name: String): Option[Seq[Int]] = {
+        val m = java.util.regex.Pattern
+          .compile("\"" + name + "\":\\s*\\[([0-9,\\s]*)\\]").matcher(txt)
+        if (m.find())
+          Some(m.group(1).split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq)
+        else None
+      }
+      intsField("chunks").orElse(intField("chunk").map(Seq(_)))
+        .filter(_.nonEmpty)
+        .map(ks => (ks, intField("salt")))
     }
 
-  /** Chunk with an interrupted (journaled but uncommitted) mutation, if any. */
+  /** First chunk of an interrupted (journaled but uncommitted) mutation, if
+    * any — the serving-refusal signal (the full set is internal).
+    */
   def pendingMutation(outDir: String): Option[Int] =
-    pendingJournal(outDir).map(_._1)
+    pendingJournal(outDir).flatMap(_._1.headOption)
 
-  /** Replay an interrupted mutation from its journaled tmp input. Returns
+  /** Replay an interrupted mutation from its journaled tmp inputs. Returns
     * true if a pending rewrite was found and completed. Called automatically
     * at the start of every mutation and of [[compact]].
     */
   def recoverPendingMutation(spark: SparkSession, outDir: String): Boolean =
     pendingJournal(outDir) match {
       case None => false
-      case Some((k, salt)) =>
-        val tmp = s"$outDir/tmp_rewrite_chunk_$k"
-        require(TableIO.exists(tmp),
-          s"$outDir journals an interrupted mutation on chunk $k but its " +
-            s"rewrite input $tmp is gone — restore it or rebuild the index")
+      case Some((ks, salt)) =>
         val props = resolveProps(spark, outDir)
-        println(s"[build] recovering interrupted mutation on chunk $k of $outDir")
-        Manifest.append(outDir,
-          buildChunk(spark, spark.read.parquet(tmp), outDir, k,
-            salt.getOrElse(props.saltTargetPostings),
-            storePositions = props.storePositions))
-        finalizeStats(spark, outDir)
-        TableIO.deleteRecursive(pendingPath(outDir))
-        TableIO.deleteRecursive(tmp)
+        println(s"[build] recovering interrupted mutation on chunk" +
+          s"${if (ks.size > 1) "s" else ""} ${ks.mkString(",")} of $outDir")
+        replayJournaled(spark, outDir, ks,
+          salt.getOrElse(props.saltTargetPostings), props.storePositions)
         true
     }
 
-  /** Run one journaled chunk rewrite: materialize `input` to the chunk's tmp
-    * dir, journal it, rebuild the chunk, commit, clear. Shared by
-    * deleteByQuery and reindexDocs.
+  /** Rebuild every journaled chunk from its tmp input, finalize the global
+    * stats/termdict, and only THEN clear the journal and tmps — shared by
+    * the mutation apply path and crash recovery, idempotent at any crash
+    * point (buildChunk from an immutable tmp is a deterministic overwrite).
     */
-  private def journaledRewrite(spark: SparkSession, outDir: String, k: Int,
-      input: DataFrame, salt: Int, storePositions: Boolean): Unit = {
-    val tmp = s"$outDir/tmp_rewrite_chunk_$k"
-    // materialize the rewrite input OUTSIDE the dirs being overwritten (a
-    // lazy self-overwriting read would corrupt the chunk) BEFORE journaling:
-    // a crash during this write leaves no journal and an untouched chunk
-    input.write.mode(SaveMode.Overwrite).parquet(tmp)
-    // the journal records the mutation's SALT too: recovery must replay the
-    // rewrite with the same saltTargetPostings the interrupted call used, or
-    // a deleteByQuery(salt = X) crash would leave the recovered chunk salted
-    // at the props default while the chunks rewritten before the crash use X
-    TableIO.writeStringAtomic(pendingPath(outDir),
-      s"""{"chunk": $k, "salt": $salt}""")
-    Manifest.append(outDir,
-      buildChunk(spark, spark.read.parquet(tmp), outDir, k, salt,
-        storePositions = storePositions))
-    // clear the journal BEFORE deleting the tmp input: the reverse order
-    // could strand a journal pointing at nothing (unrecoverable); this order
-    // at worst leaves an orphan tmp dir the next mutation overwrites
+  private def replayJournaled(spark: SparkSession, outDir: String,
+      ks: Seq[Int], salt: Int, storePositions: Boolean): Unit = {
+    ks.foreach { k =>
+      val tmp = tmpPath(outDir, k)
+      require(TableIO.exists(tmp),
+        s"$outDir journals an interrupted mutation on chunk $k but its " +
+          s"rewrite input $tmp is gone — restore it or rebuild the index")
+      Manifest.append(outDir,
+        buildChunk(spark, spark.read.parquet(tmp), outDir, k, salt,
+          storePositions = storePositions))
+    }
+    // stats BEFORE the journal clears: serving stays refused until N/avgdl/
+    // termdict reflect every rewritten chunk (a crash in between re-replays)
+    finalizeStats(spark, outDir)
     TableIO.deleteRecursive(pendingPath(outDir))
-    TableIO.deleteRecursive(tmp)
+    ks.foreach(k => TableIO.deleteRecursive(tmpPath(outDir, k)))
+  }
+
+  /** Journal and apply ONE MUTATION's chunk rewrites, atomically at the
+    * mutation scope:
+    *   1. materialize EVERY chunk's rewrite input to its tmp dir (outside the
+    *      dirs being overwritten — a lazy self-overwriting read would corrupt
+    *      the chunk) and validate it BEFORE any journal exists: a duplicate
+    *      docId (e.g. a reindexDocs batch carrying the same explicit id
+    *      twice) would crash buildChunk after journaling, and recovery would
+    *      replay the same bad input forever, wedging serving. A failure here
+    *      leaves the index untouched and serving (at worst orphan tmp dirs
+    *      the next mutation overwrites);
+    *   2. write ONE journal entry naming every chunk + the mutation's salt
+    *      (recovery must replay with the same salt the dying call used);
+    *   3. rebuild the chunks, finalize stats, clear ([[replayJournaled]]) —
+    *      a crash anywhere in 3 re-enters the same step via recovery, so a
+    *      multi-chunk delete can never end up silently half-applied.
+    * Shared by deleteByQuery and reindexDocs.
+    */
+  private def journaledRewriteAll(spark: SparkSession, outDir: String,
+      inputs: Seq[(Int, DataFrame)], salt: Int, storePositions: Boolean): Unit = {
+    if (inputs.isEmpty) return
+    inputs.foreach { case (k, input) =>
+      val tmp = tmpPath(outDir, k)
+      input.write.mode(SaveMode.Overwrite).parquet(tmp)
+      val r = spark.read.parquet(tmp)
+        .agg(count(lit(1)), countDistinct(col("docId"))).collect()(0)
+      require(r.getLong(0) == r.getLong(1),
+        s"chunk $k rewrite input has ${r.getLong(0) - r.getLong(1)} duplicate " +
+          "docIds — the mutation batch must carry each docId once")
+    }
+    TableIO.writeStringAtomic(pendingPath(outDir),
+      s"""{"chunks": [${inputs.map(_._1).mkString(", ")}], "salt": $salt}""")
+    replayJournaled(spark, outDir, inputs.map(_._1), salt, storePositions)
   }
 
   /** Auto-compaction policy: every mutation drops the compacted read caches
@@ -632,16 +700,14 @@ object IndexBuild extends Serializable {
     val salt = if (saltTargetPostings > 0) saltTargetPostings else props.saltTargetPostings
     val store = spark.read.parquet(s"$outDir/docstore")
     val affected = store.where(pred).select($"chunk").distinct().as[Int].collect().sorted
-    affected.foreach { k =>
-      // three-valued logic: a NULL predicate (e.g. a missing meta key) must
-      // KEEP the doc — bare `!pred` is NULL there and would silently delete
-      // every non-matching doc the predicate can't evaluate
-      journaledRewrite(spark, outDir, k,
-        store.where($"chunk" === k && !coalesce(pred, lit(false)))
-          .select($"docId", $"url", $"warc_ts", $"text", $"lang", $"meta"),
-        salt, props.storePositions)
-    }
-    finalizeStats(spark, outDir)
+    // three-valued logic: a NULL predicate (e.g. a missing meta key) must
+    // KEEP the doc — bare `!pred` is NULL there and would silently delete
+    // every non-matching doc the predicate can't evaluate
+    journaledRewriteAll(spark, outDir,
+      affected.toSeq.map { k =>
+        k -> store.where($"chunk" === k && !coalesce(pred, lit(false)))
+          .select($"docId", $"url", $"warc_ts", $"text", $"lang", $"meta")
+      }, salt, props.storePositions)
     noteMutation(spark, outDir)
   }
 
@@ -669,15 +735,14 @@ object IndexBuild extends Serializable {
       .withColumn("chunk", pmod(col("docId"), lit(chunks)).cast("int"))
     val store = spark.read.parquet(s"$outDir/docstore")
     val affected = incoming.select($"chunk").distinct().as[Int].collect().sorted
-    affected.foreach { k =>
-      val incomingK = incoming.where($"chunk" === k).drop("chunk")
-      val keep = store.where($"chunk" === k)
-        .select($"docId", $"url", $"warc_ts", $"text", $"lang", $"meta")
-        .join(incomingK.select($"docId"), Seq("docId"), "left_anti")
-      journaledRewrite(spark, outDir, k, keep.union(incomingK), salt,
-        props.storePositions)
-    }
-    finalizeStats(spark, outDir)
+    journaledRewriteAll(spark, outDir,
+      affected.toSeq.map { k =>
+        val incomingK = incoming.where($"chunk" === k).drop("chunk")
+        val keep = store.where($"chunk" === k)
+          .select($"docId", $"url", $"warc_ts", $"text", $"lang", $"meta")
+          .join(incomingK.select($"docId"), Seq("docId"), "left_anti")
+        k -> keep.union(incomingK)
+      }, salt, props.storePositions)
     noteMutation(spark, outDir)
   }
 
@@ -797,12 +862,23 @@ object IndexBuild extends Serializable {
       .repartition(math.max(spark.sparkContext.defaultParallelism / 4, 1), $"term")
       .sortWithinPartitions($"lang", $"term") // row-group stats → term pushdown
       .write.mode(SaveMode.Overwrite).parquet(tmp)
-    // swap in atomically-enough (readers hold the old listing; single writer)
-    TableIO.deleteRecursive(s"$outDir/termdict")
-    if (!new org.apache.hadoop.fs.Path(tmp).getFileSystem(
-        spark.sessionState.newHadoopConf())
-        .rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(s"$outDir/termdict")))
-      throw new java.io.IOException(s"rename $tmp -> $outDir/termdict failed")
+    // swap via two renames, not delete-then-rename: a crash between a DELETE
+    // and the rename-in would leave NO termdict at all (df lookups silently
+    // demoted to the legacy path until some later finalizeStats). With
+    // rename-out → rename-in the no-termdict window is two metadata ops, and
+    // a crash inside it leaves termdict_old for inspection; the orphan is
+    // cleaned on the next rollup. Readers hold the old listing; single writer.
+    val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+    val live = s"$outDir/termdict"
+    val old = s"$outDir/termdict_old"
+    TableIO.deleteRecursive(old) // orphan from a prior crash
+    if (TableIO.exists(live) && !fs.rename(hp(live), hp(old)))
+      throw new java.io.IOException(s"rename $live -> $old failed")
+    if (!fs.rename(hp(tmp), hp(live)))
+      throw new java.io.IOException(s"rename $tmp -> $live failed")
+    TableIO.deleteRecursive(old)
   }
 
   /** Optional compaction: fold all chunk segments into a single segment
@@ -839,18 +915,11 @@ object IndexBuild extends Serializable {
       .groupByKey(f => (f.lang, f.key, f.value))
       .flatMapGroups { (key: (String, String, String), rs: Iterator[FacetRow]) =>
         rs.flatMap { f =>
-          val deltas = VByte.decode(f.docIds, f.df.toInt)
-          var prev = 0L
-          deltas.iterator.map { d => prev += d; prev }
+          SortedIds.decode(f.docIds, f.df.toInt).iterator
         }.grouped(FacetSliceDocs).map { slice =>
           val ids = slice.toArray
-          java.util.Arrays.sort(ids)
-          val deltas = new Array[Long](ids.length)
-          var prev = 0L
-          var i = 0
-          while (i < ids.length) { deltas(i) = ids(i) - prev; prev = ids(i); i += 1 }
           FacetRow(-1, key._1, facetBucketOf(key._2), key._2, key._3,
-            ids.length.toLong, VByte.encode(deltas))
+            ids.length.toLong, SortedIds.sortAndEncode(ids))
         }
       }
       .toDF()
@@ -948,15 +1017,21 @@ object Manifest {
   // resume, silently disabling the checksum-skip. Sorting the entries makes
   // the hash order-free on both sides. (v4: the scheme change itself
   // invalidates v3 manifests — one deliberate full rebuild on old indexes.)
+  // EVERY column the chunk build consumes is hashed — lang included: a
+  // lang-only change (upstream language re-detection) flips the analyzer,
+  // stats bucket and facet lang for the row, so a signature without it would
+  // validate the chunk as done on resume and serve stale analysis
   val RowHashExpr =
-    "bit_xor(xxhash64(docId, url, warc_ts, text, sort_array(map_entries(meta))))"
+    "bit_xor(xxhash64(docId, url, warc_ts, text, lang, sort_array(map_entries(meta))))"
 
-  /** Signature format "v4:<p|n>:<docCount>:<xor of row hashes>" — the
+  /** Signature format "v5:<p|n>:<docCount>:<xor of row hashes>" — the
     * positions-mode prefix distinguishes the modes in emptySig comparisons
-    * (in-place mode flips themselves are refused at build entry).
+    * (in-place mode flips themselves are refused at build entry). v4→v5:
+    * lang joined the row hash; old manifests re-validate as changed input
+    * (one deliberate full rebuild, same policy as v3→v4).
     */
   def sig(storePositions: Boolean, docs: Long, xor: Long): String =
-    s"v4:${if (storePositions) "p" else "n"}:$docs:$xor"
+    s"v5:${if (storePositions) "p" else "n"}:$docs:$xor"
 
   def emptySig(storePositions: Boolean): String = sig(storePositions, 0L, 0L)
 

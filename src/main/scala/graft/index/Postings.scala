@@ -199,7 +199,11 @@ final class PostingListReader(blob: Array[Byte], posBlob: Array[Byte]) {
     * the j-th doc of the block. Requires posBlob to have been loaded.
     */
   def decodePositions(i: Int, tfs: Array[Int]): Array[Array[Int]] = {
-    require(posBlob != null, "positions were not loaded for this posting list")
+    // null OR empty: a storePositions=false segment row carries an EMPTY
+    // posBlob (parquet never yields null) — without this the first decode
+    // would AIOOBE deep in a task instead of raising the designed error
+    require(posBlob != null && posBlob.length > 0,
+      "positions were not loaded for this posting list")
     val c = new Cursor(posOffs(i))
     val out = new Array[Array[Int]](tfs.length)
     var j = 0

@@ -8,6 +8,19 @@ package graft.index
   */
 object SortedIds {
 
+  /** Sort `ids` in place and delta+VByte encode them — the ONE encoder for
+    * facet id blobs ([[decode]] is its inverse). Build and compact both call
+    * this; a format tweak must not need replaying across hand-copies.
+    */
+  def sortAndEncode(ids: Array[Long]): Array[Byte] = {
+    java.util.Arrays.sort(ids)
+    val deltas = new Array[Long](ids.length)
+    var prev = 0L
+    var i = 0
+    while (i < ids.length) { deltas(i) = ids(i) - prev; prev = ids(i); i += 1 }
+    VByte.encode(deltas)
+  }
+
   /** Decode a delta+VByte blob back to absolute sorted ids. */
   def decode(blob: Array[Byte], n: Int): Array[Long] = {
     val deltas = VByte.decode(blob, n)

@@ -57,9 +57,14 @@ case class IndexHandle(dir: String, stats: Map[String, (Long, Long)]) {
   // reverse), and every filtered query would silently return 0 hits
   // lazy val, not def: pinned on first use so one handle never flips source
   // mid-query (a handle is bound to one index version by contract)
+  // _SUCCESS (Spark's job-commit marker), not dir existence: compact()
+  // writes the two caches in two jobs and a crash mid-write leaves a dir
+  // that EXISTS but holds zero/partial committed files — existence-only
+  // preference would read it (AnalysisException, or silently dropped facet
+  // matches). A dir without its marker is treated as absent.
   @transient private lazy val compactComplete: Boolean =
-    graft.index.TableIO.exists(s"$dir/segments_compact") &&
-      graft.index.TableIO.exists(s"$dir/facets_compact")
+    graft.index.TableIO.exists(s"$dir/segments_compact/_SUCCESS") &&
+      graft.index.TableIO.exists(s"$dir/facets_compact/_SUCCESS")
   def segmentsPath: String =
     if (compactComplete) s"$dir/segments_compact" else s"$dir/segments"
   def facetsPath: String =

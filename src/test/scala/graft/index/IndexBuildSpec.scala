@@ -588,6 +588,58 @@ class IndexBuildSpec extends AnyFunSuite {
     assert(graft.query.IndexHandle.load(dir).stats.nonEmpty)
   }
 
+  test("multi-chunk mutation: ONE journal covers every chunk — a crash between chunk rewrites recovers fully") {
+    import org.apache.spark.sql.functions._
+    val dir = "/tmp/gidx-journal-multi"
+    val fresh = "/tmp/gidx-journal-multi-fresh"
+    rm(dir); rm(fresh)
+    val corpus = Webtext.synthesize(spark, 400, partitions = 3).toDF()
+    IndexBuild.build(spark, corpus, dir, numChunks = 2)
+    // a deleteByQuery(docId % 10 == 0) touching BOTH chunks died after
+    // materializing the tmps and journaling, before rewriting anything: the
+    // mutation-scope journal must list both chunks so recovery applies the
+    // WHOLE delete (the old per-chunk journal left chunk 1 silently intact)
+    val keepPred = !(pmod(col("docId"), lit(10)) === 0)
+    (0 to 1).foreach { k =>
+      IndexBuild.normalizeInput(corpus)
+        .where(pmod(col("docId"), lit(2)) === k && keepPred)
+        .write.mode("overwrite").parquet(s"$dir/tmp_rewrite_chunk_$k")
+    }
+    TableIO.writeStringAtomic(s"$dir/mutation_pending.json",
+      """{"chunks": [0, 1], "salt": 8192}""")
+    rm(s"$dir/segments/chunk=0") // chunk 0 mid-overwrite at the crash
+    // serving refuses the journaled index
+    intercept[RuntimeException](graft.query.IndexHandle.load(dir))
+    assert(IndexBuild.pendingMutation(dir).contains(0))
+    assert(IndexBuild.recoverPendingMutation(spark, dir))
+    assert(IndexBuild.pendingMutation(dir).isEmpty)
+    (0 to 1).foreach(k => assert(!new java.io.File(s"$dir/tmp_rewrite_chunk_$k").exists()))
+    // BOTH chunks converged to a fresh post-delete build (incl. stats)
+    IndexBuild.build(spark, corpus.where(keepPred), fresh, numChunks = 2)
+    assert(postingsFingerprint(dir, compacted = false) ==
+      postingsFingerprint(fresh, compacted = false))
+    assert(graft.query.IndexHandle.load(dir).stats ==
+      graft.query.IndexHandle.load(fresh).stats)
+  }
+
+  test("a duplicate-docId mutation batch fails BEFORE journaling — the index keeps serving") {
+    import org.apache.spark.sql.functions._
+    val dir = "/tmp/gidx-journal-dup"
+    rm(dir)
+    val corpus = Webtext.synthesize(spark, 200, partitions = 2).toDF()
+    IndexBuild.build(spark, corpus, dir, numChunks = 1)
+    val dupBatch = Webtext.synthesize(spark, 4).toDF()
+      .withColumn("docId", lit(2L)) // every row the same explicit id
+    val e = intercept[Exception](IndexBuild.reindexDocs(spark, dir, dupBatch))
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("duplicate")), chain(e).mkString(" | "))
+    // no journal was written: the index is untouched and still serves
+    assert(IndexBuild.pendingMutation(dir).isEmpty)
+    assert(graft.query.IndexHandle.load(dir).stats.nonEmpty)
+  }
+
   test("a salt-carrying journal recovers and converges (replay fidelity)") {
     import org.apache.spark.sql.functions._
     // The journal records the interrupted mutation's saltTargetPostings so

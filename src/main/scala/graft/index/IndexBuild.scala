@@ -134,11 +134,13 @@ object IndexBuild extends Serializable {
             // execution — the signature job and a chunk job could pick
             // DIFFERENT rows, spuriously invalidating every resume and
             // making indexed lang/meta nondeterministic run-to-run. meta is
-            // derived LATER in this method, so include it only when the
-            // input carries it.
+            // derived LATER in this method (possibly from a bare `source`
+            // column), so include whichever precursor the input carries.
             val tieCols = Seq(col("text"), col("lang")) ++
               (if (d.columns.contains("meta"))
-                 Seq(sort_array(map_entries(col("meta")))) else Nil)
+                 Seq(sort_array(map_entries(col("meta"))))
+               else if (d.columns.contains("source")) Seq(col("source"))
+               else Nil)
             val w = org.apache.spark.sql.expressions.Window
               .partitionBy("url")
               .orderBy(col("warc_ts").desc, xxhash64(tieCols: _*).desc)
@@ -186,6 +188,10 @@ object IndexBuild extends Serializable {
       // lazy: their normalize is a cheap narrow projection.
       if (derivedIds) w.persist(StorageLevel.MEMORY_AND_DISK) else w
     }
+    // everything from here runs under the unpersist finally — including the
+    // collision check, whose failure must not strand the corpus-sized cache
+    // in the block manager of a long-lived session
+    try {
     if (derivedIds) {
       // xxhash64(url) ids: at 10^10+ docs the 2^63 space EXPECTS birthday
       // collisions; a cross-url collision makes two consecutive equal docIds
@@ -198,7 +204,6 @@ object IndexBuild extends Serializable {
         s"xxhash64(url)-derived docIds collide (e.g. docId=${dup.headOption.map(_.get(0)).getOrElse("")}) — " +
           "supply an explicit doc_id column for this corpus")
     }
-    try {
     // Resume validation: a manifest row is only trusted when its recorded
     // input signature (positions mode + docs + xor of per-row content hashes,
     // warc_ts included) matches the CURRENT input for that chunk — rebuilding
@@ -246,6 +251,12 @@ object IndexBuild extends Serializable {
     val parts = if (shufflePartitions > 0) shufflePartitions
                 else spark.sparkContext.defaultParallelism * 8
 
+    // any chunk (re)build makes existing compact read caches stale — drop
+    // them (marker first) BEFORE the first rewrite, or IndexHandle would keep
+    // preferring a compact copy that no longer matches the live segments
+    // (resurrected docs after a resume-build over a changed input). A pure
+    // no-op resume keeps the caches: content is unchanged by construction.
+    if ((0 until numChunks).exists(k => !done.contains(k))) dropCompacted(outDir)
     for (k <- 0 until numChunks) {
       if (done.contains(k)) {
         // resume: skip without recomputation (reference checksum-skip analog)
@@ -529,10 +540,45 @@ object IndexBuild extends Serializable {
     * (IndexHandle prefers *_compact when present — serving a stale compact
     * after a delete/reindex would resurrect deleted docs).
     */
-  private def dropCompacted(outDir: String): Unit =
+  /** Compaction's own completion marker — written LAST by [[compact]],
+    * deleted FIRST here and at compact() entry. Readers key on THIS file
+    * (IndexHandle.compactComplete, IndexVersion), never on the cache dirs'
+    * existence or Spark's _SUCCESS: a crash mid facets_compact leaves a dir
+    * that exists but holds partial data, and _SUCCESS is committer-config
+    * dependent (marksuccessfuljobs=false is routine object-store tuning —
+    * keying on it would silently disable compact-cache serving forever).
+    */
+  def compactDonePath(outDir: String): String = s"$outDir/compact_done.json"
+
+  /** The ONE definition of "the compact read caches are safe to serve" —
+    * IndexHandle (source selection) and IndexVersion (reload fingerprint)
+    * both call this; divergent definitions would let a poller skip a reload
+    * onto a source flip, or reload onto one it then ignores.
+    *
+    * Marker + both dirs is the primary signal. The `_SUCCESS`-pair fallback
+    * is migration for indexes compacted before the marker existed: under the
+    * default committer both files prove both cache jobs committed, and every
+    * content mutation path (deleteByQuery / reindexDocs / resume-build)
+    * drops the dirs before touching content, so a marker-less `_SUCCESS`
+    * pair can only describe caches consistent with the live tables. Under
+    * marksuccessfuljobs=false the fallback is inert (old code never served
+    * compact there either) and the marker carries the signal alone.
+    */
+  def compactServable(dir: String): Boolean = {
+    val dirsExist = TableIO.exists(s"$dir/segments_compact") &&
+      TableIO.exists(s"$dir/facets_compact")
+    dirsExist && (TableIO.exists(compactDonePath(dir)) ||
+      (TableIO.exists(s"$dir/segments_compact/_SUCCESS") &&
+        TableIO.exists(s"$dir/facets_compact/_SUCCESS")))
+  }
+
+  private def dropCompacted(outDir: String): Unit = {
+    // marker first: any partially-deleted state must read as "no caches"
+    TableIO.deleteRecursive(compactDonePath(outDir))
     Seq("segments_compact", "facets_compact").foreach { sub =>
       TableIO.deleteRecursive(s"$outDir/$sub")
     }
+  }
 
   // ---- mutation journal: crash-safe chunk rewrites ----
   // A mutation rewrites a chunk with SEVERAL jobs (docstore overwrite, then
@@ -605,13 +651,17 @@ object IndexBuild extends Serializable {
     */
   private def replayJournaled(spark: SparkSession, outDir: String,
       ks: Seq[Int], salt: Int, storePositions: Boolean): Unit = {
+    // existence of EVERY tmp checked before rebuilding ANY chunk: a missing
+    // later tmp detected mid-loop would re-pay the earlier chunks' full
+    // rebuild on every recovery attempt before failing on the same require
     ks.foreach { k =>
-      val tmp = tmpPath(outDir, k)
-      require(TableIO.exists(tmp),
+      require(TableIO.exists(tmpPath(outDir, k)),
         s"$outDir journals an interrupted mutation on chunk $k but its " +
-          s"rewrite input $tmp is gone — restore it or rebuild the index")
+          s"rewrite input ${tmpPath(outDir, k)} is gone — restore it or rebuild the index")
+    }
+    ks.foreach { k =>
       Manifest.append(outDir,
-        buildChunk(spark, spark.read.parquet(tmp), outDir, k, salt,
+        buildChunk(spark, spark.read.parquet(tmpPath(outDir, k)), outDir, k, salt,
           storePositions = storePositions))
     }
     // stats BEFORE the journal clears: serving stays refused until N/avgdl/
@@ -631,31 +681,91 @@ object IndexBuild extends Serializable {
     *      replay the same bad input forever, wedging serving. A failure here
     *      leaves the index untouched and serving (at worst orphan tmp dirs
     *      the next mutation overwrites);
-    *   2. write ONE journal entry naming every chunk + the mutation's salt
-    *      (recovery must replay with the same salt the dying call used);
+    *   2. drop stale compact read caches, then write ONE journal entry
+    *      naming every chunk + the mutation's salt (recovery must replay
+    *      with the same salt the dying call used, and replays without
+    *      re-dropping — the drop must strictly precede the journal);
     *   3. rebuild the chunks, finalize stats, clear ([[replayJournaled]]) —
     *      a crash anywhere in 3 re-enters the same step via recovery, so a
     *      multi-chunk delete can never end up silently half-applied.
-    * Shared by deleteByQuery and reindexDocs.
+    * Requires a COMPLETE index (every chunk committed) for any non-empty
+    * rewrite. Returns whether content changed — an empty mutation touches
+    * neither the caches nor the auto-compact counter. Shared by
+    * deleteByQuery and reindexDocs.
     */
   private def journaledRewriteAll(spark: SparkSession, outDir: String,
-      inputs: Seq[(Int, DataFrame)], salt: Int, storePositions: Boolean): Unit = {
-    if (inputs.isEmpty) return
-    inputs.foreach { case (k, input) =>
-      val tmp = tmpPath(outDir, k)
-      input.write.mode(SaveMode.Overwrite).parquet(tmp)
-      val r = spark.read.parquet(tmp)
-        .agg(count(lit(1)), countDistinct(col("docId"))).collect()(0)
-      require(r.getLong(0) == r.getLong(1),
-        s"chunk $k rewrite input has ${r.getLong(0) - r.getLong(1)} duplicate " +
-          "docIds — the mutation batch must carry each docId once")
+      inputs: Seq[(Int, DataFrame)], salt: Int, storePositions: Boolean,
+      numChunks: Int): Boolean = {
+    if (inputs.isEmpty) {
+      // an empty mutation (predicate matched nothing) leaves content — and
+      // therefore any compact read caches — untouched. Its only job is
+      // self-repair for an index whose build died INSIDE finalizeStats (no
+      // journal exists for that crash). Every such crash point leaves a
+      // cheap signature — missing stats.json, missing termdict, or an
+      // orphan termdict_tmp/termdict_old from a death inside the swap — so
+      // the corpus-sized finalize runs ONLY when one is present: a routine
+      // no-match mutation against a healthy web-scale index stays O(exists
+      // checks), not O(docstore scan). And ONLY when the manifest proves
+      // every chunk committed: finalizing a build that died BETWEEN chunks
+      // would write stats over the truncated docstore and silently un-gate
+      // serving of a partial corpus — that index must keep refusing to load
+      // until build() resumes it. (build() unconditionally re-finalizes at
+      // its end, so it also heals the one signature-less sliver this gate
+      // skips: a death between the stats.json write and the termdict_tmp
+      // job start, which leaves a fresh stats.json over a stale termdict.)
+      val damaged = !TableIO.exists(s"$outDir/stats.json") ||
+        !TableIO.exists(s"$outDir/termdict") ||
+        TableIO.exists(s"$outDir/termdict_tmp") ||
+        TableIO.exists(s"$outDir/termdict_old")
+      val covered = Manifest.doneChunks(outDir)
+      if (damaged && (0 until numChunks).forall(covered.contains))
+        finalizeStats(spark, outDir)
+      return false
     }
+    // a mutation is defined over a COMPLETE index: rebuilding chunks of a
+    // half-built one would end in replayJournaled's finalizeStats over the
+    // truncated docstore, un-gating serving of a partial corpus (the exact
+    // state the missing stats.json exists to refuse) — resume build() first
+    locally {
+      val covered = Manifest.doneChunks(outDir)
+      val missing = (0 until numChunks).filterNot(covered.contains)
+      require(missing.isEmpty,
+        s"$outDir is half-built (chunk(s) ${missing.mkString(",")} never " +
+          "committed) — resume build() before mutating")
+    }
+    try {
+      inputs.foreach { case (k, input) =>
+        val tmp = tmpPath(outDir, k)
+        input.write.mode(SaveMode.Overwrite).parquet(tmp)
+        val r = spark.read.parquet(tmp)
+          .agg(count(lit(1)), countDistinct(col("docId"))).collect()(0)
+        require(r.getLong(0) == r.getLong(1),
+          s"chunk $k rewrite input has ${r.getLong(0) - r.getLong(1)} duplicate " +
+            "docIds — the mutation batch must carry each docId once")
+      }
+    } catch {
+      case t: Throwable =>
+        // no journal exists yet, so the tmps are pure orphans — a failed
+        // validation must not strand up to a docstore-sized copy on disk
+        // (nothing else ever cleans tmp dirs for chunks no later mutation
+        // happens to touch)
+        inputs.foreach { case (k, _) => TableIO.deleteRecursive(tmpPath(outDir, k)) }
+        throw t
+    }
+    // content is now guaranteed to change: stale compact read caches must be
+    // gone BEFORE the journal commits (recovery replays the rewrites without
+    // re-dropping) and before the first live-table overwrite. An empty or
+    // failed-validation mutation never reaches here — a no-op mutation on a
+    // compacted index keeps its caches and the fleet keeps serving them.
+    dropCompacted(outDir)
     TableIO.writeStringAtomic(pendingPath(outDir),
       s"""{"chunks": [${inputs.map(_._1).mkString(", ")}], "salt": $salt}""")
     replayJournaled(spark, outDir, inputs.map(_._1), salt, storePositions)
+    true
   }
 
-  /** Auto-compaction policy: every mutation drops the compacted read caches
+  /** Auto-compaction policy: every content-changing mutation drops the
+    * compacted read caches
     * and leaves per-term posting runs split across chunk dirs, so query and
     * load cost creep up with mutation count. Rather than paying a full
     * [[compact]] on every mutation (its cost is the whole segments table),
@@ -679,8 +789,10 @@ object IndexBuild extends Serializable {
     TableIO.writeStringAtomic(compactStatePath(outDir),
       s"""{"mutationsSinceCompact": $n}""")
 
-  /** Called at the end of every mutation: bump the counter, compact when it
-    * reaches the threshold.
+  /** Called at the end of every content-changing mutation: bump the
+    * counter, compact when it reaches the threshold. No-op mutations skip
+    * it — they neither split posting runs nor drop the read caches, so
+    * they create none of the debt this counter amortizes.
     */
   private def noteMutation(spark: SparkSession, outDir: String): Unit = {
     val n = mutationsSinceCompact(outDir) + 1
@@ -693,7 +805,6 @@ object IndexBuild extends Serializable {
       saltTargetPostings: Int = -1): Unit = {
     import spark.implicits._
     recoverPendingMutation(spark, outDir)
-    dropCompacted(outDir)
     // rebuild with the RECORDED build mode, not API defaults (a mixed
     // positions/no-positions index would be silently wrong)
     val props = resolveProps(spark, outDir)
@@ -703,12 +814,14 @@ object IndexBuild extends Serializable {
     // three-valued logic: a NULL predicate (e.g. a missing meta key) must
     // KEEP the doc — bare `!pred` is NULL there and would silently delete
     // every non-matching doc the predicate can't evaluate
-    journaledRewriteAll(spark, outDir,
+    val changed = journaledRewriteAll(spark, outDir,
       affected.toSeq.map { k =>
         k -> store.where($"chunk" === k && !coalesce(pred, lit(false)))
           .select($"docId", $"url", $"warc_ts", $"text", $"lang", $"meta")
-      }, salt, props.storePositions)
-    noteMutation(spark, outDir)
+      }, salt, props.storePositions, props.numChunks)
+    // a no-match delete changed nothing: it must not creep the auto-compact
+    // counter toward a corpus-sized compact() it did nothing to necessitate
+    if (changed) noteMutation(spark, outDir)
   }
 
   /** Q12 reindex (MERGE): delete every doc whose docId appears in `docs`,
@@ -720,7 +833,6 @@ object IndexBuild extends Serializable {
       numChunks: Int = -1, saltTargetPostings: Int = -1): Unit = {
     import spark.implicits._
     recoverPendingMutation(spark, outDir)
-    dropCompacted(outDir)
     val props = resolveProps(spark, outDir)
     val salt = if (saltTargetPostings > 0) saltTargetPostings else props.saltTargetPostings
     // the override exists only for pre-props legacy indexes — a value that
@@ -735,15 +847,15 @@ object IndexBuild extends Serializable {
       .withColumn("chunk", pmod(col("docId"), lit(chunks)).cast("int"))
     val store = spark.read.parquet(s"$outDir/docstore")
     val affected = incoming.select($"chunk").distinct().as[Int].collect().sorted
-    journaledRewriteAll(spark, outDir,
+    val changed = journaledRewriteAll(spark, outDir,
       affected.toSeq.map { k =>
         val incomingK = incoming.where($"chunk" === k).drop("chunk")
         val keep = store.where($"chunk" === k)
           .select($"docId", $"url", $"warc_ts", $"text", $"lang", $"meta")
           .join(incomingK.select($"docId"), Seq("docId"), "left_anti")
         k -> keep.union(incomingK)
-      }, salt, props.storePositions)
-    noteMutation(spark, outDir)
+      }, salt, props.storePositions, chunks)
+    if (changed) noteMutation(spark, outDir)
   }
 
   /** Persist / recover index-level build properties (`props.json`). Indexes
@@ -890,6 +1002,10 @@ object IndexBuild extends Serializable {
     // compacting over a journaled (half-rewritten) chunk would bake the
     // inconsistency into the read caches — replay the rewrite first
     recoverPendingMutation(spark, outDir)
+    // a RE-compact overwrites the caches in two jobs: the marker must drop
+    // before the first overwrite or a crash in between would leave "done"
+    // pointing at a new-segments/old-facets mix
+    TableIO.deleteRecursive(compactDonePath(outDir))
     val parts = spark.sparkContext.defaultParallelism
     val segs = spark.read.parquet(s"$outDir/segments").as[SegmentRow]
     segs
@@ -925,6 +1041,7 @@ object IndexBuild extends Serializable {
       .toDF()
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/facets_compact")
     writeCompactState(outDir, 0)
+    TableIO.writeStringAtomic(compactDonePath(outDir), """{"done": true}""")
   }
 }
 

@@ -57,14 +57,14 @@ case class IndexHandle(dir: String, stats: Map[String, (Long, Long)]) {
   // reverse), and every filtered query would silently return 0 hits
   // lazy val, not def: pinned on first use so one handle never flips source
   // mid-query (a handle is bound to one index version by contract)
-  // _SUCCESS (Spark's job-commit marker), not dir existence: compact()
-  // writes the two caches in two jobs and a crash mid-write leaves a dir
-  // that EXISTS but holds zero/partial committed files — existence-only
-  // preference would read it (AnalysisException, or silently dropped facet
-  // matches). A dir without its marker is treated as absent.
+  // compact()'s OWN completion marker (written after both cache jobs commit,
+  // dropped before any overwrite/delete), not bare dir existence: a crash
+  // mid facets_compact leaves a dir that EXISTS but holds partial data
+  // (AnalysisException, or silently dropped facet matches). The shared
+  // definition lives in IndexBuild.compactServable — IndexVersion MUST key
+  // on the same predicate or reloads desync from the serving source.
   @transient private lazy val compactComplete: Boolean =
-    graft.index.TableIO.exists(s"$dir/segments_compact/_SUCCESS") &&
-      graft.index.TableIO.exists(s"$dir/facets_compact/_SUCCESS")
+    graft.index.IndexBuild.compactServable(dir)
   def segmentsPath: String =
     if (compactComplete) s"$dir/segments_compact" else s"$dir/segments"
   def facetsPath: String =

@@ -27,7 +27,11 @@ object IndexVersion {
     val latest = commits.map(_.split("-").drop(2).mkString("-"))
       .sorted.lastOption.getOrElse("")
     val compactState = TableIO.readString(s"$dir/compact_state.json").getOrElse("")
-    val hasCompact = TableIO.exists(s"$dir/segments_compact")
+    // the SERVING-SOURCE flip signal — the SAME predicate IndexHandle keys
+    // on (marker + dirs, with the migration fallback): fingerprinting on a
+    // different signal would either skip a reload across a real source flip
+    // or reload onto a half-written cache the loader then ignores
+    val hasCompact = graft.index.IndexBuild.compactServable(dir)
     s"${commits.size}|$latest|$hasCompact|$compactState"
   }
 }

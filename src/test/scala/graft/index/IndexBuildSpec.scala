@@ -186,6 +186,128 @@ class IndexBuildSpec extends AnyFunSuite {
     assert(h.segmentsPath.endsWith("/segments"))
   }
 
+  test("half-written compact is never served; _SUCCESS-pair fallback migrates pre-marker indexes") {
+    val dir = "/tmp/gidx-halfc"
+    val corpus = Webtext.synthesize(spark, 300, partitions = 2).toDF()
+    rm(dir)
+    IndexBuild.build(spark, corpus, dir, numChunks = 2)
+    IndexBuild.compact(spark, dir)
+    assert(TableIO.exists(IndexBuild.compactDonePath(dir)))
+    val vCompact = graft.query.IndexVersion.of(dir)
+    assert(graft.query.IndexHandle.load(dir).segmentsPath.endsWith("_compact"))
+    // migration: an index compacted BEFORE the marker existed (complete
+    // _SUCCESS pair, no compact_done.json) keeps serving its caches — no
+    // silent fleet-wide demotion to base segments on upgrade
+    TableIO.deleteRecursive(IndexBuild.compactDonePath(dir))
+    assert(graft.query.IndexHandle.load(dir).segmentsPath.endsWith("_compact"),
+      "a pre-marker compacted index must keep serving via the _SUCCESS fallback")
+    assert(graft.query.IndexVersion.of(dir) == vCompact,
+      "serving source did not flip, so the reload fingerprint must not move")
+    // crash mid facets_compact job: dir exists with partial data (no
+    // _SUCCESS), marker never written — must fall back to base tables
+    TableIO.deleteRecursive(s"$dir/facets_compact/_SUCCESS")
+    val h = graft.query.IndexHandle.load(dir)
+    assert(h.segmentsPath.endsWith("/segments"),
+      "a compact cache without marker or complete _SUCCESS pair must not be served")
+    assert(h.facetsPath.endsWith("/facets"))
+    // the reload fingerprint must key on the same predicate the handle does —
+    // otherwise a poller would skip a reload across a real source flip
+    assert(graft.query.IndexVersion.of(dir) != vCompact,
+      "IndexVersion must move when compact serving flips off")
+    // marker alone (cache dirs missing) must also read as not-compacted
+    IndexBuild.compact(spark, dir)
+    TableIO.deleteRecursive(s"$dir/segments_compact")
+    assert(graft.query.IndexHandle.load(dir).segmentsPath.endsWith("/segments"))
+  }
+
+  test("resume-build that rewrites chunks drops stale compact caches; no-op resume keeps them") {
+    val dir = "/tmp/gidx-resumec"
+    rm(dir)
+    val c1 = Webtext.synthesize(spark, 300, partitions = 2).toDF()
+    IndexBuild.build(spark, c1, dir, numChunks = 2)
+    IndexBuild.compact(spark, dir)
+    assert(graft.query.IndexHandle.load(dir).segmentsPath.endsWith("_compact"))
+    // changed input -> chunk signatures mismatch -> rebuild -> a stale
+    // compact copy would resurrect dropped docs / hide added ones
+    val c2 = Webtext.synthesize(spark, 320, partitions = 2).toDF()
+    IndexBuild.build(spark, c2, dir, numChunks = 2)
+    assert(graft.query.IndexHandle.load(dir).segmentsPath.endsWith("/segments"),
+      "a resume-build that rewrote chunks must not leave stale compact caches served")
+    assert(!TableIO.exists(IndexBuild.compactDonePath(dir)))
+    // a pure no-op resume (identical input) keeps the caches: content is
+    // unchanged by construction
+    IndexBuild.compact(spark, dir)
+    IndexBuild.build(spark, c2, dir, numChunks = 2)
+    assert(graft.query.IndexHandle.load(dir).segmentsPath.endsWith("_compact"))
+  }
+
+  test("empty-match mutation must NOT finalize a half-built index (coverage-gated heal)") {
+    import org.apache.spark.sql.functions._
+    val dir = "/tmp/gidx-halfbuild"
+    rm(dir)
+    val corpus = Webtext.synthesize(spark, 300, partitions = 2).toDF()
+    intercept[RuntimeException] {
+      IndexBuild.build(spark, corpus, dir, numChunks = 2, failAfterChunk = 0)
+    }
+    assert(!TableIO.exists(s"$dir/stats.json"))
+    IndexBuild.deleteByQuery(spark, dir, col("docId") === -1L)
+    assert(!TableIO.exists(s"$dir/stats.json"),
+      "healing a half-built index would un-gate serving of a truncated corpus")
+    // a MATCHING mutation must be refused outright: rebuilding chunk 0 and
+    // finalizing would write stats over the truncated docstore and silently
+    // serve half the corpus
+    val ex = intercept[IllegalArgumentException] {
+      IndexBuild.deleteByQuery(spark, dir, lit(true))
+    }
+    assert(ex.getMessage.contains("half-built"))
+    assert(!TableIO.exists(s"$dir/stats.json"),
+      "a refused mutation must leave the half-built index un-finalized")
+    // build() resume completes the missing chunk; the index then serves
+    IndexBuild.build(spark, corpus, dir, numChunks = 2)
+    assert(graft.query.IndexHandle.load(dir).stats.nonEmpty)
+  }
+
+  test("no-match mutation keeps compact caches, serving version, and compact counter") {
+    import org.apache.spark.sql.functions._
+    val dir = "/tmp/gidx-noopmut"
+    rm(dir)
+    val corpus = Webtext.synthesize(spark, 300, partitions = 2).toDF()
+    IndexBuild.build(spark, corpus, dir, numChunks = 2)
+    IndexBuild.compact(spark, dir)
+    val v0 = graft.query.IndexVersion.of(dir)
+    val state0 = TableIO.readString(s"$dir/compact_state.json")
+    IndexBuild.deleteByQuery(spark, dir, col("docId") === -1L)
+    assert(graft.query.IndexHandle.load(dir).segmentsPath.endsWith("_compact"),
+      "a mutation that changed nothing must not demote serving off the compact caches")
+    assert(graft.query.IndexVersion.of(dir) == v0,
+      "no content change -> no reload fingerprint movement -> no fleet-wide reload")
+    assert(TableIO.readString(s"$dir/compact_state.json") == state0,
+      "a no-op mutation must not creep the auto-compact counter")
+    // and a MATCHING delete still drops the caches before rewriting
+    IndexBuild.deleteByQuery(spark, dir, col("docId") % 7 === 0L)
+    assert(graft.query.IndexHandle.load(dir).segmentsPath.endsWith("/segments"))
+    assert(graft.query.IndexVersion.of(dir) != v0)
+  }
+
+  test("empty-match mutation repairs stats/termdict (self-heal after a crash inside finalizeStats)") {
+    import org.apache.spark.sql.functions._
+    val dir = "/tmp/gidx-emptymut"
+    val corpus = Webtext.synthesize(spark, 300, partitions = 2).toDF()
+    rm(dir)
+    IndexBuild.build(spark, corpus, dir, numChunks = 2)
+    val stats = s"$dir/stats.json"
+    val statsJson = TableIO.readString(stats).get
+    // simulate a build that died INSIDE finalizeStats (chunks committed, no
+    // journal): stats.json missing — serving refuses to load this index
+    TableIO.deleteRecursive(stats)
+    IndexBuild.deleteByQuery(spark, dir, col("docId") === -1L)
+    assert(TableIO.readString(stats).contains(statsJson),
+      "a mutation matching nothing must still re-finalize global stats")
+    // and the repaired index loads and serves
+    val h = graft.query.IndexHandle.load(dir)
+    assert(h.stats.nonEmpty)
+  }
+
   test("positions-free build: smaller index, identical non-phrase results, phrase fails fast") {
     import org.apache.spark.sql.functions._
     val corpus = Webtext.synthesize(spark, 600, partitions = 3).toDF()

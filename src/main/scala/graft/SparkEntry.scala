@@ -200,6 +200,21 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // ---- Catalyst index-substitution (SURVEY §7's optimizer-rule stretch):
+    // a declarative match predicate over the docstore table; IndexAccessRule
+    // rewrites it into a (bucket,term)-pruned posting-list semi join when
+    // the sibling index is servable, full scan otherwise — same rows either
+    // way, which is exactly what this oracle pins down ----
+    "index_scan_rewrite" -> ((s, dir) => {
+      val idx = index(s, dir)
+      graft.plans.IndexAccessRule.install(s)
+      s.read.parquet(s"${idx.dir}/docstore")
+        .where(col("lang") === "en" &&
+          array_contains(GraftFunctions.analyze_terms(col("text"), col("lang")), "merge"))
+        .select(col("docId").as("doc_id"), col("url"))
+        .orderBy("doc_id")
+    }),
+
     // ---- the BM25 engine itself (real index build + WAND/AND kernels) ----
     "bm25_topk" -> ((s, dir) =>
       engineTopK(s, dir, QuerySpec("en", QTerms.mkString(" ")))),
@@ -1044,6 +1059,13 @@ object SparkEntry {
          |       FROM tokens t JOIN documents d USING (doc_id) GROUP BY t.doc_id, d.lang)
          |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, round(avg(dl), 6) AS avg_dl
          |FROM dl GROUP BY lang ORDER BY lang""".stripMargin,
+    "index_scan_rewrite" ->
+      s"""WITH $WebtextCte,
+         |${tokensCte("WHERE lang = 'en'")}
+         |SELECT DISTINCT t.doc_id, w.url
+         |FROM tokens t JOIN webtext w USING (doc_id)
+         |WHERE t.term = 'merge'
+         |ORDER BY t.doc_id""".stripMargin,
     "bm25_topk" -> bm25Oracle(QTerms, requireAll = true, "", 20),
     "bm25_wand_topk" -> bm25Oracle(QTerms, requireAll = false, "", 20),
     "bm25_exclude" -> bm25Oracle(Seq("merge", "spark"), requireAll = true,

@@ -46,8 +46,16 @@ object GraftFunctions {
   /** analyze(text, lang) → array of terms (reference analyzer chain §1.3).
     * udfs are deterministic by default — important: Catalyst may re-execute or
     * reorder them, which is safe here because the analyzer is pure.
+    *
+    * The lambda is held separately so [[graft.plans.IndexAccessRule]] can
+    * recognize "this ScalaUDF IS our analyzer" by reference identity in a
+    * logical plan (every ScalaUDF built from [[analyze_terms]] — Column API
+    * or SQL registration — carries this exact object as its function).
     */
-  val analyze_terms = udf((text: String, lang: String) => Analyzer.terms(text, lang).toSeq)
+  private[graft] val analyzeTermsFn: (String, String) => Seq[String] =
+    (text, lang) => Analyzer.terms(text, lang).toSeq
+
+  val analyze_terms = udf(analyzeTermsFn)
 
   /** Element type of [[analyze_tokens]] — a named case class, NOT a tuple:
     * tuple encoding would surface the struct fields as `_1`/`_2` and break

@@ -1,0 +1,192 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.LeftSemi
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{col, explode, udf}
+import org.apache.spark.sql.types.StringType
+
+import graft.functions.GraftFunctions
+import graft.index.{IndexBuild, PostingListReader, TableIO}
+
+/** Optimizer rule: index-substitution for declarative text-match predicates
+  * (SURVEY §7's declared stretch — the same pattern as OSS Hyperspace's
+  * rule-based index access path).
+  *
+  * A user who writes the predicate the reference's query DSL means —
+  *
+  * {{{ docstore.where(array_contains(analyze_terms($"text", $"lang"), "term")) }}}
+  *
+  * — has declared a full-corpus scan that re-analyzes every document per
+  * query: at web scale that is a read of every text byte to answer a
+  * question the inverted index already answers from one posting list. This
+  * rule rewrites the predicate into a LEFT SEMI join against the index's
+  * own `segments` table, filtered to the term's (bucket, term) key — both
+  * reach the parquet scan as PushedFilters, so the posting lookup reads a
+  * handful of row groups, not the corpus. Cost becomes O(|posting list|),
+  * the same access path [[graft.query.Bm25Query]] uses, but reached from
+  * plain declarative SQL with no engine API in sight.
+  *
+  * Exactness (why the rewrite needs no term analysis): postings for
+  * `(lang=l, term=t)` contain exactly the docs of language `l` whose
+  * `Analyzer.terms(text, l)` emits `t` — the same function the predicate
+  * applies, with the SAME per-document lang argument. The union over all
+  * langs of postings(t) therefore equals the predicate's satisfying set for
+  * ANY literal, analyzable or not (a term the analyzer can never emit
+  * simply has no segments row, and the semi join correctly returns
+  * nothing). NULL text/lang analyze to NULL, array_contains yields NULL,
+  * the Filter drops the row — and an unanalyzable doc is in no posting
+  * list, so the semi join drops it too.
+  *
+  * The rewrite fires only when ALL of these hold (else the Filter is left
+  * untouched — a full scan is always correct, just slow):
+  *  - the scan is a single-root parquet read of `<dir>/docstore` whose
+  *    sibling index is servable: `segments` + `stats.json` exist (the same
+  *    finalize gate serving keys on) and no mutation journal is pending (a
+  *    mid-rewrite docstore/segments pair may disagree; the scan and the
+  *    lookup must describe the same snapshot);
+  *  - the predicate conjunct is `array_contains(analyze_terms(text, lang),
+  *    <non-null string literal>)` where `text`/`lang` are the scanned
+  *    relation's OWN columns (matched by exprId, so an aliased or derived
+  *    column never silently changes semantics). A literal lang is NOT
+  *    rewritten: `analyze(text, 'en') contains t` over a hi document is not
+  *    what the (lang-keyed) index stores;
+  *  - the filter child still exposes the relation's `docId` (the join key).
+  *
+  * Remaining conjuncts stay in a residual Filter above the semi join, where
+  * the ordinary pushdown rules keep optimizing them (the rule runs inside
+  * the operator-optimization fixed point, so the plan it emits is itself
+  * re-optimized).
+  *
+  * Idempotent by construction: the rewrite consumes the ArrayContains
+  * conjunct, so a fixed-point re-run finds nothing to match.
+  */
+object IndexAccessRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** Decode one posting blob to its docIds. A plain deterministic udf, not a
+    * codegen Expression: it runs once per matched (chunk, term) segment row
+    * — a handful of rows per query — never per document.
+    */
+  private val postingDocIds = udf((blob: Array[Byte]) => {
+    if (blob == null) Seq.empty[Long]
+    else {
+      val it = new PostingListReader(blob, null).iterator()
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      it.start()
+      while (!it.exhausted) { out += it.docId; it.next() }
+      out.toSeq
+    }
+  })
+
+  /** The analyzer lambda as stored inside every ScalaUDF built from
+    * [[GraftFunctions.analyze_terms]] — reference identity is the precise
+    * "this is OUR analyzer" test; the registered-name check covers plans
+    * that came in as SQL text through [[GraftFunctions.registerAll]].
+    */
+  private def isAnalyzeTerms(u: ScalaUDF): Boolean =
+    (u.function.asInstanceOf[AnyRef] eq GraftFunctions.analyzeTermsFn) ||
+      u.udfName.contains("analyze_terms")
+
+  private case class Rewrite(text: AttributeReference, lang: AttributeReference,
+      term: String)
+
+  private def matchConjunct(e: Expression): Option[Rewrite] = e match {
+    case ArrayContains(u: ScalaUDF, l @ Literal(_, StringType))
+        if isAnalyzeTerms(u) && l.value != null =>
+      u.children match {
+        case Seq(text: AttributeReference, lang: AttributeReference) =>
+          Some(Rewrite(text, lang, l.value.toString))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** The scanned docstore's index dir, iff the sibling index is servable and
+    * quiescent. Cheap: three existence probes + one tiny journal read, per
+    * PLANNING of an eligible query — never per row.
+    */
+  private def eligibleIndexDir(rel: LogicalRelation): Option[String] =
+    rel.relation match {
+      case fs: HadoopFsRelation if fs.location.rootPaths.size == 1 &&
+          fs.location.rootPaths.head.getName == "docstore" =>
+        Option(fs.location.rootPaths.head.getParent).map(_.toString).filter { dir =>
+          TableIO.exists(s"$dir/segments") && TableIO.exists(s"$dir/stats.json") &&
+            IndexBuild.pendingMutation(dir).isEmpty
+        }
+      case _ => None
+    }
+
+  /** Analyzed (sub)plan producing the docIds of `term`'s postings: a
+    * (bucket, term)-filtered segments scan — Filter directly over the
+    * relation, so FileSourceStrategy turns both equalities into
+    * PushedFilters — exploded through the blob decoder. Chunks are unioned
+    * by construction (one segments row per (chunk, lang, term)); doc sets
+    * across chunks are disjoint, so no dedup is needed under a semi join.
+    */
+  private def postingsPlan(spark: SparkSession, dir: String, term: String): LogicalPlan = {
+    val bucket = Math.floorMod(term.hashCode, IndexBuild.DefaultBuckets)
+    spark.read.parquet(s"$dir/segments")
+      .where(col("bucket") === bucket && col("term") === term)
+      .select(explode(postingDocIds(col("blob"))).as("graft_posting_docid"))
+      .queryExecution.analyzed
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, child) =>
+      val rels = child.collectLeaves().collect { case lr: LogicalRelation => lr }
+      val rewrite = for {
+        rel <- if (rels.size == 1) Some(rels.head) else None
+        dir <- eligibleIndexDir(rel)
+        textAttr <- rel.output.find(_.name == "text")
+        langAttr <- rel.output.find(_.name == "lang")
+        docIdAttr <- rel.output.find(_.name == "docId")
+        if child.outputSet.contains(docIdAttr)
+      } yield (dir, textAttr.exprId, langAttr.exprId, docIdAttr)
+      rewrite match {
+        case None => f
+        case Some((dir, textId, langId, docIdAttr)) =>
+          val conjuncts = splitConjunctivePredicates(cond)
+          val (hits, residual) = conjuncts.partition(c =>
+            matchConjunct(c).exists(r =>
+              r.text.exprId == textId && r.lang.exprId == langId))
+          if (hits.isEmpty) f
+          else {
+            val spark = SparkSession.active
+            val joined = hits.flatMap(matchConjunct).foldLeft(child) { (p, r) =>
+              val right = postingsPlan(spark, dir, r.term)
+              Join(p, right, LeftSemi,
+                Some(EqualTo(docIdAttr, right.output.head)), JoinHint.NONE)
+            }
+            if (residual.isEmpty) joined else Filter(residual.reduce(And), joined)
+          }
+      }
+  }
+
+  /** Install into a LIVE session (no session rebuild; idempotent). The
+    * library-proper path is `spark.sql.extensions=graft.plans.GraftSparkExtensions`
+    * at session build — this is the equivalent for sessions the caller
+    * doesn't construct.
+    */
+  def install(spark: SparkSession): Unit = synchronized {
+    if (!spark.experimental.extraOptimizations.contains(IndexAccessRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ IndexAccessRule
+  }
+
+  def uninstall(spark: SparkSession): Unit = synchronized {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ eq IndexAccessRule)
+  }
+}
+
+/** `spark.sql.extensions` entry point: registers [[IndexAccessRule]] into
+  * every session built over these extensions. Kept separate from the rule so
+  * the class has the zero-arg constructor the extensions loader requires.
+  */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => IndexAccessRule)
+}

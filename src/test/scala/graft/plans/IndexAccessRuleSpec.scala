@@ -1,0 +1,187 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.ArrayContains
+import org.apache.spark.sql.catalyst.plans.LeftSemi
+import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.corpus.{SparkTestSession, Webtext}
+import graft.functions.GraftFunctions
+import graft.index.{IndexBuild, TableIO}
+
+/** Gates for the index-substitution optimizer rule: the rewrite must fire
+  * exactly when it is provably equivalent (servable sibling index, the
+  * relation's own text/lang columns, non-null literal) and the rewritten
+  * plan must return byte-for-byte the rows of the naive full scan.
+  */
+class IndexAccessRuleSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val dir = "/tmp/gidx-rule"
+
+  private def rm(p: String): Unit = {
+    val d = new java.io.File(p)
+    if (d.exists()) scala.reflect.io.Directory(d).deleteRecursively()
+  }
+
+  private lazy val index: String = {
+    rm(dir)
+    val corpus = Webtext.synthesize(spark, 600, partitions = 3).toDF()
+    IndexBuild.build(spark, corpus, dir, numChunks = 2)
+    dir
+  }
+
+  private def docstore = spark.read.parquet(s"$index/docstore")
+
+  private def matchPred(term: String) =
+    array_contains(GraftFunctions.analyze_terms(col("text"), col("lang")), term)
+
+  /** Rewrite fired = a LEFT SEMI join is present AND no ArrayContains match
+    * predicate survives anywhere in the optimized plan.
+    */
+  private def rewritten(df: DataFrame): Boolean = {
+    val p = df.queryExecution.optimizedPlan
+    val hasSemi = p.collect {
+      case j: Join if j.joinType == LeftSemi => j
+    }.nonEmpty
+    val hasMatchPred = p.collect {
+      case n if n.expressions.exists(_.exists(_.isInstanceOf[ArrayContains])) => n
+    }.nonEmpty
+    hasSemi && !hasMatchPred
+  }
+
+  private def withRule[A](f: => A): A = {
+    IndexAccessRule.install(spark)
+    try f finally IndexAccessRule.uninstall(spark)
+  }
+
+  test("rewrite fires on a servable docstore scan and matches the naive scan exactly") {
+    val naive = docstore.where(matchPred("enhead0"))
+      .select("docId", "url").collect().map(_.toSeq).toSet
+    assert(naive.nonEmpty, "fixture term must match some docs")
+    withRule {
+      val df = docstore.where(matchPred("enhead0")).select("docId", "url")
+      assert(rewritten(df), s"expected semi-join rewrite:\n${df.queryExecution.optimizedPlan}")
+      assert(df.collect().map(_.toSeq).toSet == naive)
+      // the posting lookup must reach the segments parquet as pushed
+      // filters on (bucket, term) — the O(posting) access path, not a
+      // segments-table scan
+      val phys = df.queryExecution.executedPlan.toString
+      assert(phys.contains("PushedFilters") && phys.contains("term"),
+        s"term filter did not reach the segments scan:\n$phys")
+    }
+  }
+
+  test("residual conjuncts survive; multi-term AND nests semi joins") {
+    val naive = docstore
+      .where(col("lang") === "en" && matchPred(Webtext.word("en", 0)) && matchPred("enhead0"))
+      .select("docId").collect().map(_.getLong(0)).toSet
+    assert(naive.nonEmpty)
+    withRule {
+      val df = docstore
+        .where(col("lang") === "en" && matchPred(Webtext.word("en", 0)) && matchPred("enhead0"))
+        .select("docId")
+      assert(rewritten(df))
+      val semis = df.queryExecution.optimizedPlan.collect {
+        case j: Join if j.joinType == LeftSemi => j
+      }
+      assert(semis.size == 2, "one semi join per matched term")
+      assert(df.collect().map(_.getLong(0)).toSet == naive)
+    }
+  }
+
+  test("SQL-registered udf path rewrites too") {
+    GraftFunctions.registerAll(spark)
+    docstore.createOrReplaceTempView("rule_docstore")
+    withRule {
+      val df = spark.sql(
+        "SELECT docId FROM rule_docstore " +
+          "WHERE array_contains(analyze_terms(text, lang), 'enhead0')")
+      assert(rewritten(df))
+      val naive = docstore.where(matchPred("enhead0"))
+        .select("docId").collect().map(_.getLong(0)).toSet
+      assert(df.collect().map(_.getLong(0)).toSet == naive)
+    }
+  }
+
+  test("no rewrite: literal lang, derived column, non-docstore scan; unknown term still exact") {
+    withRule {
+      // literal lang is NOT the indexed semantics (postings are keyed by the
+      // doc's own lang) — must stay a scan
+      val litLang = docstore.where(
+        array_contains(GraftFunctions.analyze_terms(col("text"), lit("en")), "enhead0"))
+      assert(!rewritten(litLang))
+      // derived text column: not the relation's own attribute — no rewrite
+      val derived = docstore.withColumn("text2", upper(col("text")))
+        .where(array_contains(GraftFunctions.analyze_terms(col("text2"), col("lang")), "enhead0"))
+      assert(!rewritten(derived))
+      // a non-docstore parquet with the same columns — no sibling index
+      rm("/tmp/gidx-rule-plain")
+      docstore.limit(50).write.parquet("/tmp/gidx-rule-plain")
+      val plain = spark.read.parquet("/tmp/gidx-rule-plain").where(matchPred("enhead0"))
+      assert(!rewritten(plain))
+      // a term the analyzer can never emit: rewrite fires, returns empty —
+      // same as the naive scan
+      val nohit = docstore.where(matchPred("zz__never_a_term__zz"))
+      assert(rewritten(nohit) && nohit.count() == 0)
+    }
+  }
+
+  test("no rewrite while a mutation journal is pending or the index is not finalized") {
+    withRule {
+      val pending = s"$index/mutation_pending.json"
+      TableIO.writeStringAtomic(pending, """{"chunks": [0], "salt": 0}""")
+      try assert(!rewritten(docstore.where(matchPred("enhead0"))),
+        "a mid-mutation index must not feed the rewrite")
+      finally TableIO.deleteRecursive(pending)
+      val stats = s"$index/stats.json"
+      val saved = TableIO.readString(stats).get
+      TableIO.deleteRecursive(stats)
+      try assert(!rewritten(docstore.where(matchPred("enhead0"))),
+        "an unfinalized index must not feed the rewrite")
+      finally TableIO.writeStringAtomic(stats, saved)
+      assert(rewritten(docstore.where(matchPred("enhead0"))), "gate must re-open")
+    }
+  }
+
+  test("rewrite stays consistent across a deleteByQuery mutation") {
+    // own index: this test mutates it, so it must not share the fixture
+    val mdir = "/tmp/gidx-rule-mut"
+    rm(mdir)
+    // 600 docs, not fewer: en is 10% of the corpus and the head term is
+    // planted in ~12% of en docs — smaller fixtures deterministically miss
+    val corpus = Webtext.synthesize(spark, 600, partitions = 2).toDF()
+    IndexBuild.build(spark, corpus, mdir, numChunks = 2)
+    def store = spark.read.parquet(s"$mdir/docstore")
+    def pred = array_contains(
+      GraftFunctions.analyze_terms(col("text"), col("lang")), "enhead0")
+    val (before, after) = withRule {
+      val b = store.where(pred).select("docId").collect().map(_.getLong(0)).toSet
+      assert(b.nonEmpty)
+      val victim = b.head
+      IndexBuild.deleteByQuery(spark, mdir, col("docId") === victim)
+      // deleted docs must not resurrect through stale postings (docstore and
+      // segments rewrite under one journal; the gate blocks mid-mutation)
+      (b - victim, store.where(pred).select("docId").collect().map(_.getLong(0)).toSet)
+    }
+    assert(after == before)
+    // rule now uninstalled: the naive scan of the mutated store must agree
+    val naive = store.where(pred).select("docId").collect().map(_.getLong(0)).toSet
+    assert(after == naive)
+  }
+
+  test("extensions class registers the rule") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftSparkExtensions().apply(ext)
+    // buildOptimizerRules is private[sql]; reflection keeps the gate honest
+    // without widening the bridge surface
+    val m = classOf[org.apache.spark.sql.SparkSessionExtensions].getDeclaredMethods
+      .find(_.getName == "buildOptimizerRules").get
+    m.setAccessible(true)
+    val rules = m.invoke(ext, spark)
+      .asInstanceOf[Seq[org.apache.spark.sql.catalyst.rules.Rule[_]]]
+    assert(rules.exists(_ eq IndexAccessRule))
+  }
+}

@@ -49,11 +49,13 @@ import graft.index.{IndexBuild, PostingListReader, TableIO}
   *    mid-rewrite docstore/segments pair may disagree; the scan and the
   *    lookup must describe the same snapshot);
   *  - the predicate conjunct is `array_contains(analyze_terms(text, lang),
-  *    <non-null string literal>)` where `text`/`lang` are the scanned
-  *    relation's OWN columns (matched by exprId, so an aliased or derived
-  *    column never silently changes semantics). A literal lang is NOT
-  *    rewritten: `analyze(text, 'en') contains t` over a hi document is not
-  *    what the (lang-keyed) index stores;
+  *    <non-null string literal>)` — or a pure disjunction of such leaves
+  *    (any-term match), which becomes ONE semi join against the term SET's
+  *    postings — where `text`/`lang` are the scanned relation's OWN columns
+  *    (matched by exprId, so an aliased or derived column never silently
+  *    changes semantics). A literal lang is NOT rewritten: `analyze(text,
+  *    'en') contains t` over a hi document is not what the (lang-keyed)
+  *    index stores;
   *  - the filter child still exposes the relation's `docId` (the join key).
   *
   * Remaining conjuncts stay in a residual Filter above the semi join, where
@@ -93,7 +95,7 @@ object IndexAccessRule extends Rule[LogicalPlan] with PredicateHelper {
   private case class Rewrite(text: AttributeReference, lang: AttributeReference,
       term: String)
 
-  private def matchConjunct(e: Expression): Option[Rewrite] = e match {
+  private def matchLeaf(e: Expression): Option[Rewrite] = e match {
     case ArrayContains(u: ScalaUDF, l @ Literal(_, StringType))
         if isAnalyzeTerms(u) && l.value != null =>
       u.children match {
@@ -102,6 +104,19 @@ object IndexAccessRule extends Rule[LogicalPlan] with PredicateHelper {
         case _ => None
       }
     case _ => None
+  }
+
+  /** A whole conjunct is rewritable when EVERY disjunct under it is an
+    * eligible match leaf: `ac(t1) OR ac(t2)` ⟺ docId ∈ postings(t1) ∪
+    * postings(t2) — a doc satisfying any disjunct is in that term's
+    * postings, and a doc whose text/lang analyze to NULL satisfies none AND
+    * is in none. A mixed disjunction (one leaf not ours) stays a residual
+    * predicate untouched.
+    */
+  private def matchConjunct(e: Expression): Option[Seq[Rewrite]] = {
+    val leaves = splitDisjunctivePredicates(e).map(matchLeaf)
+    if (leaves.nonEmpty && leaves.forall(_.isDefined)) Some(leaves.flatten)
+    else None
   }
 
   /** The scanned docstore's index dir, iff the sibling index is servable and
@@ -119,17 +134,21 @@ object IndexAccessRule extends Rule[LogicalPlan] with PredicateHelper {
       case _ => None
     }
 
-  /** Analyzed (sub)plan producing the docIds of `term`'s postings: a
+  /** Analyzed (sub)plan producing the docIds of the term set's postings: a
     * (bucket, term)-filtered segments scan — Filter directly over the
-    * relation, so FileSourceStrategy turns both equalities into
-    * PushedFilters — exploded through the blob decoder. Chunks are unioned
+    * relation, so FileSourceStrategy pushes both In-set filters to the
+    * parquet reader — exploded through the blob decoder. The bucket×term
+    * rectangle is a superset of the wanted rows (each term's rows live only
+    * in its own bucket), so it prunes without narrowing. Chunks are unioned
     * by construction (one segments row per (chunk, lang, term)); doc sets
     * across chunks are disjoint, so no dedup is needed under a semi join.
     */
-  private def postingsPlan(spark: SparkSession, dir: String, term: String): LogicalPlan = {
-    val bucket = Math.floorMod(term.hashCode, IndexBuild.DefaultBuckets)
+  private def postingsPlan(spark: SparkSession, dir: String, terms: Seq[String]): LogicalPlan = {
+    // bucketOf, not an inlined formula: ANDed with the term filter, a
+    // diverged bucket scheme would silently return EMPTY postings
+    val buckets = terms.map(graft.query.InMemoryIndex.bucketOf).distinct
     spark.read.parquet(s"$dir/segments")
-      .where(col("bucket") === bucket && col("term") === term)
+      .where(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
       .select(explode(postingDocIds(col("blob"))).as("graft_posting_docid"))
       .queryExecution.analyzed
   }
@@ -148,15 +167,21 @@ object IndexAccessRule extends Rule[LogicalPlan] with PredicateHelper {
       rewrite match {
         case None => f
         case Some((dir, textId, langId, docIdAttr)) =>
-          val conjuncts = splitConjunctivePredicates(cond)
-          val (hits, residual) = conjuncts.partition(c =>
-            matchConjunct(c).exists(r =>
+          // matched once per conjunct — the partition predicate and the
+          // rewrite fold must see the SAME Seq[Rewrite]
+          val matched = splitConjunctivePredicates(cond).map { c =>
+            c -> matchConjunct(c).filter(_.forall(r =>
               r.text.exprId == textId && r.lang.exprId == langId))
+          }
+          val hits = matched.collect { case (_, Some(rs)) => rs }
+          val residual = matched.collect { case (c, None) => c }
           if (hits.isEmpty) f
           else {
             val spark = SparkSession.active
-            val joined = hits.flatMap(matchConjunct).foldLeft(child) { (p, r) =>
-              val right = postingsPlan(spark, dir, r.term)
+            // one semi join per conjunct; an OR-conjunct becomes ONE scan
+            // over its term set (docId ∈ union of the postings)
+            val joined = hits.foldLeft(child) { (p, rs) =>
+              val right = postingsPlan(spark, dir, rs.map(_.term).distinct)
               Join(p, right, LeftSemi,
                 Some(EqualTo(docIdAttr, right.output.head)), JoinHint.NONE)
             }

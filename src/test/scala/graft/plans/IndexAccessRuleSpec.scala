@@ -92,6 +92,35 @@ class IndexAccessRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("OR of match leaves (any-term) rewrites to ONE semi join; mixed OR stays a scan") {
+    val common = Webtext.word("en", 0)
+    val naive = docstore.where(matchPred("enhead0") || matchPred("enhead1"))
+      .select("docId").collect().map(_.getLong(0)).toSet
+    assert(naive.nonEmpty)
+    val naiveBothRows = docstore.where(matchPred(common) &&
+      (matchPred("enhead0") || matchPred("enhead1")))
+      .select("docId").collect().map(_.getLong(0)).toSet
+    assert(naiveBothRows.nonEmpty, "AND-of-OR equivalence must not pass vacuously")
+    withRule {
+      val df = docstore.where(matchPred("enhead0") || matchPred("enhead1")).select("docId")
+      assert(rewritten(df))
+      val semis = df.queryExecution.optimizedPlan.collect {
+        case j: Join if j.joinType == LeftSemi => j
+      }
+      assert(semis.size == 1, "a disjunction is ONE union-of-postings join, not two")
+      assert(df.collect().map(_.getLong(0)).toSet == naive)
+      // AND of (single, OR-pair): both conjuncts rewrite independently
+      val both = docstore.where(matchPred(common) &&
+        (matchPred("enhead0") || matchPred("enhead1"))).select("docId")
+      assert(rewritten(both))
+      assert(both.collect().map(_.getLong(0)).toSet == naiveBothRows)
+      // a disjunction with a non-match leaf must stay an (always-correct)
+      // scan — dropping the foreign leaf would narrow the result
+      val mixed = docstore.where(matchPred("enhead0") || col("lang") === "gu")
+      assert(!rewritten(mixed))
+    }
+  }
+
   test("SQL-registered udf path rewrites too") {
     GraftFunctions.registerAll(spark)
     docstore.createOrReplaceTempView("rule_docstore")

@@ -194,16 +194,35 @@ object IndexAccessRule extends Rule[LogicalPlan] with PredicateHelper {
     * library-proper path is `spark.sql.extensions=graft.plans.GraftSparkExtensions`
     * at session build — this is the equivalent for sessions the caller
     * doesn't construct.
+    *
+    * ColumnPruning (+ its Project cleanup pair) is registered BEHIND the
+    * rule, not assumed: `extraOptimizations` run in their own batch AFTER
+    * the main operator-optimization fixed point, so Spark's own pruning has
+    * already run and never sees the rewritten plan. Without a re-prune the
+    * docstore scan keeps reading the `text` bytes the rewrite just made
+    * unnecessary — the dominant share of corpus bytes and most of the win
+    * (measured: the scan drops from every column to the join/projection
+    * set once pruning re-runs; `tools.RuleAb` reports `text_pruned`). The
+    * extensions path doesn't need this — `injectOptimizerRule` rules run
+    * INSIDE the operator-optimization fixed point, where pruning re-fires
+    * on its own.
     */
+  private val companionRules: Seq[Rule[LogicalPlan]] = Seq(
+    org.apache.spark.sql.catalyst.optimizer.ColumnPruning,
+    org.apache.spark.sql.catalyst.optimizer.CollapseProject,
+    org.apache.spark.sql.catalyst.optimizer.RemoveNoopOperators)
+
   def install(spark: SparkSession): Unit = synchronized {
-    if (!spark.experimental.extraOptimizations.contains(IndexAccessRule))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ IndexAccessRule
+    val want: Seq[Rule[LogicalPlan]] = IndexAccessRule +: companionRules
+    val have = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      have ++ want.filterNot(r => have.exists(_ eq r))
   }
 
   def uninstall(spark: SparkSession): Unit = synchronized {
+    val ours: Seq[Rule[LogicalPlan]] = IndexAccessRule +: companionRules
     spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations.filterNot(_ eq IndexAccessRule)
+      spark.experimental.extraOptimizations.filterNot(r => ours.exists(_ eq r))
   }
 }
 

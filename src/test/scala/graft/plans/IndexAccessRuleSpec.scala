@@ -201,6 +201,26 @@ class IndexAccessRuleSpec extends AnyFunSuite {
     assert(after == naive)
   }
 
+  test("install() re-prunes columns: the rewritten docstore scan stops reading text") {
+    // extraOptimizations run AFTER Spark's own ColumnPruning, so install()
+    // registers a re-prune behind the rule — without it the scan keeps
+    // reading the text bytes the rewrite made unnecessary (the dominant
+    // share of corpus bytes; most of the at-scale win)
+    withRule {
+      val df = docstore.where(matchPred("enhead0")).select("docId")
+      assert(rewritten(df))
+      // string-parse: AdaptiveSparkPlanExec hides children from collect()
+      val lines = df.queryExecution.executedPlan.toString.linesIterator
+        .filter(l => l.contains("FileScan") && l.contains("docstore")).toSeq
+      assert(lines.nonEmpty, "expected a docstore FileScan in the physical plan")
+      lines.foreach { l =>
+        val rs = l.indexOf("ReadSchema:")
+        assert(rs >= 0 && !l.substring(rs).contains("text:"),
+          s"docstore scan still reads text:\n$l")
+      }
+    }
+  }
+
   test("extensions class registers the rule") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftSparkExtensions().apply(ext)

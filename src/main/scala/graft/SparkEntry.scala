@@ -59,27 +59,12 @@ object SparkEntry {
       else Bm25Query.termDictDf(s, idx, "en")
         .where(col("term").isin(terms: _*))
         .as[(String, Long)].collect().toMap
-    def query(vs: Seq[String]): Seq[(String, Long)] = {
-      val m = dfMap(vs.distinct)
-      vs.distinct.flatMap(v => m.get(v).filter(_ > 0).map(v -> _))
-        .sortBy { case (v, f) => (-f, v) }
-    }
-    val top10 = graft.langtools.Transliterate.variants(word, "latin", 10)
-    val res =
-      { val p1 = query(top10.take(5))
-        if (p1.nonEmpty) p1
-        else {
-          val p2 = query(top10.drop(5))
-          if (p2.nonEmpty) p2
-          else {
-            val suggested = top10.flatMap(v =>
-              Bm25Query.suggest(s, idx, "en", v, size = 3, minScore = 0.5))
-              .flatMap(_.split("\\s+")).filter(_.nonEmpty).distinct
-            query(suggested)
-          }
-        }
-      }
-    res.toDF("variant", "df")
+    // ONE copy of the 3-phase semantics (take-5 / drop-5 / suggest+split),
+    // shared with the engine-agnostic Transliterate.findBestMatches — this
+    // call site only supplies the batched termdict lookup and the suggester
+    graft.langtools.Transliterate.findBestMatches(word, "latin", dfMap,
+      v => Bm25Query.suggest(s, idx, "en", v, size = 3, minScore = 0.5))
+      .toDF("variant", "df")
   }
 
   private def round6(x: Double): Double =

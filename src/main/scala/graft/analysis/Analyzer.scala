@@ -112,8 +112,10 @@ object Analyzer extends Serializable {
 
   /** Apply a mapping char filter; returns (filtered text, offset map) where
     * offsets(i) = index in the ORIGINAL text of filtered char i. Greedy
-    * left-to-right longest-match scan (all sources here are 3 UTF-16 chars),
-    * mirroring Lucene MappingCharFilter.
+    * left-to-right scan of EXACTLY-3-UTF-16-char source keys (the
+    * consonant+virama+consonant shape every built-in table uses — a key of
+    * any other length is never matched), mirroring Lucene MappingCharFilter
+    * over this table family.
     */
   // first chars of any mapping source, per table — cheap guard that avoids a
   // substring allocation per scanned character on the hot path. Precomputed
@@ -138,11 +140,15 @@ object Analyzer extends Serializable {
     while (!any && j < text.length) { if (starts.contains(text.charAt(j))) any = true; j += 1 }
     if (!any) return (text, null)
     val sb = new java.lang.StringBuilder(text.length)
-    val offs = new Array[Int](text.length + 8)
+    // grows if needed: the built-in tables only shrink (target ≤ source),
+    // but charFilter is public with an arbitrary table — an overflow that
+    // silently stopped recording offsets would desync text from offsets and
+    // point every later highlight at the wrong original characters
+    var offs = new Array[Int](text.length + 8)
     var n = 0
     def put(c: Char, orig: Int): Unit = {
+      if (n >= offs.length) offs = java.util.Arrays.copyOf(offs, offs.length * 2)
       sb.append(c)
-      if (n >= offs.length) return // cannot happen: targets shorter than sources
       offs(n) = orig
       n += 1
     }
@@ -227,19 +233,19 @@ object Analyzer extends Serializable {
     out.toArray
   }
 
-  /** Terms only (no offsets) — the common index-build path. */
-  def terms(text: String, lang: String): Array[String] = {
-    val toks = analyze(text, lang)
-    val out = new Array[String](toks.length)
-    var i = 0
-    while (i < toks.length) { out(i) = toks(i).term; i += 1 }
-    out
-  }
-
-  /** BM25 field length dl = number of tokens AFTER stop removal (what
-    * `analyze` emits). This matches Lucene, whose norm counts the tokens the
-    * index actually stores, and the oracle scorer uses the same definition —
-    * rank parity gates on it.
+  /** Terms only (no offsets) — the common index-build path. Straight to
+    * foreachToken: routing through analyze() would pay a Token allocation
+    * per token plus a second array copy on the hottest per-document loop.
+    *
+    * BM25 field length dl = `terms(text, lang).length` — tokens AFTER stop
+    * removal, matching Lucene (whose norm counts the tokens the index
+    * actually stores); the oracle scorer uses the same definition and rank
+    * parity gates on it.
     */
-  def docLength(text: String, lang: String): Int = analyze(text, lang).length
+  def terms(text: String, lang: String): Array[String] = {
+    if (text == null || text.isEmpty) return Array.empty
+    val out = new scala.collection.mutable.ArrayBuffer[String](text.length / 6 + 4)
+    foreachToken(text, lang)((term, _, _, _) => out += term)
+    out.toArray
+  }
 }

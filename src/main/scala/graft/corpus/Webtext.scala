@@ -51,17 +51,31 @@ object Webtext {
   private val guCons = "કખગઘચછજઝટઠડઢતથદધનપફબભમયરલવશષસહ".toCharArray
   private val guMatras = Array("", "ા", "િ", "ી", "ુ", "ૂ", "ે", "ૈ", "ો", "ૌ")
 
+  private def latinWord(v: Int): String = {
+    val h = mix(0xE11AL, v.toLong)
+    val len = 3 + Math.floorMod(h, 7).toInt
+    val sb = new StringBuilder
+    var x = h
+    for (_ <- 0 until len) { x = mix64(x); sb += ('a' + Math.floorMod(x, 26)).toChar }
+    sb.toString
+  }
+
+  // the full vocabulary memoized per language: word(lang, v) is pure and the
+  // corpus generators derive 30–300 body tokens per document — recomputing
+  // the mix64 chain + StringBuilder per token made every ladder/bench corpus
+  // generation pay ~165 hash+alloc word derivations per doc. A few MB per
+  // language, built once per JVM (object state, so once per executor).
+  private lazy val hiWords: Array[String] =
+    Array.tabulate(VocabSize)(syllableWord(_, hiCons, hiMatras, 0x48AAL))
+  private lazy val guWords: Array[String] =
+    Array.tabulate(VocabSize)(syllableWord(_, guCons, guMatras, 0x47BBL))
+  private lazy val enWords: Array[String] = Array.tabulate(VocabSize)(latinWord)
+
   /** word for vocab rank v (0 = most frequent) in a language; deterministic. */
   def word(lang: String, v: Int): String = lang match {
-    case "hi" => syllableWord(v, hiCons, hiMatras, 0x48AAL)
-    case "gu" => syllableWord(v, guCons, guMatras, 0x47BBL)
-    case _ =>
-      val h = mix(0xE11AL, v.toLong)
-      val len = 3 + Math.floorMod(h, 7).toInt
-      val sb = new StringBuilder
-      var x = h
-      for (_ <- 0 until len) { x = mix64(x); sb += ('a' + Math.floorMod(x, 26)).toChar }
-      sb.toString
+    case "hi" => hiWords(v)
+    case "gu" => guWords(v)
+    case _    => enWords(v)
   }
 
   private def syllableWord(v: Int, cons: Array[Char], matras: Array[String], salt: Long): String = {
@@ -107,9 +121,16 @@ object Webtext {
   val NasalVariantDoc = "शान्ति"
 
   /** Designated head terms (beyond natural Zipf heads) to force posting skew. */
-  def headTerms(lang: String): Array[String] =
+  // memoized for the three real langs: genDoc consults this per document
+  private lazy val headTermsCache: Map[String, Array[String]] =
+    Seq("hi", "gu", "en").map(l => l -> computeHeadTerms(l)).toMap
+
+  private def computeHeadTerms(lang: String): Array[String] =
     Array.tabulate(4)(k => word(lang, k) /* top Zipf ranks are natural heads */) ++
       Array(s"${lang}head0", s"${lang}head1")
+
+  def headTerms(lang: String): Array[String] =
+    headTermsCache.getOrElse(lang, computeHeadTerms(lang))
 
   val Epoch: Long = java.time.Instant.parse("2020-01-01T00:00:00Z").toEpochMilli
 
@@ -201,7 +222,13 @@ object Webtext {
     WebDoc(i, url, ts, htmlFor(i, text), text, lang, meta)
   }
 
-  /** Canonical html wrapper; [[extractText]] is its exact inverse. */
+  /** Canonical html wrapper; [[extractText]] is its exact inverse —
+    * PROVIDED the text does not itself contain the literal markers
+    * `</p><p>` / `</p></body></html>` (the synthetic vocabulary never
+    * emits `<` so genDoc text can't; corpus text that did would fail the
+    * byte-identical extraction parity gate LOUDLY, not silently, since
+    * extractText would return the rewritten form).
+    */
   def htmlFor(i: Long, text: String): Array[Byte] =
     (s"<html><head><title>doc-$i</title></head><body><p>" +
       text.replace("\n\n", "</p><p>") +

@@ -87,26 +87,32 @@ object Transliterate {
       case "gu" => (guCons, guMatras, guVowels)
       case _    => (Seq.empty: Rules, latinVowels, latinVowels)
     }
-    // enumerate (candidate, cost) by recursive descent with longest-match,
-    // BOUNDED: each suffix position keeps only its `beam` best tails by
-    // (cost, string). Costs are per-unit additive and suffix-independent, so
-    // k-best composition is exact when beam >= topk — but a long word would
-    // otherwise materialize the full alternative cross-product (4^units)
-    // before sorting, which is an OOM on adversarial query input. Memoized
-    // per position: work is O(positions × alts × beam log beam).
+    // a query "word" beyond any plausible romanization is adversarial
+    // input (a pasted blob reaching the per-query-word variant path):
+    // candidate strings grow O(len) each and every position holds `beam`
+    // of them, so even the bounded enumeration is O(len² · beam) bytes.
+    // Pass it through unexpanded — no real transliteration target exists.
+    if (w.length > MaxVariantWordLen) return Seq(w)
+    // enumerate (candidate, cost) per suffix position with longest-match,
+    // BOUNDED: each position keeps only its `beam` best tails by (cost,
+    // string). Costs are per-unit additive and suffix-independent, so
+    // k-best composition is exact when beam >= topk — an unbounded
+    // enumeration would materialize the full alternative cross-product
+    // (4^units) before sorting, an OOM on adversarial query input.
+    // Computed BOTTOM-UP (pos = len → 0), not by recursion: recursive
+    // descent is one stack frame per unit, and a long word would
+    // StackOverflow the query thread instead of returning top-k.
     val beam = math.max(topk, 16)
-    val memo = new java.util.HashMap[Int, Seq[(String, Int)]]()
-    def expand(pos: Int, atStart: Boolean): Seq[(String, Int)] = {
-      if (pos >= w.length) return Seq(("", 0))
-      val cached = if (atStart) null else memo.get(pos)
-      if (cached != null) return cached
+    val memo = new Array[Seq[(String, Int)]](w.length + 1)
+    memo(w.length) = Seq(("", 0))
+    def step(pos: Int, atStart: Boolean): Seq[(String, Int)] = {
       val table: Rules =
         if (isVowel(w.charAt(pos))) { if (atStart) vowels else matras }
         else cons
       val hit = table.find { case (k, _) => w.startsWith(k, pos) }
       val all = hit match {
         case Some((k, alts)) =>
-          val rest = expand(pos + k.length, atStart = false)
+          val rest = memo(pos + k.length)
           for {
             (alt, ai) <- alts.zipWithIndex
             (tail, c) <- rest
@@ -114,22 +120,28 @@ object Transliterate {
         case None =>
           // unknown char: pass through verbatim (lang != latin keeps it —
           // matches how a human would leave unmapped characters)
-          expand(pos + 1, atStart = false).map { case (t, c) => (w.charAt(pos) + t, c) }
+          memo(pos + 1).map { case (t, c) => (w.charAt(pos) + t, c) }
       }
       // dedup by string keeping the cheapest cost (the final ordering and
       // distinct only ever use a string's minimum cost)
-      val best = all.groupBy(_._1).view
+      all.groupBy(_._1).view
         .map { case (s, es) => (s, es.iterator.map(_._2).min) }.toSeq
         .sortBy { case (v, c) => (c, v) }.take(beam)
-      if (!atStart) memo.put(pos, best)
-      best
     }
-    expand(0, atStart = true)
+    var pos = w.length - 1
+    while (pos >= 1) { memo(pos) = step(pos, atStart = false); pos -= 1 }
+    step(0, atStart = true)
       .sortBy { case (v, c) => (c, v) }
       .map(_._1)
       .distinct
       .take(topk)
   }
+
+  /** Longest input [[variants]] will expand (identity pass-through above it).
+    * Real romanized words are tens of chars; the cap only exists to bound
+    * the O(len² · beam) candidate bytes on pasted-blob input.
+    */
+  val MaxVariantWordLen = 256
 
   /** The 3-phase flow (transliterate.py:207-323), engine-agnostic: `dfOf`
     * returns a term's corpus frequency (hit count of match operator:and ==
@@ -137,10 +149,21 @@ object Transliterate {
     * 3 suggestions — reference call at :288-294).
     */
   def findBestMatches(word: String, lang: String,
-      dfOf: String => Long, suggestFn: String => Seq[String]): Seq[(String, Long)] = {
-    def query(vs: Seq[String]): Seq[(String, Long)] =
-      vs.map(v => (v, dfOf(v))).filter(_._2 > 0L)
-        .sortBy { case (v, f) => (-f, v) }
+      dfOf: Seq[String] => Map[String, Long],
+      suggestFn: String => Seq[String]): Seq[(String, Long)] = {
+    // dfOf is BATCHED (one lookup per phase, not per variant) so the Spark
+    // consumer can serve each phase from one pruned termdict scan — the
+    // per-term signature forced SparkEntry to fork this whole flow, leaving
+    // two copies of the phase semantics to drift apart
+    def query(vs0: Seq[String]): Seq[(String, Long)] = {
+      val vs = vs0.distinct
+      if (vs.isEmpty) Nil
+      else {
+        val m = dfOf(vs)
+        vs.flatMap(v => m.get(v).filter(_ > 0L).map(v -> _))
+          .sortBy { case (v, f) => (-f, v) }
+      }
+    }
     val top10 = variants(word, lang, 10)
     val p1 = query(top10.take(5))
     if (p1.nonEmpty) return p1

@@ -47,17 +47,31 @@ class TransliterateSpec extends AnyFunSuite {
     assert(ms < 5000.0, s"variants took $ms ms")
   }
 
+  // batched dfOf (one lookup per PHASE): a corpus map restricted to the asked
+  // terms — the same shape the Spark consumer serves from one termdict scan
+  private def batched(corpus: Map[String, Long]): Seq[String] => Map[String, Long] =
+    vs => corpus.filter { case (k, _) => vs.contains(k) }
+
   test("3-phase flow: phase selection and ordering") {
-    val df1 = Map("dup" -> 7L)
     // phase 1: top-5 variant found
-    assert(Transliterate.findBestMatches("duup", "latin", df1.getOrElse(_, 0L), _ => Nil)
-      == Seq(("dup", 7L)))
+    assert(Transliterate.findBestMatches("duup", "latin",
+      batched(Map("dup" -> 7L)), _ => Nil) == Seq(("dup", 7L)))
     // phase 3: nothing in variants → suggester terms queried, sorted by freq
-    val corpus = Map("spark" -> 9L, "spare" -> 3L)
     val res = Transliterate.findBestMatches("spakr", "latin",
-      corpus.getOrElse(_, 0L), v => Seq("spark", "spare"))
+      batched(Map("spark" -> 9L, "spare" -> 3L)), v => Seq("spark", "spare"))
     assert(res == Seq(("spark", 9L), ("spare", 3L)))
     // nothing anywhere → empty
-    assert(Transliterate.findBestMatches("zzz", "latin", _ => 0L, _ => Nil).isEmpty)
+    assert(Transliterate.findBestMatches("zzz", "latin", _ => Map.empty, _ => Nil).isEmpty)
+  }
+
+  test("adversarially long word: variants returns without stack overflow") {
+    // recursion-per-unit would be ~25k frames here; the bottom-up expansion
+    // plus the identity cap must return promptly instead
+    val blob = "ka" * 25000
+    assert(Transliterate.variants(blob, "hi", 10) == Seq(blob))
+    // just under the cap still expands (and stays bounded by the beam)
+    val under = "ta" * (Transliterate.MaxVariantWordLen / 2)
+    val vs = Transliterate.variants(under, "hi", 10)
+    assert(vs.nonEmpty && vs.size <= 10)
   }
 }

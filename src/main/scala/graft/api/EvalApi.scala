@@ -313,6 +313,47 @@ final class EvalApi(
   private val executor = java.util.concurrent.Executors.newFixedThreadPool(2,
     (r: Runnable) => { val t = new Thread(r, "eval-batch"); t.setDaemon(true); t })
 
+  // Retention must not depend on the NEXT batch arriving: with cleanup
+  // triggered only from startBatch, an idle server retains its last
+  // batches' page files and zips forever, and a JVM restart orphans its
+  // eval_batch_* temp dirs permanently (nothing else ever deletes them).
+  // A daemon tick reclaims terminal jobs and sweeps aged orphan dirs — the
+  // reference runs the same loop as a module-load + background task
+  // (api.py:486-499). Both passes are cheap: a jobs-map filter plus one
+  // tmpdir listing.
+  private val janitor = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+    (r: Runnable) => { val t = new Thread(r, "eval-janitor"); t.setDaemon(true); t })
+  janitor.scheduleWithFixedDelay(() => {
+    // Throwable: an Error escaping a tick would kill the schedule silently
+    try { cleanupOldJobs(); sweepOrphanDirs() }
+    catch { case t: Throwable =>
+      System.err.println(s"[eval] WARN janitor tick failed: ${t.getMessage}") }
+  }, math.max(retentionMs / 4, 60000L), math.max(retentionMs / 4, 60000L),
+    java.util.concurrent.TimeUnit.MILLISECONDS)
+
+  /** Delete aged `eval_batch_*` temp dirs this instance no longer tracks —
+    * crashed-JVM leftovers and failed per-job deletes. Wall-clock mtime (not
+    * the injectable [[nowMs]]): the dirs are real filesystem state, and the
+    * age floor keeps a short-retention test instance from sweeping a
+    * CONCURRENT instance's fresh dirs in the same JVM.
+    */
+  private[api] def sweepOrphanDirs(): Unit = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val live: Set[String] = jobsLock.synchronized {
+      jobs.values.flatMap(_.outputDir).map(_.getAbsolutePath).toSet
+    }
+    val minAgeMs = math.max(retentionMs, 600000L)
+    val now = System.currentTimeMillis()
+    Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("eval_batch_") &&
+        !live.contains(d.getAbsolutePath) && now - d.lastModified() > minAgeMs)
+      .foreach { d =>
+        try scala.reflect.io.Directory(d).deleteRecursively()
+        catch { case e: Exception =>
+          System.err.println(s"[eval] WARN orphan sweep failed for ${d.getPath}: ${e.getMessage}") }
+      }
+  }
+
   /** POST /eval/batch (api.py:362-393 + ocr.py:168-183): body
     * `{pages: [pageSpec...], language, mode}` where each pageSpec is either a
     * string (page_text form) or `{lines:[...]}` — the PDF upload becomes a
@@ -379,7 +420,11 @@ final class EvalApi(
       val zip = new java.util.zip.ZipOutputStream(
         new java.io.FileOutputStream(new java.io.File(outDir, zipName)))
       try {
-        outDir.listFiles().filter(_.getName.endsWith(".txt")).sortBy(_.getName).foreach { f =>
+        // numeric page order, not lexicographic: %04d widens past 9999, and
+        // page_10000.txt would sort between page_1000 and page_1001 by name
+        // (only page_<n>.txt files exist in outDir at this point)
+        outDir.listFiles().filter(_.getName.endsWith(".txt"))
+          .sortBy(f => f.getName.filter(_.isDigit).toLong).foreach { f =>
           zip.putNextEntry(new java.util.zip.ZipEntry(f.getName))
           zip.write(java.nio.file.Files.readAllBytes(f.toPath))
           zip.closeEntry()
@@ -460,9 +505,9 @@ final class EvalApi(
   }
 
   /** ocr.py:403-417 — drop completed/failed/canceled jobs older than the
-    * retention window and delete their output dirs. Called opportunistically
-    * from [[startBatch]] (the reference triggers it from module load +
-    * background task, api.py:486-499).
+    * retention window and delete their output dirs. Called from
+    * [[startBatch]] and from the janitor tick (the reference triggers it
+    * from module load + background task, api.py:486-499).
     */
   def cleanupOldJobs(): Unit = {
     val now = nowMs()
@@ -570,8 +615,8 @@ final class EvalApi(
       "pdf_path" -> JString((body \ "pdf_path").extractOrElse[String](""))))
   }
 
-  /** Release the batch worker pool (tests). */
-  def shutdown(): Unit = executor.shutdownNow()
+  /** Release the batch worker pool and the retention janitor (tests). */
+  def shutdown(): Unit = { executor.shutdownNow(); janitor.shutdownNow() }
 }
 
 object EvalApi {

@@ -43,7 +43,14 @@ trait SimilarEngine {
   * pipeline path; this class is the SERVING path.
   */
 final class SimilarDocs(spark: SparkSession, embeddings: DataFrame,
-    numChunks: Int = 1, chunks: Option[Set[Int]] = None) extends SimilarEngine {
+    val numChunks: Int = 1, chunks: Option[Set[Int]] = None) extends SimilarEngine {
+
+  /** This node's chunk ASSIGNMENT (None = the full corpus) — the routing
+    * contract for a fleet coordinator. Deliberately the assignment, not
+    * `graphs.keySet`: a chunk assigned here but holding zero vectors must
+    * still answer "no vector" locally rather than be hunted on peers.
+    */
+  val servedChunks: Option[Set[Int]] = chunks
 
   require(numChunks >= 1, s"numChunks must be >= 1, got $numChunks")
 
@@ -107,16 +114,39 @@ final class FleetSimilar(local: SimilarDocs, peers: Seq[String]) extends Similar
   // vector" in the response shape, and that must never be silent.
   import graft.query.PeerRpc.{postAsync, joinRetry}
 
+  // peer → its served chunk set, resolved ONCE through the same
+  // /api/internal/chunks handshake the fleet coverage proof uses (chunk
+  // assignments never change across a hot reload, so memoizing is safe; a
+  // lazy val whose initializer throws is NOT cached — a fleet whose peers
+  // come up late re-resolves on the next request instead of staying broken)
+  private lazy val peerChunks: Seq[(String, Set[Int])] = peers.map { p =>
+    val url = s"$p/api/internal/chunks"
+    p -> graft.query.Wire.decodeChunks(joinRetry(url, "{}", postAsync(url, "{}")))
+      .getOrElse(sys.error(s"peer $p serves the FULL index — a FleetSimilar " +
+        "peer must serve a chunk subset (a full peer double-counts the corpus)"))
+  }
+
   def similar(docId: Long, size: Int = 10): Seq[(Long, Double)] = {
-    // phase 1 — resolve the source vector: it lives on exactly ONE shard
-    // (chunks partition vec ids); ask local first, then all peers
-    // concurrently and take the unique non-null answer
-    val vec = local.vectorOf(docId).orElse {
-      val req = graft.query.Wire.encodeVecReq(docId)
-      peers.map(p => (s"$p/api/internal/vec", postAsync(s"$p/api/internal/vec", req)))
-        .flatMap { case (url, f) => graft.query.Wire.decodeVec(joinRetry(url, req, f)) }
-        .headOption
-    }
+    // phase 1 — resolve the source vector from the ONE shard that owns its
+    // chunk (vec ids shard by floorMod exactly like the inverted index):
+    // one bounded RPC, not a scatter — a scatter would strictly-join every
+    // peer for an answer only the owner can give, making every request
+    // wait on the slowest shard's GC pause for the lookup phase
+    val owner = Math.floorMod(docId, local.numChunks.toLong).toInt
+    val vec =
+      if (local.servedChunks.forall(_.contains(owner))) local.vectorOf(docId)
+      else peerChunks.collectFirst { case (p, cs) if cs.contains(owner) => p } match {
+        case Some(p) =>
+          val req = graft.query.Wire.encodeVecReq(docId)
+          val url = s"$p/api/internal/vec"
+          graft.query.Wire.decodeVec(joinRetry(url, req, postAsync(url, req)))
+        case None =>
+          // no shard claims the owning chunk: a mis-assembled fleet, not a
+          // missing vector — and "shard missing" must never read as "doc
+          // has no vector" (the class contract above)
+          sys.error(s"no fleet node serves chunk $owner (docId $docId): " +
+            s"local=${local.servedChunks} peers=${peerChunks.map(t => t._1 -> t._2.toSeq.sorted)}")
+      }
     vec match {
       case None => Nil // unknown doc / no vector → reference's ([], 0)
       case Some(v) =>

@@ -63,6 +63,17 @@ import graft.index.{IndexBuild, PostingListReader, TableIO}
   * the operator-optimization fixed point, so the plan it emits is itself
   * re-optimized).
   *
+  * A negated leaf (`NOT array_contains(...)` — the DSL's must_not) stays
+  * residual BY DESIGN, not omission: the tempting LEFT ANTI rewrite is
+  * wrong under NULLs (a NULL-text doc is in no posting list, so the anti
+  * join would KEEP it, while `NOT <NULL>` is NULL and the Filter drops it),
+  * and patching that needs an `IsNotNull(text)` residual that puts the text
+  * column right back into the scan — forfeiting the pruning that is the
+  * at-scale win. The realistic case needs no rewrite anyway: the reference
+  * DSL only issues must_not alongside positive terms, and once the positive
+  * conjunct becomes a semi join the NOT residual re-analyzes only the
+  * O(|posting list|) survivors, not the corpus.
+  *
   * Idempotent by construction: the rewrite consumes the ArrayContains
   * conjunct, so a fixed-point re-run finds nothing to match.
   */

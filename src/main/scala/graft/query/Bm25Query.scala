@@ -163,16 +163,12 @@ object Bm25Query {
   }
 
   /** Analyze query text with the same analyzer as the index (rank parity
-    * precondition) → (term, qPos) pairs; duplicates deduped (Lucene would
-    * score duplicate terms twice; the reference UI never issues them — we
-    * document dedup as our semantics).
+    * precondition) → (term, qPos) pairs; dedup semantics live in ONE place,
+    * [[QueryCore.dedupQueryTerms]] (shared with the serving kernel's
+    * context builder).
     */
-  def queryTerms(q: QuerySpec): Array[(String, Int)] = {
-    val toks = Analyzer.analyze(q.query, q.lang)
-    val seen = scala.collection.mutable.LinkedHashMap[String, Int]()
-    toks.foreach(t => if (!seen.contains(t.term)) seen(t.term) = t.pos)
-    seen.toArray
-  }
+  def queryTerms(q: QuerySpec): Array[(String, Int)] =
+    QueryCore.dedupQueryTerms(Analyzer.analyze(q.query, q.lang))
 
   def search(spark: SparkSession, idx: IndexHandle, q: QuerySpec): SearchResult = {
     val n = idx.numDocs(q.lang)

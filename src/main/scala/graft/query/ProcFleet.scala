@@ -314,21 +314,18 @@ final class ProcFleet(localRef: () => InMemoryIndex, peers: Seq[String],
       // availability event, silently dropping that shard's corpus slice from
       // every page. Decode stays OUTSIDE the retry/degraded policy so it
       // always fails the query loudly.
+      // The join-then-retry itself is PeerRpc.joinRetry — the ONE copy of
+      // the retry policy (a per-class inline copy is how the round-4
+      // fleet-wedging bug happened); only the degraded DECISION lives here.
       def fetch(fut: java.util.concurrent.CompletableFuture[String]): Option[String] =
-        try Some(fut.join())
+        try Some(PeerRpc.joinRetry(s"$p/api/internal/partials", body, fut))
         catch {
-          case e1: Exception =>
-            // ONE bounded retry (fresh connection — transient resets and
-            // restarting shards recover here), then the policy decides
-            try Some(postAsync(s"$p/api/internal/partials", body).join())
-            catch {
-              case e2: Exception =>
-                if (!allowDegraded) throw e2
-                System.err.println(s"[fleet] WARN shard $p down after retry " +
-                  s"(${e1.getMessage} / ${e2.getMessage}) — serving degraded")
-                degraded = true
-                None
-            }
+          case e: Exception =>
+            if (!allowDegraded) throw e
+            System.err.println(s"[fleet] WARN shard $p down after retry " +
+              s"(${e.getMessage}) — serving degraded")
+            degraded = true
+            None
         }
       fetch(f) match {
         case Some(bodyStr) => Wire.decodePartials(bodyStr)
@@ -360,17 +357,23 @@ final class ProcFleet(localRef: () => InMemoryIndex, peers: Seq[String],
 
   def context(chunkId: Long): Option[(DocPayload, Option[DocPayload], Option[DocPayload])] = {
     ensureCoverage()
-    docPayloads(Seq(chunkId)).get(chunkId).map { cur =>
+    // pin ONE node for the whole lookup (the same invariant search() pins
+    // `val node = local` for): with a hot-reloading supplier, a swap landing
+    // between the neighbor choice and the payload fetch would pair a
+    // neighbor docId chosen on the pre-mutation index with post-mutation
+    // payload state — silently dropping a prev/next paragraph
+    val node = local
+    node.docPayloads(Seq(chunkId)).get(chunkId).map { cur =>
       val req = Wire.encodeNeighborReq(cur.lang, cur.docId, cur.meta)
       val futs = peers.map { p =>
         val url = s"$p/api/internal/neighbors"
         (url, postAsync(url, req))
       }
       val (prev, next) = ShardedServe.mergeNeighbors(
-        local.neighborIds(cur.lang, cur.docId, cur.meta) +:
+        node.neighborIds(cur.lang, cur.docId, cur.meta) +:
           futs.map { case (url, f) =>
             Wire.decodeNeighbors(PeerRpc.joinRetry(url, req, f)) })
-      val fetched = docPayloads(prev.toSeq ++ next.toSeq)
+      val fetched = node.docPayloads(prev.toSeq ++ next.toSeq)
       (cur, prev.flatMap(fetched.get), next.flatMap(fetched.get))
     }
   }

@@ -55,15 +55,26 @@ object QueryCore {
     val nFilters: Int = facetSel.map(_._1).distinct.size
   }
 
+  /** First-position dedup over an analyzed token array → (term, qPos) —
+    * THE query-term-list semantics (Lucene would score duplicate terms
+    * twice; the reference UI never issues them, so dedup is documented as
+    * ours). One copy: [[context]] and [[Bm25Query.queryTerms]] both call
+    * this, so a semantics change can never desync the serving kernel's
+    * term list from the Spark path's.
+    */
+  def dedupQueryTerms(toks: Array[graft.analysis.Token]): Array[(String, Int)] = {
+    val seen = scala.collection.mutable.LinkedHashMap[String, Int]()
+    toks.foreach(t => if (!seen.contains(t.term)) seen(t.term) = t.pos)
+    seen.toArray
+  }
+
   /** Build the context; None if the analyzed query is empty. */
   def context(q: QuerySpec, n: Long, avgdl: Double): Option[Ctx] = {
     // ONE analyzer pass: the deduped term list and the phrase plan both
     // derive from the same token array (queryTerms re-analyzing the same
     // text doubled analyzer work per phrase query on the serving hot path)
     val toks = Analyzer.analyze(q.query, q.lang)
-    val seen = scala.collection.mutable.LinkedHashMap[String, Int]()
-    toks.foreach(t => if (!seen.contains(t.term)) seen(t.term) = t.pos)
-    val terms = seen.toArray
+    val terms = dedupQueryTerms(toks)
     if (terms.isEmpty) return None
     val termIndex = terms.map(_._1).zipWithIndex.toMap
     val phrasePlan: Array[(Int, Int)] =

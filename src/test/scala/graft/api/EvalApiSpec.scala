@@ -490,4 +490,27 @@ class EvalApiSpec extends AnyFunSuite {
       assert(httpPost(server.boundPort, "/eval/extract", """{"page_text": "x"}""")._1 == 503)
     } finally { server.stop(); ev.shutdown() }
   }
+
+  test("orphan eval_batch_* dirs from a dead JVM are swept once aged; fresh/foreign dirs survive") {
+    val ev = mkApi(tempBase())
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    // an aged dir no instance tracks — the crashed-JVM leftover shape
+    val orphan = new java.io.File(tmp, s"eval_batch_orphan_${System.nanoTime()}")
+    assert(orphan.mkdir())
+    writeFile(orphan, "page_0001.txt", "stale")
+    assert(orphan.setLastModified(System.currentTimeMillis() - 2 * 3600 * 1000L))
+    // a FRESH untracked dir — could belong to a concurrent instance in this
+    // JVM; the age floor must protect it even under short retention
+    val fresh = new java.io.File(tmp, s"eval_batch_fresh_${System.nanoTime()}")
+    assert(fresh.mkdir())
+    try {
+      ev.sweepOrphanDirs()
+      assert(!orphan.exists(), "aged orphan dir must be swept")
+      assert(fresh.exists(), "fresh dir must survive the sweep")
+    } finally {
+      fresh.delete()
+      scala.reflect.io.Directory(orphan).deleteRecursively()
+      ev.shutdown()
+    }
+  }
 }

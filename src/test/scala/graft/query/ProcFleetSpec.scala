@@ -189,6 +189,19 @@ class ProcFleetSpec extends AnyFunSuite {
     assert(fleetSim.similar(99999L).isEmpty)
   }
 
+  test("similar-documents: a chunk NO fleet node serves fails loudly, not as 'no vector'") {
+    // local serves chunk 0 only and there are no peers: docId 5 owns chunk 1
+    // (5 mod 2), so a silent Nil would be indistinguishable from a
+    // legitimately vectorless doc — the mis-assembled fleet must error
+    val localSim = new graft.api.SimilarDocs(spark, emb, numChunks = 2,
+      chunks = Some(Set(0)))
+    val broken = new graft.api.FleetSimilar(localSim, Seq.empty)
+    val e = intercept[RuntimeException](broken.similar(5L))
+    assert(e.getMessage.contains("no fleet node serves chunk 1"))
+    // chunk-0 lookups still answer from the local graphs (owner is local)
+    assert(broken.similar(4L).nonEmpty)
+  }
+
   test("partial-failure policy: dead shard fails strict fleets, degrades flagged on opt-in") {
     fixture // make sure the shared index exists
     val h = IndexHandle.load("/tmp/gidx-procfleet")

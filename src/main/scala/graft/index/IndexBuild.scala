@@ -192,17 +192,26 @@ object IndexBuild extends Serializable {
     // collision check, whose failure must not strand the corpus-sized cache
     // in the block manager of a long-lived session
     try {
-    if (derivedIds) {
-      // xxhash64(url) ids: at 10^10+ docs the 2^63 space EXPECTS birthday
-      // collisions; a cross-url collision makes two consecutive equal docIds
-      // in some sorted run and aborts deep in the posting writer
-      // (deterministically on every retry), and the docstore would hold two
-      // rows under one id. Fail fast with an actionable message instead.
+    locally {
+      // docId uniqueness is validated on EVERY path, not just derived ids.
+      // Derived (xxhash64(url)) ids: at 10^10+ docs the 2^63 space EXPECTS
+      // birthday collisions. Explicit doc_id inputs can carry duplicates
+      // just as easily (a re-crawl batch unioned twice) — and those either
+      // crash deep in the posting writer's strictly-increasing-docId
+      // invariant hours into the build (same-lang duplicates sharing a
+      // term) or build a SILENTLY corrupt index (docstore holding two rows
+      // under one id; point-reads then serve an arbitrary one). One
+      // map-side-combined count per docId — the shuffle carries (id, n)
+      // pairs, not text — paid once up front to fail fast and actionably.
       val dup = webtext.groupBy("docId").count()
         .where(col("count") > 1).limit(1).collect()
       require(dup.isEmpty, // message only renders on failure, dup(0) exists
-        s"xxhash64(url)-derived docIds collide (e.g. docId=${dup.headOption.map(_.get(0)).getOrElse("")}) — " +
-          "supply an explicit doc_id column for this corpus")
+        (if (derivedIds)
+           s"xxhash64(url)-derived docIds collide (e.g. docId=${dup.headOption.map(_.get(0)).getOrElse("")}) — " +
+             "supply an explicit doc_id column for this corpus"
+         else
+           s"input carries duplicate doc_id values (e.g. ${dup.headOption.map(_.get(0)).getOrElse("")}) — " +
+             "each document must appear once; dedup the batch before build()"))
     }
     // Resume validation: a manifest row is only trusted when its recorded
     // input signature (positions mode + docs + xor of per-row content hashes,

@@ -165,19 +165,28 @@ object IndexAccessRule extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case f @ Filter(cond, child) =>
+    // the PURE, allocation-cheap match runs first and the filesystem probes
+    // (eligibleIndexDir: exists() calls + a journal read) run last: with the
+    // rule installed session-wide, EVERY Filter over a docstore-rooted scan
+    // — including the serving path's own per-query payload fetches, which
+    // never carry an analyze_terms conjunct — hits this case on each
+    // optimizer fixed-point iteration, and on object-store-backed indexes
+    // each probe is a network round trip. A plan with nothing to rewrite
+    // must cost zero I/O.
+    case f @ Filter(cond, child)
+        if cond.exists { case ac: ArrayContains => matchLeaf(ac).isDefined
+                         case _ => false } =>
       val rels = child.collectLeaves().collect { case lr: LogicalRelation => lr }
       val rewrite = for {
         rel <- if (rels.size == 1) Some(rels.head) else None
-        dir <- eligibleIndexDir(rel)
         textAttr <- rel.output.find(_.name == "text")
         langAttr <- rel.output.find(_.name == "lang")
         docIdAttr <- rel.output.find(_.name == "docId")
         if child.outputSet.contains(docIdAttr)
-      } yield (dir, textAttr.exprId, langAttr.exprId, docIdAttr)
+      } yield (rel, textAttr.exprId, langAttr.exprId, docIdAttr)
       rewrite match {
         case None => f
-        case Some((dir, textId, langId, docIdAttr)) =>
+        case Some((rel, textId, langId, docIdAttr)) =>
           // matched once per conjunct — the partition predicate and the
           // rewrite fold must see the SAME Seq[Rewrite]
           val matched = splitConjunctivePredicates(cond).map { c =>
@@ -186,8 +195,12 @@ object IndexAccessRule extends Rule[LogicalPlan] with PredicateHelper {
           }
           val hits = matched.collect { case (_, Some(rs)) => rs }
           val residual = matched.collect { case (c, None) => c }
-          if (hits.isEmpty) f
+          // FS eligibility is checked only once at least one conjunct
+          // matched structurally — the common no-match query never probes
+          lazy val dirOpt = eligibleIndexDir(rel)
+          if (hits.isEmpty || dirOpt.isEmpty) f
           else {
+            val dir = dirOpt.get
             val spark = SparkSession.active
             // one semi join per conjunct; an OR-conjunct becomes ONE scan
             // over its term set (docId ∈ union of the postings)

@@ -82,6 +82,14 @@ case class IndexHandle(dir: String, stats: Map[String, (Long, Long)]) {
     */
   @transient private[query] lazy val dfCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
+
+  /** (lang, canonical filter selection) → Σdf of the facet rows that
+    * selection reads — the filter-side twin of [[dfCache]], feeding the
+    * driver-vs-executor path choice (same staleness contract: one handle,
+    * one index version). Bounded crudely like dfCache.
+    */
+  @transient private[query] lazy val facetVolCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
 }
 
 object IndexHandle {
@@ -196,12 +204,18 @@ object Bm25Query {
       return SearchResult(Nil, 0L, "eq", suggest(spark, idx, q.lang, q.query))
     val info = QueryCore.termInfo(ctx, t => dfMap.getOrElse(t, 0L))
 
-    // path choice: total candidate postings ≈ Σ df over the query's terms.
-    // Small → collect the blobs and run kernels ON THE DRIVER (one Spark job,
-    // Lucene-like latency). Large (head terms at corpus scale) → per-segment
-    // kernels in executor tasks via cogroup (no postings ever concentrate on
-    // the driver).
-    val totalPostings = dfMap.values.sum
+    // path choice: total candidate volume ≈ Σ df over the query's terms
+    // PLUS Σ df over the filter's facet rows — the driver path collects BOTH
+    // streams, and a rare-term query over a broad filter (date-range's
+    // has_date='0' branch, a category covering half the corpus) is
+    // facet-dominated: gating on postings alone would pull corpus-scale
+    // docId lists onto the driver. Small → collect the blobs and run kernels
+    // ON THE DRIVER (one Spark job, Lucene-like latency). Large → per-segment
+    // kernels in executor tasks via cogroup (nothing ever concentrates on
+    // the driver). The facet volume is one pruned df-column probe (no blobs
+    // read), cached per (lang, selection) on the handle like term dfs.
+    val totalPostings = dfMap.values.sum +
+      (if (facetRows == null) 0L else facetVolume(spark, idx, q.lang, ctx, facetRows))
     val segResults: Array[SegmentResult] =
       if (totalPostings <= MaxDriverPostings) {
         // postings and facet lists are independent reads — submit both jobs
@@ -344,26 +358,39 @@ object Bm25Query {
   private def dateDocIds(spark: SparkSession, idx: IndexHandle, lang: String,
       sel: (Option[String], Option[String])): DataFrame = {
     import spark.implicits._
-    val (sOpt, eOpt) = sel
     val base = spark.read.parquet(idx.facetsPath).where(col("lang") === lang)
     def ids(d: DataFrame): DataFrame = d
       .select(col("df"), col("docIds")).as[(Long, Array[Byte])]
       .flatMap { case (df, blob) => SortedIds.decode(blob, df.toInt) }
       .toDF("docId")
-    var dateCond = col("key") === "date"
-    sOpt.foreach(s0 => dateCond = dateCond && col("value") >= s0)
-    eOpt.foreach(e0 => dateCond = dateCond && col("value") <= e0)
-    val inRange = ids(base.where(dateCond))
-    var noDate = ids(base.where(col("key") === "has_date" && col("value") === "0"))
-    eOpt.foreach { e0 =>
-      noDate = noDate.join(
-        ids(base.where(col("key") === "series_start_date" && col("value") <= e0)), Seq("docId"))
-    }
-    sOpt.foreach { s0 =>
-      noDate = noDate.join(
-        ids(base.where(col("key") === "series_end_date" && col("value") >= s0)), Seq("docId"))
-    }
+    // the same ONE rule definition as every other read layer; this path
+    // renders the kernel's label algebra as distributed set ops — DateIn
+    // unioned, every OTHER rule present intersected onto NoDate
+    val byLabel = QueryCore.dateRules(sel)
+      .map(rule => rule.label -> ids(base.where(dateRuleCond(rule)))).toMap
+    val inRange = byLabel(QueryCore.DateInKey)
+    val noDate = (byLabel - QueryCore.DateInKey - QueryCore.NoDateKey).values
+      .foldLeft(byLabel(QueryCore.NoDateKey))((acc, d) => acc.join(d, Seq("docId")))
     inRange.union(noDate).distinct()
+  }
+
+  /** Σdf over the facet rows a query's filter selection reads — the volume
+    * the driver path would collect. One aggregation over the ALREADY-PRUNED
+    * facet read (column pruning drops the docId blobs from the scan: only
+    * the tiny df column is read), cached on the handle per (lang, canonical
+    * selection) so repeat filtered queries — the norm for UI-issued date
+    * pickers and category filters — skip the probe entirely.
+    */
+  private def facetVolume(spark: SparkSession, idx: IndexHandle, lang: String,
+      ctx: QueryCore.Ctx, facetRows: DataFrame): Long = {
+    val key = (lang, ctx.facetSel.toString + "|" + ctx.dateSel.toString)
+    Option(idx.facetVolCache.get(key)).map(_.longValue).getOrElse {
+      val r = facetRows.agg(sum(col("df"))).collect()(0)
+      val v = if (r.isNullAt(0)) 0L else r.getLong(0)
+      if (idx.facetVolCache.size > DfCacheMax) idx.facetVolCache.clear()
+      idx.facetVolCache.put(key, Long.box(v))
+      v
+    }
   }
 
   /** Facet rows a query's filters need, with the Q5 date-filter rows
@@ -384,24 +411,24 @@ object Bm25Query {
       }.reduce(_ || _)
       parts += base.where(cond).select(col("chunk"), col("key"), col("df"), col("docIds"))
     }
-    ctx.dateSel.foreach { case (sOpt, eOpt) =>
-      var dateCond = col("key") === "date"
-      sOpt.foreach(s0 => dateCond = dateCond && col("value") >= s0)
-      eOpt.foreach(e0 => dateCond = dateCond && col("value") <= e0)
-      parts += base.where(dateCond)
-        .select(col("chunk"), lit(QueryCore.DateInKey).as("key"), col("df"), col("docIds"))
-      parts += base.where(col("key") === "has_date" && col("value") === "0")
-        .select(col("chunk"), lit(QueryCore.NoDateKey).as("key"), col("df"), col("docIds"))
-      eOpt.foreach { e0 =>
-        parts += base.where(col("key") === "series_start_date" && col("value") <= e0)
-          .select(col("chunk"), lit(QueryCore.SeriesStartOkKey).as("key"), col("df"), col("docIds"))
-      }
-      sOpt.foreach { s0 =>
-        parts += base.where(col("key") === "series_end_date" && col("value") >= s0)
-          .select(col("chunk"), lit(QueryCore.SeriesEndOkKey).as("key"), col("df"), col("docIds"))
-      }
+    ctx.dateSel.foreach { sel =>
+      parts ++= QueryCore.dateRules(sel).map(rule =>
+        base.where(dateRuleCond(rule))
+          .select(col("chunk"), lit(rule.label).as("key"), col("df"), col("docIds")))
     }
     parts.reduce(_ union _)
+  }
+
+  /** One [[QueryCore.DateRule]] as a pushdown-able Column predicate — the
+    * Spark rendering of the ONE shared rule definition (the resident path
+    * consumes `rule.accepts` directly); range bounds stay plain value
+    * comparisons so they reach the parquet scan as PushedFilters.
+    */
+  private def dateRuleCond(rule: QueryCore.DateRule): org.apache.spark.sql.Column = {
+    var cond = col("key") === rule.key
+    rule.lo.foreach(l => cond = cond && col("value") >= l)
+    rule.hi.foreach(h => cond = cond && col("value") <= h)
+    cond
   }
 
   /** DocIds carrying any of `terms`, decoded in executors. */

@@ -107,24 +107,18 @@ final class InMemoryIndex(
       }
     }.toArray
     // Q5 date-filter rows: relabel matching (key, value) lists with the
-    // synthetic keys the kernel's OR-filter consumes (same as the Spark read
-    // layer, Bm25Query.facetReadDf)
+    // synthetic keys the kernel's OR-filter consumes. The predicate family
+    // has ONE definition (QueryCore.dateRules) shared with the Spark read
+    // layer — a per-layer copy is how serving would silently desync.
     val dateFacetList: Array[QueryCore.FacetIds] = ctx.dateSel match {
       case None => Array.empty
-      case Some((sOpt, eOpt)) =>
-        val rows = scala.collection.mutable.ArrayBuffer[QueryCore.FacetIds]()
-        def scan(key: String)(label: String => Option[String]): Unit =
-          facetsByKey.getOrElse((q.lang, key), Array.empty).foreach { case (value, ids) =>
-            label(value).foreach(l => rows += ((0, l, ids.length.toLong, ids)))
+      case Some(sel) =>
+        QueryCore.dateRules(sel).iterator.flatMap { rule =>
+          facetsByKey.getOrElse((q.lang, rule.key), Array.empty).iterator.collect {
+            case (value, ids) if rule.accepts(value) =>
+              (0, rule.label, ids.length.toLong, ids): QueryCore.FacetIds
           }
-        scan("date")(v =>
-          if (sOpt.forall(v >= _) && eOpt.forall(v <= _)) Some(QueryCore.DateInKey) else None)
-        scan("has_date")(v => if (v == "0") Some(QueryCore.NoDateKey) else None)
-        scan("series_start_date")(v =>
-          if (eOpt.exists(v <= _)) Some(QueryCore.SeriesStartOkKey) else None)
-        scan("series_end_date")(v =>
-          if (sOpt.exists(v >= _)) Some(QueryCore.SeriesEndOkKey) else None)
-        rows.toArray
+        }.toArray
     }
     val facetList = metaFacetList ++ dateFacetList
     QueryCore.segmentKernel(ctx, info, postList, facetList).toArray
@@ -363,7 +357,7 @@ object InMemoryIndex {
     val keys = q.metaFilters.keySet ++
       (if (q.yearRange.isDefined) Set("year") else Set.empty[String]) ++
       (if (q.dateRange.exists(d => d._1.isDefined || d._2.isDefined))
-        Set("date", "has_date", "series_start_date", "series_end_date")
+        QueryCore.PhysicalDateKeys
       else Set.empty[String])
     keys.map(graft.index.IndexBuild.facetBucketOf)
   }

@@ -37,6 +37,46 @@ object QueryCore {
   val SeriesEndOkKey = "__se_ok"
   val DateKeys: Set[String] = Set(DateInKey, NoDateKey, SeriesStartOkKey, SeriesEndOkKey)
 
+  /** The physical facet keys the Q5 date filter reads (routing + load-time
+    * key selection; the per-selection read rules are [[dateRules]]).
+    */
+  val PhysicalDateKeys: Set[String] =
+    Set("date", "has_date", "series_start_date", "series_end_date")
+
+  /** ONE read rule of the Q5 date filter: relabel facet lists of physical
+    * `key` whose value lies in [lo, hi] (string/ISO-date order, either bound
+    * open) as synthetic `label`. Range-shaped ON PURPOSE: the Spark read
+    * layer pushes `lo <= value <= hi` into the parquet scan as-is.
+    */
+  case class DateRule(key: String, label: String,
+      lo: Option[String], hi: Option[String]) {
+    def accepts(value: String): Boolean =
+      lo.forall(value >= _) && hi.forall(value <= _)
+  }
+
+  /** THE Q5 date-filter read semantics — the single source every layer
+    * derives from (resident [[InMemoryIndex.partialFor]], Spark
+    * [[Bm25Query.facetReadDf]] and [[Bm25Query.dateDocIds]]); the kernel's
+    * consumption of the labels lives in [[segmentKernel]]. A hand-copied
+    * predicate in any layer would silently desync serving from the Spark
+    * paths on the next semantics change. Rules, given search range
+    * `(sOpt, eOpt)` as "yyyy-MM-dd" bounds:
+    *   - `date` in [s, e]                 → [[DateInKey]]
+    *   - `has_date` == "0"                → [[NoDateKey]]
+    *   - `series_start_date` <= e (if e)  → [[SeriesStartOkKey]]
+    *   - `series_end_date` >= s (if s)    → [[SeriesEndOkKey]]
+    * combined by the kernel as (DateIn) ∪ (NoDate ∩ SeriesStartOk ∩
+    * SeriesEndOk), the reference's index_searcher.py:64-150 OR-logic.
+    */
+  def dateRules(sel: (Option[String], Option[String])): Seq[DateRule] = {
+    val (sOpt, eOpt) = sel
+    Seq(Some(DateRule("date", DateInKey, sOpt, eOpt)),
+      Some(DateRule("has_date", NoDateKey, Some("0"), Some("0"))),
+      eOpt.map(e0 => DateRule("series_start_date", SeriesStartOkKey, None, Some(e0))),
+      sOpt.map(s0 => DateRule("series_end_date", SeriesEndOkKey, Some(s0), None))
+    ).flatten
+  }
+
   /** Query-wide immutable context derived from the QuerySpec + corpus stats. */
   case class Ctx(
       terms: Array[(String, Int)], // distinct (term, first qPos)
@@ -76,6 +116,15 @@ object QueryCore {
     val toks = Analyzer.analyze(q.query, q.lang)
     val terms = dedupQueryTerms(toks)
     if (terms.isEmpty) return None
+    // paging validation lives HERE, not per-surface: k = from + pageSize
+    // wrapped negative would flip every kernel into count-only mode and
+    // return a successful-looking empty page with totalHits > 0 for any
+    // non-HTTP caller (the HTTP layer's MaxResultWindow is a policy cap on
+    // top, not the correctness guard). pageSize 0 stays legal — that IS the
+    // count-only query.
+    require(q.from >= 0 && q.pageSize >= 0 &&
+      q.from.toLong + q.pageSize <= Int.MaxValue,
+      s"invalid paging: from=${q.from} pageSize=${q.pageSize}")
     val termIndex = terms.map(_._1).zipWithIndex.toMap
     val phrasePlan: Array[(Int, Int)] =
       if (!q.phrase) Array.empty

@@ -91,6 +91,21 @@ class IndexBuildSpec extends AnyFunSuite {
     assert(ids.distinct.length == 300, "urls are unique → ids must be unique")
   }
 
+  test("explicit doc_id duplicates fail the build fast with an actionable message") {
+    // pre-fix only DERIVED (xxhash64) ids were checked: an explicit-id batch
+    // carrying a docId twice either crashed hours later deep in the posting
+    // writer's strictly-increasing invariant (same-lang duplicates sharing a
+    // term) or built a silently corrupt index (two docstore rows under one
+    // id, point-reads serving an arbitrary one)
+    val corpus = Webtext.synthesize(spark, 200, partitions = 2).toDF()
+    val dup = corpus.limit(1).union(corpus) // one docId appears twice
+    rm("/tmp/gidx-dupid")
+    val e = intercept[IllegalArgumentException] {
+      IndexBuild.build(spark, dup, "/tmp/gidx-dupid", numChunks = 2)
+    }
+    assert(e.getMessage.contains("duplicate doc_id"), e.getMessage)
+  }
+
   test("resume invalidation: changed input rebuilds stale chunks (checksum mismatch)") {
     val corpusA = Webtext.synthesize(spark, 400, seed = 42L, partitions = 4).toDF()
     val corpusB = Webtext.synthesize(spark, 400, seed = 43L, partitions = 4).toDF()

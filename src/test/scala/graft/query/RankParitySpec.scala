@@ -535,6 +535,43 @@ class RankParitySpec extends AnyFunSuite {
     assert(mem.search(QuerySpec("hi", Webtext.word("hi", 0), mode = "any")).totalHits > 0)
   }
 
+  test("paging overflow (from + pageSize past Int range) fails loudly, never an empty page") {
+    // pre-fix: k wrapped negative, the kernel flipped to count-only mode and
+    // returned a successful-looking empty page with totalHits > 0 — only the
+    // HTTP layer's MaxResultWindow guarded it; the shared QueryCore.context
+    // choke point must protect EVERY caller (library, tools, wire decode)
+    val bad = QuerySpec("hi", hiPhrase, from = Int.MaxValue, pageSize = 2)
+    intercept[IllegalArgumentException] { Bm25Query.search(spark, idx, bad) }
+    val mem = InMemoryIndex.load(spark, idx)
+    intercept[IllegalArgumentException] { mem.search(bad) }
+    intercept[IllegalArgumentException] {
+      Bm25Query.search(spark, idx, QuerySpec("hi", hiPhrase, from = -1))
+    }
+  }
+
+  test("driver-vs-executor path choice counts FACET volume, not just postings") {
+    // a fresh handle so the probe is observable through its cache
+    val fresh = IndexHandle.load(dir)
+    val q = QuerySpec("hi", hiPhrase, dateRange = Some((Some(2019), Some(2020))))
+    val r0 = Bm25Query.search(spark, fresh, q)
+    assert(!fresh.facetVolCache.isEmpty, "filtered search must probe facet volume")
+    val vol = fresh.facetVolCache.values.iterator.next().longValue
+    assert(vol > 0L, "date filter over the fixture must select facet rows")
+    // unfiltered search adds no facet-volume entries
+    Bm25Query.search(spark, fresh, QuerySpec("hi", hiPhrase))
+    assert(fresh.facetVolCache.size == 1)
+    // postings alone would fit under the cap but postings+facets must not:
+    // the query flips to the cogroup path and stays parity-identical
+    val saved = Bm25Query.MaxDriverPostings
+    try {
+      Bm25Query.MaxDriverPostings = vol
+      val r1 = Bm25Query.search(spark, fresh, q)
+      assert(r1.hits.map(h => (h.docId, h.score)) ==
+        r0.hits.map(h => (h.docId, h.score)))
+      assert(r1.totalHits == r0.totalHits)
+    } finally Bm25Query.MaxDriverPostings = saved
+  }
+
   test("SortedIdSet galloping == linear reference on monotone target streams") {
     val rnd = new scala.util.Random(42)
     (1 to 20).foreach { trial =>

@@ -214,8 +214,10 @@ object Bm25Query {
     // kernels in executor tasks via cogroup (nothing ever concentrates on
     // the driver). The facet volume is one pruned df-column probe (no blobs
     // read), cached per (lang, selection) on the handle like term dfs.
-    val totalPostings = dfMap.values.sum +
-      (if (facetRows == null) 0L else facetVolume(spark, idx, q.lang, ctx, facetRows))
+    val dfSum = dfMap.values.sum
+    val totalPostings =
+      if (facetRows == null || dfSum > MaxDriverPostings) dfSum // probe can't change the verdict
+      else dfSum + facetVolume(spark, idx, q.lang, ctx, facetRows)
     val segResults: Array[SegmentResult] =
       if (totalPostings <= MaxDriverPostings) {
         // postings and facet lists are independent reads — submit both jobs

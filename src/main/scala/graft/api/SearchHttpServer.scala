@@ -81,7 +81,11 @@ final class SearchHttpServer(
   // stall — measured 86 q/s vs 3.3k through the same path with it on
   locally { SearchHttpServer.ensureNoDelay() }
 
-  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  // loopback by default (the server has no auth); a multi-host fleet —
+  // coordinator and shard JVMs on different machines — opts into a routable
+  // interface via GRAFT_BIND_ADDR (the port is already a parameter)
+  private val server = HttpServer.create(
+    new InetSocketAddress(sys.env.getOrElse("GRAFT_BIND_ADDR", "127.0.0.1"), port), 0)
   @volatile private var cache: Option[(JValue, Long)] = None
   // AtomicLong, not a @volatile var: the reload poller and HTTP
   // invalidations are concurrent writers — a lost increment would let an
@@ -89,6 +93,9 @@ final class SearchHttpServer(
   // PRE-invalidation data for a full TTL
   private val cacheVersion = new java.util.concurrent.atomic.AtomicLong(0L)
   private val cacheLock = new Object
+  // serializes metadata cache FILLS (single-flight); never held by
+  // invalidateMetadataCache, which must stay non-blocking for the reloader
+  private val computeLock = new Object
 
   private def supplier(): Map[String, Map[String, Seq[String]]] =
     metadataSupplier.map(_())
@@ -227,26 +234,41 @@ final class SearchHttpServer(
 
   private def metadataJson(): JValue = {
     val now = nowMs()
-    // version guard: an invalidation that lands while a computation is in
-    // flight must win — without it the in-flight thread would re-populate
-    // the cache with PRE-invalidation data for a full TTL
-    val versionAtStart = cacheVersion.get()
     cache match {
       case Some((data, ts)) if now - ts < ttlSeconds * 1000 => data
       case _ =>
-        val data: JValue = JObject(supplier().toList.sortBy(_._1).map { case (ct, inner) =>
-          ct -> (JObject(inner.toList.sortBy(_._1).map { case (k, vs) =>
-            k -> (JArray(vs.toList.map(JString(_))): JValue)
-          }): JValue)
-        })
-        // check + write under ONE lock shared with invalidate: a bare
-        // check-then-act would let an invalidation land between the version
-        // test and the assignment, re-caching pre-invalidation facets for a
-        // full TTL
-        cacheLock.synchronized {
-          if (cacheVersion.get() == versionAtStart) cache = Some((data, now))
+        // single-flight: K concurrent misses at TTL expiry (or right after
+        // an invalidation) must not each pay the full facet computation —
+        // on a fleet coordinator that is K whole-fleet scatters with K−1
+        // results discarded by last-writer-wins. The winner computes under
+        // computeLock; the rest re-check the fresh cache inside it. Lock
+        // order is computeLock → cacheLock only (invalidate takes cacheLock
+        // alone), so no inversion is possible.
+        computeLock.synchronized {
+          val now2 = nowMs()
+          cache match {
+            case Some((data, ts)) if now2 - ts < ttlSeconds * 1000 => data
+            case _ =>
+              // version guard: an invalidation that lands while a
+              // computation is in flight must win — without it the
+              // in-flight thread would re-populate the cache with
+              // PRE-invalidation data for a full TTL
+              val versionAtStart = cacheVersion.get()
+              val data: JValue = JObject(supplier().toList.sortBy(_._1).map { case (ct, inner) =>
+                ct -> (JObject(inner.toList.sortBy(_._1).map { case (k, vs) =>
+                  k -> (JArray(vs.toList.map(JString(_))): JValue)
+                }): JValue)
+              })
+              // check + write under ONE lock shared with invalidate: a bare
+              // check-then-act would let an invalidation land between the
+              // version test and the assignment, re-caching
+              // pre-invalidation facets for a full TTL
+              cacheLock.synchronized {
+                if (cacheVersion.get() == versionAtStart) cache = Some((data, now2))
+              }
+              data
+          }
         }
-        data
     }
   }
 
@@ -461,10 +483,11 @@ final class SearchHttpServer(
           idStr.toLongOption match {
             case None =>
               // malformed id is a client error (the reference's int path
-              // param rejects it) — only a PARSEABLE unknown/no-vector doc
-              // takes the 200-empty path below
-              respond(ex, 404, JObject("detail" ->
-                JString("Invalid document id.")))
+              // param rejects it with a validation error, which this server
+              // maps to 400 everywhere else) — only a PARSEABLE
+              // unknown/no-vector doc takes the 200-empty path below
+              respond(ex, 400, JObject("detail" ->
+                JString("Validation error: invalid document id")))
             case Some(docId) =>
               val pairs = sd.similar(docId, size = 10)
               val payloads = mem.docPayloads(pairs.map(_._1))

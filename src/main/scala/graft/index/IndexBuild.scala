@@ -203,15 +203,25 @@ object IndexBuild extends Serializable {
       // under one id; point-reads then serve an arbitrary one). One
       // map-side-combined count per docId — the shuffle carries (id, n)
       // pairs, not text — paid once up front to fail fast and actionably.
-      val dup = webtext.groupBy("docId").count()
-        .where(col("count") > 1).limit(1).collect()
-      require(dup.isEmpty, // message only renders on failure, dup(0) exists
-        (if (derivedIds)
-           s"xxhash64(url)-derived docIds collide (e.g. docId=${dup.headOption.map(_.get(0)).getOrElse("")}) — " +
-             "supply an explicit doc_id column for this corpus"
-         else
-           s"input carries duplicate doc_id values (e.g. ${dup.headOption.map(_.get(0)).getOrElse("")}) — " +
-             "each document must appear once; dedup the batch before build()"))
+      // the same job also rejects negative explicit ids (derived ids are
+      // masked non-negative at normalizeInput): the posting codec's first
+      // delta from prevLastDoc = 0 would otherwise throw in an executor
+      // task hours into the build, deep in the term exchange
+      val bad = webtext.groupBy("docId").count()
+        .where(col("count") > 1 || col("docId") < 0).limit(1).collect()
+      require(bad.isEmpty, { // message only renders on failure, bad(0) exists
+        val id = bad.headOption.map(_.get(0)).getOrElse("")
+        if (bad.headOption.exists(_.getLong(1) > 1)) {
+          if (derivedIds)
+            s"xxhash64(url)-derived docIds collide (e.g. docId=$id) — " +
+              "supply an explicit doc_id column for this corpus"
+          else
+            s"input carries duplicate doc_id values (e.g. $id) — " +
+              "each document must appear once; dedup the batch before build()"
+        } else
+          s"input carries a negative doc_id (e.g. $id) — posting codecs " +
+            "require docId >= 0"
+      })
     }
     // Resume validation: a manifest row is only trusted when its recorded
     // input signature (positions mode + docs + xor of per-row content hashes,
@@ -340,6 +350,15 @@ object IndexBuild extends Serializable {
           .toDF("docId", "url", "warc_ts", "text", "lang", "meta", "dl", "entries")
           .persist(StorageLevel.MEMORY_AND_DISK) // DISK_ONLY at 100TB scale
 
+        // declared OUTSIDE the try so the finally can release them: a
+        // mid-chunk failure (reserved-key require, transient job failure)
+        // on a long-lived session doing repeated mutations must not strand
+        // chunk-sized caches / the head broadcast in the block manager —
+        // each recovery retry would pin another copy
+        var runsP: org.apache.spark.sql.Dataset[Run] = null
+        var headsB: org.apache.spark.broadcast.Broadcast[Map[(String, String), Int]] = null
+        try {
+
         // ---- docstore ----
         phase(s"docstore+tokenize c$k") {
           tokenized
@@ -401,9 +420,12 @@ object IndexBuild extends Serializable {
               math.min(1024, math.ceil(r.getLong(2).toDouble / saltTargetPostings).toInt))
             .toMap
         }
-        val headsB = spark.sparkContext.broadcast(heads)
+        headsB = spark.sparkContext.broadcast(heads)
+        // closures capture a local val, not the cleanup var (a captured var
+        // serializes as an ObjectRef — fragile under closure cleaning)
+        val hb = headsB
         val saltOf = udf((lang: String, term: String, docId: Long) =>
-          headsB.value.get((lang, term)) match {
+          hb.value.get((lang, term)) match {
             case Some(s) => Math.floorMod(Webtext.mix64(docId), s.toLong).toInt
             case None    => 0
           })
@@ -444,7 +466,6 @@ object IndexBuild extends Serializable {
           SegmentRow(k, r.lang, Math.floorMod(r.term.hashCode, DefaultBuckets),
             r.term, reader.df.toLong, reader.cf, r.blob, r.posBlob)
         }
-        var runsP: org.apache.spark.sql.Dataset[Run] = null
         val segments =
           if (heads.isEmpty) runs.map(toSegment _)
           else {
@@ -453,10 +474,10 @@ object IndexBuild extends Serializable {
             // the post-shuffle map stages are not)
             runsP = runs.persist(StorageLevel.MEMORY_AND_DISK)
             val direct = runsP
-              .filter(r => !headsB.value.contains((r.lang, r.term)))
+              .filter(r => !hb.value.contains((r.lang, r.term)))
               .map(toSegment _)
             val merged = runsP
-              .filter(r => headsB.value.contains((r.lang, r.term)))
+              .filter(r => hb.value.contains((r.lang, r.term)))
               .groupByKey(r => (r.lang, r.term))
               .mapGroups { (key: (String, String), rs: Iterator[Run]) =>
                 val (blob, posBlob, df, cf) =
@@ -475,12 +496,13 @@ object IndexBuild extends Serializable {
             .sortWithinPartitions($"lang", $"term") // parquet row-group stats → term pushdown
             .write.mode(SaveMode.Overwrite).parquet(s"$outDir/segments/chunk=$k")
         }
-        // the cached runs and the head-term broadcast are dead once the
-        // segments are on disk — on a long-lived session doing repeated
-        // mutations (each buildChunk call pins its own copies) the leak
-        // fills the block manager and evicts useful blocks
-        if (runsP != null) runsP.unpersist()
-        headsB.destroy()
+        // the cached runs are dead once the segments are on disk — release
+        // them eagerly so the facets phase isn't competing with a stale
+        // chunk-sized cache for block-manager space (the finally below is
+        // the failure path; a second unpersist there is a no-op). The head
+        // broadcast is destroyed only in the finally: destroy() is not
+        // idempotent and the broadcast is tiny (≤headCap entries).
+        if (runsP != null) { runsP.unpersist(); runsP = null }
         // exact distinct-term count from the parquet footers of the segment
         // slice just written (metadata-only, no data scan) — the previous
         // LongAccumulator in segments.map over-counted on task retries /
@@ -530,9 +552,14 @@ object IndexBuild extends Serializable {
           .write.mode(SaveMode.Overwrite).parquet(s"$outDir/facets/chunk=$k")
         }
 
-        tokenized.unpersist()
         val wallMs = (System.nanoTime() - t0) / 1000000
         ManifestRow(k, "done", nDocs, nTokens, nTerms, inputSig, wallMs)
+        } finally {
+          // success AND failure path — see the declaration comment above
+          tokenized.unpersist()
+          if (runsP != null) runsP.unpersist()
+          if (headsB != null) headsB.destroy()
+        }
       }
     }
   }
@@ -746,11 +773,28 @@ object IndexBuild extends Serializable {
       inputs.foreach { case (k, input) =>
         val tmp = tmpPath(outDir, k)
         input.write.mode(SaveMode.Overwrite).parquet(tmp)
+        // EVERY input class that would crash buildChunk later must fail
+        // HERE, before the journal exists — a post-journal crash wedges
+        // serving and recovery replays the identical bad input forever. The
+        // checks mirror buildChunk's own invariants: unique docIds (posting
+        // writer's strictly-increasing contract), non-negative docIds
+        // (VByte), no reserved facet keys (the stats-agg require). One agg
+        // over the just-written tmp.
+        val reserved = Seq("year", "has_date") ++ graft.query.QueryCore.DateKeys
         val r = spark.read.parquet(tmp)
-          .agg(count(lit(1)), countDistinct(col("docId"))).collect()(0)
+          .agg(count(lit(1)), countDistinct(col("docId")),
+            coalesce(min(col("docId")), lit(0L)),
+            coalesce(sum(size(array_intersect(map_keys(col("meta")),
+              array(reserved.map(lit): _*)))), lit(0L))).collect()(0)
         require(r.getLong(0) == r.getLong(1),
           s"chunk $k rewrite input has ${r.getLong(0) - r.getLong(1)} duplicate " +
             "docIds — the mutation batch must carry each docId once")
+        require(r.getLong(2) >= 0L,
+          s"chunk $k rewrite input carries a negative docId " +
+            s"(min=${r.getLong(2)}) — posting codecs require docId >= 0")
+        require(r.getLong(3) == 0L,
+          s"chunk $k rewrite input: ${r.getLong(3)} meta entries use reserved " +
+            s"facet keys (${reserved.mkString(", ")}) — rename them in the batch")
       }
     } catch {
       case t: Throwable =>
@@ -852,18 +896,30 @@ object IndexBuild extends Serializable {
       s"$outDir is chunked numChunks=${props.numChunks}; reindexDocs with " +
         s"numChunks=$numChunks would duplicate documents across chunk layouts")
     val chunks = if (numChunks > 0) numChunks else props.numChunks
-    val incoming = normalizeInput(docs)
+    // same persist rationale as build(): a derived-id batch embeds the
+    // corpus-wide url-dedup window in normalizeInput — without a persist the
+    // affected-chunk collect plus every per-chunk tmp write re-pays that
+    // shuffle (~affected+1 times). Explicit-id batches stay lazy (narrow
+    // projection).
+    val derivedIds = !docs.columns.contains("docId") && !docs.columns.contains("doc_id")
+    val incoming0 = normalizeInput(docs)
       .withColumn("chunk", pmod(col("docId"), lit(chunks)).cast("int"))
-    val store = spark.read.parquet(s"$outDir/docstore")
-    val affected = incoming.select($"chunk").distinct().as[Int].collect().sorted
-    val changed = journaledRewriteAll(spark, outDir,
-      affected.toSeq.map { k =>
-        val incomingK = incoming.where($"chunk" === k).drop("chunk")
-        val keep = store.where($"chunk" === k)
-          .select($"docId", $"url", $"warc_ts", $"text", $"lang", $"meta")
-          .join(incomingK.select($"docId"), Seq("docId"), "left_anti")
-        k -> keep.union(incomingK)
-      }, salt, props.storePositions, chunks)
+    val incoming =
+      if (derivedIds) incoming0.persist(StorageLevel.MEMORY_AND_DISK) else incoming0
+    val changed = try {
+      val store = spark.read.parquet(s"$outDir/docstore")
+      val affected = incoming.select($"chunk").distinct().as[Int].collect().sorted
+      journaledRewriteAll(spark, outDir,
+        affected.toSeq.map { k =>
+          val incomingK = incoming.where($"chunk" === k).drop("chunk")
+          val keep = store.where($"chunk" === k)
+            .select($"docId", $"url", $"warc_ts", $"text", $"lang", $"meta")
+            .join(incomingK.select($"docId"), Seq("docId"), "left_anti")
+          k -> keep.union(incomingK)
+        }, salt, props.storePositions, chunks)
+    } finally {
+      if (derivedIds) incoming.unpersist()
+    }
     if (changed) noteMutation(spark, outDir)
   }
 

@@ -89,7 +89,7 @@ case class IndexHandle(dir: String, stats: Map[String, (Long, Long)]) {
     * one index version). Bounded crudely like dfCache.
     */
   @transient private[query] lazy val facetVolCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[(String, AnyRef), java.lang.Long]()
 }
 
 object IndexHandle {
@@ -200,7 +200,11 @@ object Bm25Query {
     // handle's term-df cache; only first-seen terms pay a probe job
     import spark.implicits._
     val dfMap: Map[String, Long] = globalDfMap(spark, idx, q.lang, allTerms)
-    if (q.mode == "all" && terms.exists(t => dfMap.getOrElse(t._1, 0L) == 0L))
+    // ctx.mode, not q.mode: context() forces "all" for phrase queries, so a
+    // phrase issued with mode="any" must still take this early exit (the
+    // kernels would return nothing after 2-3 wasted Spark jobs otherwise) —
+    // same field matchedDocsDf gates on
+    if (ctx.mode == "all" && terms.exists(t => dfMap.getOrElse(t._1, 0L) == 0L))
       return SearchResult(Nil, 0L, "eq", suggest(spark, idx, q.lang, q.query))
     val info = QueryCore.termInfo(ctx, t => dfMap.getOrElse(t, 0L))
 
@@ -385,7 +389,10 @@ object Bm25Query {
     */
   private def facetVolume(spark: SparkSession, idx: IndexHandle, lang: String,
       ctx: QueryCore.Ctx, facetRows: DataFrame): Long = {
-    val key = (lang, ctx.facetSel.toString + "|" + ctx.dateSel.toString)
+    // structural key, not toString: rendered strings collide (a value
+    // containing ", " is indistinguishable from two values) and a collision
+    // silently reuses another selection's volume in the path choice
+    val key = (lang, (ctx.facetSel, ctx.dateSel): AnyRef)
     Option(idx.facetVolCache.get(key)).map(_.longValue).getOrElse {
       val r = facetRows.agg(sum(col("df"))).collect()(0)
       val v = if (r.isNullAt(0)) 0L else r.getLong(0)

@@ -87,7 +87,10 @@ final class InMemoryIndex(
     // idf from corpus-wide df (termdict) on shard nodes; local == global on
     // full nodes. Local absence still prunes "all"-mode queries.
     def dfOf(t: String): Long = globalDf.getOrElse((q.lang, t), localDf(t))
-    if (q.mode == "all" && ctx.terms.exists(t => localDf(t._1) == 0L))
+    // ctx.mode, not q.mode: context() forces "all" for phrase queries — a
+    // phrase issued with mode="any" must take this early exit too (same
+    // field the Spark path gates on in Bm25Query.search)
+    if (ctx.mode == "all" && ctx.terms.exists(t => localDf(t._1) == 0L))
       return Array.empty
     val info = QueryCore.termInfo(ctx, dfOf)
 
@@ -149,10 +152,11 @@ final class InMemoryIndex(
       if (payloadCache.size > InMemoryIndex.PayloadCacheMax) payloadCache.clear()
       fetched.foreach { case (k, v) => payloadCache.put(k, v) }
     }
-    val hits = pageIds.zip(page.toSeq).map { case (id, sd) =>
+    val hits = page.toSeq.map { sd =>
+      val id = sd.docId
       val (url, text) = Option(docs.get(id)).orElse(cachedPayloads.get(id))
         .orElse(fetched.get(id)).getOrElse(("", ""))
-      Hit(sd.docId, sd.score, url, q.lang, Bm25Query.highlight(text, q.lang, qset))
+      Hit(id, sd.score, url, q.lang, Bm25Query.highlight(text, q.lang, qset))
     }
     // suggest on ZERO MATCHES (the reference's fallback trigger), not on an
     // empty page: a deep-pagination request past the last page or a

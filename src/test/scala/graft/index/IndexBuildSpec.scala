@@ -106,6 +106,21 @@ class IndexBuildSpec extends AnyFunSuite {
     assert(e.getMessage.contains("duplicate doc_id"), e.getMessage)
   }
 
+  test("negative explicit doc_id fails the build fast, not deep in the codec") {
+    // derived ids are masked non-negative at normalizeInput; an explicit
+    // negative id previously survived the dup check and crashed hours later
+    // in an executor task (VByte's non-negative delta require) — the same
+    // up-front job now rejects it with an actionable message
+    import org.apache.spark.sql.functions._
+    val corpus = Webtext.synthesize(spark, 100, partitions = 2).toDF()
+      .withColumn("docId", when(col("docId") === 5L, lit(-7L)).otherwise(col("docId")))
+    rm("/tmp/gidx-negid")
+    val e = intercept[IllegalArgumentException] {
+      IndexBuild.build(spark, corpus, "/tmp/gidx-negid", numChunks = 2)
+    }
+    assert(e.getMessage.contains("negative doc_id"), e.getMessage)
+  }
+
   test("resume invalidation: changed input rebuilds stale chunks (checksum mismatch)") {
     val corpusA = Webtext.synthesize(spark, 400, seed = 42L, partitions = 4).toDF()
     val corpusB = Webtext.synthesize(spark, 400, seed = 43L, partitions = 4).toDF()
@@ -774,6 +789,34 @@ class IndexBuildSpec extends AnyFunSuite {
     assert(chain(e).exists(_.contains("duplicate")), chain(e).mkString(" | "))
     // no journal was written: the index is untouched and still serves
     assert(IndexBuild.pendingMutation(dir).isEmpty)
+    assert(graft.query.IndexHandle.load(dir).stats.nonEmpty)
+  }
+
+  test("reserved-key and negative-id mutation batches fail BEFORE journaling") {
+    // pre-fix the validation checked only duplicates: a batch that crashes
+    // buildChunk later (reserved meta key → the stats-agg require; negative
+    // docId → VByte's non-negative require) was journaled FIRST, wedging the
+    // index — serving refused, and recovery replaying the identical bad
+    // input forever
+    import org.apache.spark.sql.functions._
+    val dir = "/tmp/gidx-journal-badinput"
+    rm(dir)
+    val corpus = Webtext.synthesize(spark, 200, partitions = 2).toDF()
+    IndexBuild.build(spark, corpus, dir, numChunks = 1)
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    val reservedBatch = Webtext.synthesize(spark, 3).toDF()
+      .withColumn("meta", map_concat(col("meta"), map(lit("has_date"), lit("1"))))
+    val e1 = intercept[Exception](IndexBuild.reindexDocs(spark, dir, reservedBatch))
+    assert(chain(e1).exists(_.contains("reserved")), chain(e1).mkString(" | "))
+    assert(IndexBuild.pendingMutation(dir).isEmpty, "reserved-key batch must not journal")
+    val negBatch = Webtext.synthesize(spark, 3).toDF()
+      .withColumn("docId", col("docId") * -1 - 1) // strictly negative
+    val e2 = intercept[Exception](IndexBuild.reindexDocs(spark, dir, negBatch))
+    assert(chain(e2).exists(_.contains("negative")), chain(e2).mkString(" | "))
+    assert(IndexBuild.pendingMutation(dir).isEmpty, "negative-id batch must not journal")
+    // the index is untouched and still serves after both refusals
     assert(graft.query.IndexHandle.load(dir).stats.nonEmpty)
   }
 

@@ -45,6 +45,16 @@ object Bench {
     // tmpfs shuffle dir: bench numbers should measure the engine, not the VM
     // disk; real clusters put shuffle on local NVMe
     val localDir = s"/dev/shm/graft-spark-${ProcessHandle.current().pid()}"
+    // reclaim shuffle dirs leaked by CRASHED past runs before staking our
+    // own claim on the RAM-backed fs: the success-path rm at the end can't
+    // cover an abort (require failure, OOM-kill), and each run's dir is
+    // PID-unique so no later run would ever overwrite it. A dir whose pid
+    // is still live belongs to a concurrent bench — left alone.
+    Option(new java.io.File("/dev/shm").listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("graft-spark-"))
+      .filter(_.getName.stripPrefix("graft-spark-").toLongOption
+        .forall(pid => !ProcessHandle.of(pid).isPresent))
+      .foreach(d => graft.tools.CpuProbe.rmDir(d.getAbsolutePath))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -116,7 +116,11 @@ object SparkEntry {
        |  GROUP BY tf.doc_id)
        |SELECT doc_id, round(score, 6) AS score FROM scored
        |WHERE $matchedCond $extra
-       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+       |ORDER BY scored.score DESC, doc_id LIMIT $k""".stripMargin
+    // ORDER BY scored.score (the EXACT value), not the rounded output alias:
+    // the engine ranks by exact score then docId, so a near-tie that rounds
+    // equal at 6 decimals would order differently under the alias — a false
+    // positional mismatch, or a genuinely different row set at the LIMIT edge
   }
 
   // fixed query constants (chosen from the corpus: 'dup' is rare (df≈10/218
@@ -1295,14 +1299,17 @@ object SparkEntry {
       """WITH w AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS w FROM documents),
         |ls AS (SELECT doc_id, unnest(range(0, least(4, (len(w) - 1) // 8) + 1)) AS line_num, w
         |       FROM w),
-        |lines AS (
+        |lines0 AS (
         |  SELECT doc_id, CAST(line_num AS INT) AS line_num,
         |         array_to_string(w[line_num * 8 + 1 : line_num * 8 + 8], ' ') ||
         |           CASE WHEN (doc_id + line_num) % 3 = 2 THEN '.' ELSE '' END AS line
         |  FROM ls),
+        |lines AS (
+        |  SELECT doc_id, line_num, regexp_replace(line, '^\s+|\s+$', '', 'g') AS line
+        |  FROM lines0 WHERE regexp_replace(line, '^\s+|\s+$', '', 'g') <> ''),
         |flagged AS (
         |  SELECT doc_id, line_num, line,
-        |         CASE WHEN regexp_matches(trim(line), '[.!?।॥]$') THEN 1 ELSE 0 END AS term_flag
+        |         CASE WHEN regexp_matches(line, '[.!?।॥]$') THEN 1 ELSE 0 END AS term_flag
         |  FROM lines),
         |grp AS (
         |  SELECT doc_id, line_num, line,
@@ -1740,7 +1747,7 @@ object SparkEntry {
         |         length(regexp_replace(text, '\s+', '', 'g')) AS squeezed,
         |         length(regexp_replace(text, '[^.,;:!?।॥''"()\[\]-]', '', 'g')) AS punct,
         |         length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
-        |         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |         len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
         |             w -> w IN ('the','a','of','and','to','in','is','और','की','के','અને','છે'))) AS stop_hits
         |  FROM documents)
         |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(n_tokens AS BIGINT) AS n_tokens,

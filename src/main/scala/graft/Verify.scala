@@ -23,18 +23,30 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // GRAFT_VERIFY_ONLY="a,b" restricts the dump for fast local iteration on
-    // one oracle; unset (the driver's invocation) runs everything
+    // one oracle; unset OR EMPTY (e.g. an unset shell substitution exporting
+    // "") runs everything — Set("") would silently match no query
     val only = sys.env.get("GRAFT_VERIFY_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // delete any output for this name — a PREVIOUS run's parquet (or
+        // this run's partial overwrite) surviving here would make the
+        // positional DuckDB compare score a broken query green
+        val dir = new java.io.File(s"$outDir/$name")
+        if (dir.exists()) scala.reflect.io.Directory(dir).deleteRecursively()
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} queries FAILED (outputs " +
+        s"removed so the compare reports them): ${failed.mkString(", ")}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -403,17 +403,29 @@ final class EvalApi(
       // inside the job) — with a cancellation check and a progress bump
       // between groups
       val groupSize = math.max(1, math.min(16, pages.size / 8))
-      pages.zipWithIndex.grouped(groupSize).foreach { group =>
-        if (cancelled(job)) { setStatus(job, "canceled"); return }
-        val texts = extractParagraphsBatch(group.map(_._1), lang, mode)
-        group.zip(texts).foreach { case ((_, idx), paras) =>
-          val pageText = paras.mkString("\n\n----\n\n") // ocr.py:273
-          java.nio.file.Files.write(
-            new java.io.File(outDir, EvalApi.fmt("page_%04d.txt", Int.box(idx + 1))).toPath, // ocr.py:300
-            pageText.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // a while loop, NOT grouped(...).foreach with a `return` inside the
+      // closure: a non-local return from a lambda is a thrown
+      // NonLocalReturnControl, which the catch-Throwable below would
+      // intercept — flipping a just-set "canceled" status to "failed" with
+      // a bogus error (the client would see a failure for a successful
+      // cancellation)
+      val groups = pages.zipWithIndex.grouped(groupSize)
+      var wasCancelled = false
+      while (!wasCancelled && groups.hasNext) {
+        val group = groups.next()
+        if (cancelled(job)) { setStatus(job, "canceled"); wasCancelled = true }
+        else {
+          val texts = extractParagraphsBatch(group.map(_._1), lang, mode)
+          group.zip(texts).foreach { case ((_, idx), paras) =>
+            val pageText = paras.mkString("\n\n----\n\n") // ocr.py:273
+            java.nio.file.Files.write(
+              new java.io.File(outDir, EvalApi.fmt("page_%04d.txt", Int.box(idx + 1))).toPath, // ocr.py:300
+              pageText.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+          jobsLock.synchronized { job.progress += group.size }
         }
-        jobsLock.synchronized { job.progress += group.size }
       }
+      if (wasCancelled) return
       if (cancelled(job)) { setStatus(job, "canceled"); return }
       // zip the page files (ocr.py:317-326)
       val zipName = s"extracted_text_${job.id}.zip"

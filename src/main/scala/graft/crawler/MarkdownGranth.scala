@@ -137,6 +137,10 @@ object MarkdownGranth {
     val sections = scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
     var current: Option[String] = None
     var acc = scala.collection.mutable.ArrayBuffer[String]()
+    // a REPEATED section heading overwrites the earlier one's content —
+    // deliberately: the reference does exactly this (markdown_parser.py:
+    // 241-244, `sections[current_section] = current_content` on re-entry),
+    // and the parity contract mirrors its quirks
     def save(): Unit = current.foreach(c => sections(c) = acc.toSeq)
     body.foreach {
       case Heading(3, t) =>

@@ -18,8 +18,18 @@ object Uuid5 {
 
   def uuid5(name: String): String = uuid5(NamespaceUrl, name)
 
+  // per-thread digest: uuid5 runs once per ROW on the codegen'd Uuid5Expr
+  // build path, and MessageDigest.getInstance's provider lookup + allocation
+  // would dominate the actual SHA-1 there; digest() resets the instance, so
+  // thread-local reuse is safe
+  private val sha1 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("SHA-1")
+  }
+
   def uuid5(namespace: Array[Byte], name: String): String = {
-    val md = java.security.MessageDigest.getInstance("SHA-1")
+    val md = sha1.get()
+    md.reset()
     md.update(namespace)
     md.update(name.getBytes("UTF-8"))
     val h = md.digest() // 20 bytes; take first 16

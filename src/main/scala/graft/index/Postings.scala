@@ -51,6 +51,7 @@ final class PostingListWriter {
   private var cf = 0L
   private var prevLastDoc = 0L
   private var lastDocAdded = -1L
+  private var withPositions = false // latched by the first add
 
   private val skips = new ByteBuilder(64)
   private val payload = new ByteBuilder(256)
@@ -71,6 +72,15 @@ final class PostingListWriter {
     n += 1
     df += 1
     cf += tf
+    // positions are ALL-OR-NOTHING per list: the reader consumes exactly
+    // tf positions per doc, so one positionless doc among positions-bearing
+    // ones would silently shift the stream off-frame for every later doc —
+    // the same corruption class the length require below stops. Latched on
+    // the first add (df was bumped above, so first-add df == 1).
+    if (df == 1) withPositions = positions != null
+    else require((positions != null) == withPositions,
+      s"doc $docId: ${if (withPositions) "missing" else "unexpected"} " +
+        "positions — a posting list stores positions for all docs or none")
     if (positions != null) {
       // the reader consumes exactly tf positions per doc — a length mismatch
       // would shift the position stream off-frame for every LATER doc in the

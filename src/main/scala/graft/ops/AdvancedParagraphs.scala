@@ -295,6 +295,16 @@ object AdvancedParagraphs {
     out.toSeq
   }
 
+  /** ONE copy of the per-doc tail (phase3 ∘ phase2 → numbered FinalParas) —
+    * shared by the staged [[combine]] and the fused [[generate]] so a
+    * numbering/attribution change can never silently diverge between them
+    * (the "fused == staged" spec guards the pair).
+    */
+  private def finishDoc(docId: Long, typed: Seq[TypedPara], cfg: Config): Seq[FinalPara] =
+    phase3CombineProse(phase2CombineByType(typed), cfg.punctuationSuffixes)
+      .zipWithIndex
+      .map { case ((page, text), idx) => FinalPara(docId, page, idx, text) }
+
   /** Phases 2+3 over the whole document in (page, startLine) order. */
   def combine(spark: SparkSession, typed: Dataset[TypedPara], cfg: Config): Dataset[FinalPara] = {
     import spark.implicits._
@@ -302,9 +312,7 @@ object AdvancedParagraphs {
       .groupByKey(_.docId)
       .flatMapGroups { (docId: Long, it: Iterator[TypedPara]) =>
         val sorted = it.toArray.sortBy(p => (p.page, p.startLine))
-        phase3CombineProse(phase2CombineByType(sorted.toSeq), cfg.punctuationSuffixes)
-          .zipWithIndex
-          .map { case ((page, text), idx) => FinalPara(docId, page, idx, text) }
+        finishDoc(docId, sorted.toSeq, cfg)
       }
   }
 
@@ -330,9 +338,7 @@ object AdvancedParagraphs {
           typed ++= runFsm(java.util.Arrays.copyOfRange(sorted, i, j))
           i = j
         }
-        phase3CombineProse(phase2CombineByType(typed.toSeq), cfg.punctuationSuffixes)
-          .zipWithIndex
-          .map { case ((page, text), idx) => FinalPara(docId, page, idx, text) }
+        finishDoc(docId, typed.toSeq, cfg)
       }
   }
 }

@@ -39,10 +39,12 @@ object Dedup {
     */
   def exactDuplicates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val hashed = docs.select(col(idCol).as("doc_id"), sha2(col(textCol), 256).as("content_hash"))
-    val groups = hashed.groupBy("content_hash")
-      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("group_size"))
-      .filter(col("group_size") > 1)
-    hashed.join(groups, "content_hash")
+    // one window over the hash shuffle, not groupBy + self-join: the join
+    // shape scans (and sha256-hashes) the corpus TWICE — the agg subtree and
+    // the probe side differ physically, so the exchange isn't reused. A
+    // doc alone in its group is its own canonical and drops out.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("content_hash")
+    hashed.withColumn("canonical_id", min("doc_id").over(w))
       .filter(col("doc_id") =!= col("canonical_id"))
       .select("doc_id", "canonical_id", "content_hash")
   }
@@ -144,6 +146,10 @@ object Dedup {
     // nonzero and distinct (checked offline); b_i any fixed residue
     val as = Array.tabulate(nh)(i => ((i + 1).toLong * 506952114L + 12345L) % P)
     val bs = Array.tabulate(nh)(i => (i.toLong * 40503L + 271828183L) % P)
+    // the splitmix path's per-permutation seeds honor the same "computed
+    // once in the driver" rule as as/bs — recomputing mix64(0x5EED0000+i)
+    // inside the shingle loop doubled the hash work of the dominant pass
+    val seeds = Array.tabulate(nh)(i => mix64(0x5EED0000L + i))
     val sigUdf = udf { (text: String) =>
       // NULL text → no signature (row drops out), same convention as shingles
       val w = if (text == null) Array.empty[String]
@@ -167,7 +173,7 @@ object Dedup {
           hs.foreach { x =>
             var i = 0
             while (i < nh) {
-              val v = mix64(x ^ mix64(0x5EED0000L + i))
+              val v = mix64(x ^ seeds(i))
               if (v < sig(i)) sig(i) = v
               i += 1
             }
@@ -197,17 +203,27 @@ object Dedup {
         (b, h)
       }
     }
-    val buckets = sigs.select(col("doc_id"), col("sig"), explode(bandUdf(col("sig"))).as("bk"))
-      .select(col("doc_id"), col("sig"), col("bk._1").as("band"), col("bk._2").as("bucket"))
+    // SLIM self-join: the (band, bucket) exchange carries only
+    // (doc_id, band, bucket) — shipping the sig column through explode would
+    // duplicate every 512-byte signature `bands` times on BOTH join sides,
+    // dominating the exchange payload at corpus scale. Signatures join back
+    // onto the (far smaller) distinct candidate-pair set, once per side.
+    val buckets = sigs.select(col("doc_id"), explode(bandUdf(col("sig"))).as("bk"))
+      .select(col("doc_id"), col("bk._1").as("band"), col("bk._2").as("bucket"))
     val estUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
       a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
     }
-    buckets.as("a").join(buckets.as("b"),
+    val candPairs = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        estUdf(col("a.sig"), col("b.sig")).as("est_jaccard"))
-      .groupBy("id_a", "id_b").agg(max("est_jaccard").as("est_jaccard"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct() // est_jaccard is pair-deterministic: the old per-band
+                  // max() over identical values is just dedup
+    candPairs
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        estUdf(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= estThreshold)
   }
 
@@ -277,38 +293,45 @@ object Dedup {
     // projection over it is a different plan and unpersisting that is a
     // silent no-op (cascade=false), leaking one cached label table per round
     var cached = labels
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val nbrMin = edges.join(labels.withColumnRenamed("id", "src"), "src")
-        .groupBy(col("dst").as("id")).agg(min("label").as("nlabel"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("label").as("prev"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+    // try/finally over the whole loop: the non-convergence throw and any
+    // mid-loop job failure must release the edge list and the last label
+    // cache — a long-lived session retrying failed calls would otherwise
+    // pin one edge-list + label-table cache per attempt
+    try {
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < maxIter) {
+        val nbrMin = edges.join(labels.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id")).agg(min("label").as("nlabel"))
+        val next = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"), col("label").as("prev"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          .persist()
+        // materialize `next` BEFORE dropping its parents — unpersisting first
+        // would make every later round recompute the whole join chain
+        changed = next.where(col("label") < col("prev")).count()
+        cached.unpersist()
+        cached = next
+        labels = next.select("id", "label") // backed by the cached `next`
+        iter += 1
+      }
+      if (changed > 0)
+        throw new IllegalStateException(
+          s"canonicalizeNearDups did not converge in $maxIter rounds " +
+            "(component diameter exceeds maxIter) — raise maxIter")
+      // hand the CALLER a releasable result: materialize the (much smaller)
+      // final label table into its own cache, then drop the last iteration
+      // table — returning a projection over it would leak one cached
+      // iteration-sized DataFrame per call that unpersist() on the returned
+      // handle could never release (projection unpersist is a no-op)
+      val result = labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
         .persist()
-      // materialize `next` BEFORE dropping its parents — unpersisting first
-      // would make every later round recompute the whole join chain
-      changed = next.where(col("label") < col("prev")).count()
+      result.count()
+      result
+    } finally {
+      edges.unpersist()
       cached.unpersist()
-      cached = next
-      labels = next.select("id", "label") // backed by the cached `next`
-      iter += 1
     }
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"canonicalizeNearDups did not converge in $maxIter rounds " +
-          "(component diameter exceeds maxIter) — raise maxIter")
-    edges.unpersist()
-    // hand the CALLER a releasable result: materialize the (much smaller)
-    // final label table into its own cache, then drop the last iteration
-    // table — returning a projection over it would leak one cached
-    // iteration-sized DataFrame per call that unpersist() on the returned
-    // handle could never release (projection unpersist is a no-op)
-    val result = labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
-      .persist()
-    result.count()
-    cached.unpersist()
-    result
   }
 
   /** Low 60 bits of md5(token) — the token hash behind [[simhash60]].
@@ -341,8 +364,14 @@ object Dedup {
   /** 60-bit SimHash over terms weighted by tf (md5-derived bit vectors —
     * fully recomputable by the DuckDB oracle, see [[md5Low60]]).
     */
-  def simhash60(text: String): Long = {
-    val w = text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty)
+  def simhash60(text: String): Long =
+    simhash60Tokens(
+      text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty))
+
+  /** Token-array form of [[simhash60]] — callers that already tokenized
+    * (e.g. [[simhashPairs]]'s emptiness gate) skip a second pass.
+    */
+  def simhash60Tokens(w: Array[String]): Long = {
     val acc = new Array[Int](60)
     val md = java.security.MessageDigest.getInstance("MD5")
     w.foreach { t =>
@@ -367,10 +396,13 @@ object Dedup {
     // all hash to the same value and pair up as hamming-0 "duplicates"
     // with no shared content, at quadratic join cost
     val shUdf = udf { (text: String) =>
-      if (text != null &&
-          text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").exists(_.nonEmpty))
-        Some(simhash60(text))
-      else None
+      if (text == null) None
+      else {
+        // tokenize ONCE: the emptiness gate and the sketch share the pass
+        val w = text.toLowerCase(java.util.Locale.ROOT)
+          .split("[^a-z0-9]+").filter(_.nonEmpty)
+        if (w.isEmpty) None else Some(simhash60Tokens(w))
+      }
     }
     val sh = docs.select(col("doc_id"), shUdf(col("text")).as("simhash"))
       .where(col("simhash").isNotNull)

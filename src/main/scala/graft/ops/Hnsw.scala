@@ -253,9 +253,10 @@ object Hnsw {
     // making it safe to destroy the query broadcast immediately: a lazily-
     // returned plan would pin qB's blocks on every executor until GC,
     // leaking broadcast memory across repeated calls in a long session.
-    val cp = out.localCheckpoint(true)
-    qB.destroy()
-    cp
+    // try/finally like hnswRoutedTopK: a failed checkpoint job must not
+    // leak the broadcast either.
+    try out.localCheckpoint(true)
+    finally qB.destroy()
   }
 
   /** IVF-routed HNSW — the partition router for [[hnswTopK]]'s one open

@@ -24,7 +24,13 @@ object Hygiene {
   def canonicalUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val hostPort = lower(regexp_extract(noFrag, "^[^:/?#]+://([^/?#]*)", 1))
+    // lowercase the HOST only: userinfo is case-sensitive per RFC 3986, so
+    // lowering the whole authority would merge Alice@ with alice@ — the
+    // exact distinct-resource merge the contract above forbids. '@' cannot
+    // appear in the host, so the greedy ".*@" split is exact.
+    val auth = regexp_extract(noFrag, "^[^:/?#]+://([^/?#]*)", 1)
+    val hostPort = concat(regexp_extract(auth, "^(.*@)", 1),
+      lower(regexp_replace(auth, "^.*@", "")))
     val rest = regexp_extract(noFrag, "^[^:/?#]+://[^/?#]*(.*)$", 1)
     val host = when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
       .when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
@@ -109,7 +115,9 @@ object Hygiene {
     * SQL-recomputable — the thresholds transfer.) Shape at scale: one
     * explode of n-grams (sliding window via `transform(sequence(...))`,
     * no UDF) → two doc-keyed aggregations, both map-side partial.
-    * Docs shorter than n words emit zero n-grams → fractions 0.
+    * Docs shorter than n words emit zero n-grams → NO output row (matching
+    * the SQL oracle's aggregation; left-join + coalesce to 0 on the caller
+    * side to treat them as repetition-free).
     * @return (doc_id, n_ngrams, top_ngram_frac, dup_ngram_frac)
     */
   def ngramRepetition(docs: DataFrame, n: Int): DataFrame = {

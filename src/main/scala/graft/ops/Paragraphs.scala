@@ -23,7 +23,19 @@ import org.apache.spark.sql.expressions.Window
 object Paragraphs {
 
   val Terminators: Set[Char] = Set('.', '!', '?', '।', '॥')
-  val DialoguePrefixes: Seq[String] = Seq("प्रश्न:", "उत्तर:", "Q:", "A:", "શંકા:", "સમાધાન:")
+  // the reference's QA phase distinguishes block-STARTING prefixes
+  // (stop_prefixes) from answer prefixes (language_meta.py:93-99, 132-137);
+  // hindi's stop set includes the ANSWER markers too — a reference quirk
+  // mirrored verbatim (an उत्तर: para can START a QA block there)
+  val StopPrefixes: Seq[String] = Seq(
+    "प्रश्न:", "प्रश्न :", "उत्तर:", "उत्तर :", // hi (answers included — quirk)
+    "શ્રોતા:", "પૂજ્ય ગુરુદેવશ્રી:", "મુમુક્ષુ:", "શંકા:", "પ્રશ્ન:", // gu
+    "Q:") // latin-script analog
+  val AnswerPrefixes: Seq[String] = Seq(
+    "उत्तर:", "उत्तर :", "સમાધાન:", "ઉત્તર:", "A:")
+  // dialogue = stop + answer, the reference's derived union
+  // (language_meta.py:53-55) — the T1 flush-before-dialogue trigger
+  val DialoguePrefixes: Seq[String] = (StopPrefixes ++ AnswerPrefixes).distinct
 
   case class Line(docId: Long, lineNum: Int, text: String)
   case class Para(docId: Long, paraNum: Int, text: String)
@@ -55,34 +67,61 @@ object Paragraphs {
           }
         }
         sorted.foreach { l =>
-          if (startsDialogue(l.text)) flush() // dialogue starts a new para
-          if (buf.nonEmpty) buf += ' '
-          buf ++= l.text.trim
-          if (endsWithTerminator(l.text)) flush()
+          val t = l.text.trim
+          // blank lines are SKIPPED like the reference's `if not para_text:
+          // continue` (base.py:84-86) — appending them injected a doubled
+          // separator space into the joined paragraph
+          if (t.nonEmpty) {
+            if (startsDialogue(t)) flush() // dialogue starts a new para
+            if (buf.nonEmpty) buf += ' '
+            buf ++= t
+            if (endsWithTerminator(t)) flush()
+          }
         }
         flush()
         out
       }
   }
 
-  /** T2: stitch consecutive Q/A paragraphs (question pulls following answer). */
+  /** T2: stitch Q&A sequences — the reference's exact loop (base.py:112-142):
+    * a STOP-prefixed para opens a block; consecutive ANSWER-prefixed paras
+    * are pulled in, and after each answer a following STOP-prefixed para
+    * (the next question) joins the same block, chaining alternating Q/A runs
+    * into ONE paragraph. Two adjacent questions do NOT merge (the second is
+    * not answer-prefixed), and an answer↔question pair without an opening
+    * question stays split — semantics pinned by ParagraphsSpec.
+    */
   def combineQa(spark: SparkSession, paras: Dataset[Para]): Dataset[Para] = {
     import spark.implicits._
     paras
       .groupByKey(_.docId)
       .flatMapGroups { (docId: Long, it: Iterator[Para]) =>
         val sorted = it.toArray.sortBy(_.paraNum)
+        def startsWithAny(s: String, ps: Seq[String]): Boolean = {
+          val t = s.trim; ps.exists(t.startsWith)
+        }
         val out = scala.collection.mutable.ArrayBuffer[Para]()
         var i = 0
         var n = 0
         while (i < sorted.length) {
-          val p = sorted(i)
-          if (startsDialogue(p.text) && i + 1 < sorted.length &&
-              startsDialogue(sorted(i + 1).text)) {
-            out += Para(docId, n, p.text + "\n" + sorted(i + 1).text)
-            i += 2
+          val p = sorted(i).text.trim
+          if (startsWithAny(p, StopPrefixes)) {
+            val sb = new StringBuilder(p)
+            i += 1
+            while (i < sorted.length &&
+                startsWithAny(sorted(i).text, AnswerPrefixes)) {
+              sb.append('\n').append(sorted(i).text.trim)
+              i += 1
+              // the reference appends a DIRECTLY-following question inside
+              // the answer loop — a dangling chained question still joins
+              if (i < sorted.length && startsWithAny(sorted(i).text, StopPrefixes)) {
+                sb.append('\n').append(sorted(i).text.trim)
+                i += 1
+              }
+            }
+            out += Para(docId, n, sb.toString)
           } else {
-            out += Para(docId, n, p.text)
+            out += Para(docId, n, p)
             i += 1
           }
           n += 1
@@ -97,10 +136,18 @@ object Paragraphs {
     * Input df: (doc_id, line_num, line); output (doc_id, para_id, text).
     */
   def combineLinesSql(lines: DataFrame): DataFrame = {
+    // whitespace-strip each line and DROP blank ones up front — the same
+    // strip/skip the fold (and the reference, base.py:84-86) applies.
+    // regexp, not trim(): Spark's trim strips ASCII spaces only, so a
+    // tab-padded terminator line would flag differently than the fold's
+    // String.trim and silently desync the two variants
+    val stripped = lines
+      .withColumn("line", regexp_replace(col("line"), "^\\s+|\\s+$", ""))
+      .where(col("line") =!= "")
     val w = Window.partitionBy("doc_id").orderBy("line_num")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val flagged = lines.withColumn("term_flag",
-      when(trim(col("line")).rlike("[.!?।॥]$"), 1).otherwise(0))
+    val flagged = stripped.withColumn("term_flag",
+      when(col("line").rlike("[.!?।॥]$"), 1).otherwise(0))
     val withPara = flagged.withColumn("para_id",
       coalesce(sum("term_flag").over(w), lit(0)).cast("long"))
     withPara

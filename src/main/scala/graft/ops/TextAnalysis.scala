@@ -41,7 +41,10 @@ object TextAnalysis {
     val digits = length(regexp_replace(text, "[^0-9]", ""))
     val digitRatio = digits / greatest(nChars, lit(1)).cast("double")
     val stop = Seq("the", "a", "of", "and", "to", "in", "is", "और", "की", "के", "અને", "છે")
-    val stopHits = size(filter(words, w => w.isin(stop.map(lit(_)): _*)))
+    // case-insensitive: sentence-initial "The"/"A"/"In" are the same
+    // stopwords (the raw-case `words` stays as-is for the count/length cols)
+    val stopHits = size(filter(split(trim(lower(text)), "\\s+"),
+      w => w.isin(stop.map(lit(_)): _*)))
     val stopRatio = when(nTokens === 0, 0.0).otherwise(stopHits / nTokens.cast("double"))
     val lengthOk = nTokens.between(20, 10000).cast("double")
     val score = round(

@@ -91,11 +91,19 @@ object SnapshotTable {
     while (attempt < maxRebases) {
       val parent = currentId(tableDir)
       val id = parent.getOrElse(0L) + 1
-      val parentFiles = parent.map(p => snapshot(tableDir, p).files).getOrElse(Nil)
-      val all = (parentFiles ++ newFiles).map(f => s""""$f"""").mkString(",")
-      if (TableIO.writeStringIfAbsent(snapPath(tableDir, id),
-          s"""{"id":$id,"parent":${id - 1},"files":[$all]}"""))
-        return id
+      // a concurrent expireSnapshots can delete the parent manifest between
+      // currentId and this read — that is a rebase condition (a fresh
+      // currentId sees a retained head), not a crash that leaks the staged
+      // dir until orphan GC
+      val parentFilesOpt =
+        try Some(parent.map(p => snapshot(tableDir, p).files).getOrElse(Nil))
+        catch { case _: RuntimeException => None }
+      parentFilesOpt.foreach { parentFiles =>
+        val all = (parentFiles ++ newFiles).map(f => s""""$f"""").mkString(",")
+        if (TableIO.writeStringIfAbsent(snapPath(tableDir, id),
+            s"""{"id":$id,"parent":${id - 1},"files":[$all]}"""))
+          return id
+      }
       attempt += 1 // a concurrent commit claimed this id — rebase and retry
     }
     // the writer is alive and KNOWS the commit failed — reclaim the staged

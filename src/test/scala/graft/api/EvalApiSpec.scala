@@ -271,6 +271,24 @@ class EvalApiSpec extends AnyFunSuite {
     ev.shutdown()
   }
 
+  test("batch: cancelling a PROCESSING job reports canceled, never failed") {
+    // pre-fix, the mid-loop cancel check used a `return` inside the
+    // grouped(...).foreach closure — a thrown NonLocalReturnControl the
+    // catch-Throwable intercepted, flipping the just-set "canceled" to
+    // "failed" with a bogus error. Enough pages for several groups so the
+    // between-groups check is what observes the cancel.
+    val ev = mkApi(tempBase())
+    val id = (ev.startBatch(parse(
+      s"""{"pages": [${Seq.fill(40)(""""कुछ पाठ है।"""").mkString(",")}], "mode": "psm6"}"""))
+      \ "job_id").extract[String]
+    awaitStatus(ev, id, Set("processing", "completed", "failed"))
+    ev.cancelBatch(id) // 404 when already terminal — the assert below still holds
+    val st = awaitStatus(ev, id, Set("canceled", "completed", "failed"))
+    assert((st \ "status").extract[String] != "failed",
+      s"cancel mid-processing must never read as failure: $st")
+    ev.shutdown()
+  }
+
   test("batch: a queued job behind a saturated pool cancels before it runs") {
     val ev = mkApi(tempBase())
     // two slow-ish jobs occupy both workers (ocr.py:44 max_workers analog)

@@ -47,6 +47,26 @@ class PostingsSpec extends AnyFunSuite {
     }
   }
 
+  test("mixed positions presence within one list is refused, not silently mis-framed") {
+    // the reader consumes exactly tf positions per doc, so one positionless
+    // doc among positions-bearing ones would shift the stream off-frame for
+    // every later doc — phrase verification reading garbage with no error.
+    // The writer latches positions presence on the first add.
+    val w1 = new PostingListWriter
+    w1.add(1L, 2, 10, Array(1, 5))
+    val e1 = intercept[IllegalArgumentException](w1.add(2L, 1, 8, null))
+    assert(e1.getMessage.contains("positions"), e1.getMessage)
+    val w2 = new PostingListWriter
+    w2.add(1L, 1, 10, null)
+    val e2 = intercept[IllegalArgumentException](w2.add(2L, 1, 8, Array(3)))
+    assert(e2.getMessage.contains("positions"), e2.getMessage)
+    // all-positions and no-positions lists both stay legal
+    val w3 = new PostingListWriter
+    w3.add(1L, 1, 10, Array(2)); w3.add(2L, 1, 8, Array(4)); w3.finish()
+    val w4 = new PostingListWriter
+    w4.add(1L, 1, 10, null); w4.add(2L, 1, 8, null); w4.finish()
+  }
+
   test("advance lands on first docId >= target, matching a linear scan") {
     val ps = genPostings(4000, seed = 99)
     val (blob, posBlob, _, _) = encode(ps)

@@ -119,11 +119,30 @@ final class FleetSimilar(local: SimilarDocs, peers: Seq[String]) extends Similar
   // assignments never change across a hot reload, so memoizing is safe; a
   // lazy val whose initializer throws is NOT cached — a fleet whose peers
   // come up late re-resolves on the next request instead of staying broken)
-  private lazy val peerChunks: Seq[(String, Set[Int])] = peers.map { p =>
-    val url = s"$p/api/internal/chunks"
-    p -> graft.query.Wire.decodeChunks(joinRetry(url, "{}", postAsync(url, "{}")))
-      .getOrElse(sys.error(s"peer $p serves the FULL index — a FleetSimilar " +
-        "peer must serve a chunk subset (a full peer double-counts the corpus)"))
+  private lazy val peerChunks: Seq[(String, Set[Int])] = {
+    val resolved = peers.map { p =>
+      val url = s"$p/api/internal/chunks"
+      p -> graft.query.Wire.decodeChunks(joinRetry(url, "{}", postAsync(url, "{}")))
+        .getOrElse(sys.error(s"peer $p serves the FULL index — a FleetSimilar " +
+          "peer must serve a chunk subset (a full peer double-counts the corpus)"))
+    }
+    // assembly validation, once per resolution: the coordinator itself must
+    // serve a subset when peers exist, and no chunk may be claimed twice —
+    // any overlap returns the SAME neighbor twice with identical scores,
+    // silently (the exact class of wrongness the contract above forbids)
+    val localSet = local.servedChunks.getOrElse {
+      if (resolved.nonEmpty)
+        sys.error("FleetSimilar local node serves the FULL index while peers " +
+          "exist — the coordinator must serve a chunk subset in a fleet")
+      Set.empty[Int]
+    }
+    val dups = (localSet.toSeq ++ resolved.flatMap(_._2))
+      .groupBy(identity).collect { case (c, xs) if xs.size > 1 => c }
+    if (dups.nonEmpty)
+      sys.error(s"fleet chunk assignment overlaps on chunk(s) " +
+        s"${dups.toSeq.sorted.mkString(",")} — local=${localSet.toSeq.sorted} " +
+        s"peers=${resolved.map(t => t._1 -> t._2.toSeq.sorted)}")
+    resolved
   }
 
   def similar(docId: Long, size: Int = 10): Seq[(Long, Double)] = {
@@ -150,10 +169,15 @@ final class FleetSimilar(local: SimilarDocs, peers: Seq[String]) extends Similar
     vec match {
       case None => Nil // unknown doc / no vector → reference's ([], 0)
       case Some(v) =>
-        // phase 2 — scatter the vector, merge bounded per-shard heaps
+        // phase 2 — scatter the vector, merge bounded per-shard heaps.
+        // Scatter over peerChunks (not raw `peers`): forcing the memoized
+        // resolution HERE makes the subset + disjointness validation run on
+        // EVERY request path — previously a local-owner docId never forced
+        // it, so a mis-assembled fleet (full-index peer) answered 200s with
+        // silently double-counted neighbors until the first remote-owner id
         val req = graft.query.Wire.encodeSimilarReq(v, size, docId)
-        val futs = peers.map(p =>
-          (s"$p/api/internal/similar", postAsync(s"$p/api/internal/similar", req)))
+        val futs = peerChunks.map { case (p, _) =>
+          (s"$p/api/internal/similar", postAsync(s"$p/api/internal/similar", req)) }
         val localHits = local.searchVec(v, size, excludeId = docId)
         (localHits ++ futs.flatMap { case (url, f) =>
           graft.query.Wire.decodeSimilarHits(joinRetry(url, req, f)) })

@@ -20,6 +20,15 @@ object Similarity {
 
   /** Cosine similarity of two float vectors, accumulated left-to-right in
     * double (deterministic order — matches the DuckDB oracle's list functions).
+    *
+    * Dimension mismatch TRUNCATES to the shorter vector — a deliberate,
+    * oracle-pinned convention shared bit-exactly with [[graft.functions
+    * .CosineSimExpr]] (a per-row require would also break whole-stage
+    * codegen fusion). The cost: a ragged embedding (bad ingest, schema
+    * drift) scores on a prefix instead of failing. Pipelines that cannot
+    * trust their ingest should gate dimensions ONCE up front (one agg over
+    * `size(embedding)`), not per row; the resident HNSW path, which builds
+    * a fixed-dim structure, does fail fast (Hnsw.Graph.search's require).
     */
   def cosine(a: Seq[Float], b: Seq[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0

@@ -111,6 +111,15 @@ object ShardedServe {
     * nearest-on-either-side candidates bracket the true neighbors —
     * max(prev)/min(next) is exact in both. One copy of this argument,
     * shared by the thread fleet and the process fleet.
+    *
+    * Paragraph-mode exactness RELIES on (document_id, paragraph_id) being
+    * unique corpus-wide — the build/reindex contract (reindexDocs deletes
+    * the old version of a doc before adding the new). If that invariant is
+    * violated (two docIds carrying the same pair on different shards), the
+    * single full node returns the SMALLEST intersecting docId while this
+    * merge picks max — a parity divergence that signals corpus corruption,
+    * not a merge bug; max cannot be changed to min without breaking the
+    * source-mode bracketing above.
     */
   def mergeNeighbors(cands: Seq[(Option[Long], Option[Long])]): (Option[Long], Option[Long]) =
     (cands.flatMap(_._1).reduceOption(_ max _), cands.flatMap(_._2).reduceOption(_ min _))

@@ -2070,12 +2070,14 @@ object SparkEntry {
          |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
          |           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS score
          |  FROM embeddings e),
-         |lmax AS (SELECT greatest(max(score), 1e-12) AS m FROM lexical),
-         |vmax AS (SELECT greatest(max(score), 1e-12) AS m FROM vector),
+         |lmax AS (SELECT max(score) AS m FROM lexical),
+         |vmax AS (SELECT max(score) AS m FROM vector),
          |fused AS (
          |  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
-         |         round(0.6 * COALESCE(l.score / (SELECT m FROM lmax), 0.0) +
-         |               0.4 * COALESCE(v.score / (SELECT m FROM vmax), 0.0), 6) AS hybrid_score
+         |         round(0.6 * COALESCE(CASE WHEN COALESCE((SELECT m FROM lmax), 0) = 0
+         |                 THEN 0.0 ELSE l.score / (SELECT m FROM lmax) END, 0.0) +
+         |               0.4 * COALESCE(CASE WHEN COALESCE((SELECT m FROM vmax), 0) = 0
+         |                 THEN 0.0 ELSE v.score / (SELECT m FROM vmax) END, 0.0), 6) AS hybrid_score
          |  FROM lexical l FULL OUTER JOIN vector v ON l.doc_id = v.doc_id)
          |SELECT doc_id, hybrid_score FROM fused
          |ORDER BY hybrid_score DESC, doc_id LIMIT 20""".stripMargin

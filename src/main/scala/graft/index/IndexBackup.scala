@@ -41,9 +41,17 @@ object IndexBackup {
     val dstFs = dstPath.getFileSystem(c)
     dstFs.mkdirs(dstPath.getParent)
     // FileUtil.copy can report failure via `false` without throwing — a
-    // failed copy must never earn the completeness marker
-    require(FileUtil.copy(srcFs, srcPath, dstFs, dstPath, false, c),
-      s"copy $indexDir -> $dst reported failure")
+    // failed copy must never earn the completeness marker. And a FAILED
+    // copy's partial tree must not survive: the immutability require above
+    // would treat it as an existing backup and block every retry under
+    // this name (list()/restore() ignore it, but nothing else ever cleans
+    // backup roots)
+    try {
+      require(FileUtil.copy(srcFs, srcPath, dstFs, dstPath, false, c),
+        s"copy $indexDir -> $dst reported failure")
+    } catch {
+      case t: Throwable => TableIO.deleteRecursive(dst); throw t
+    }
     TableIO.writeStringAtomic(marker(dst),
       s"""{"source":"$indexDir","name":"$name"}""")
     dst
@@ -58,9 +66,16 @@ object IndexBackup {
     val c = conf()
     val srcPath = new Path(backupDir)
     val dstPath = new Path(indexDir)
-    require(FileUtil.copy(srcPath.getFileSystem(c), srcPath,
-      dstPath.getFileSystem(c), dstPath, false, c),
-      s"copy $backupDir -> $indexDir reported failure")
+    // same partial-tree discipline as backup(): a failed restore must not
+    // leave a half-copied index dir that blocks the retry's !exists require
+    // (and could even LOOK servable if the copy got past stats.json)
+    try {
+      require(FileUtil.copy(srcPath.getFileSystem(c), srcPath,
+        dstPath.getFileSystem(c), dstPath, false, c),
+        s"copy $backupDir -> $indexDir reported failure")
+    } catch {
+      case t: Throwable => TableIO.deleteRecursive(indexDir); throw t
+    }
     // the marker is backup metadata, not an index artifact
     TableIO.deleteRecursive(s"$indexDir/BACKUP_DONE")
   }

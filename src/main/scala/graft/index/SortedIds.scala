@@ -33,7 +33,26 @@ object SortedIds {
   /** Union of k sorted arrays (OR within one filter key's values). */
   def unionAll(lists: Seq[Array[Long]]): Array[Long] = lists match {
     case Seq() => Array.emptyLongArray
-    case Seq(one) => one
+    case Seq(one) =>
+      // union semantics must not depend on list COUNT: the k-way merge
+      // below dedups, so the single-list shortcut verifies sorted-unique
+      // (the healthy-index invariant — zero-alloc fast path) and only pays
+      // a dedup copy when a violation is actually present
+      var i = 1
+      var clean = true
+      while (clean && i < one.length) { clean = one(i) > one(i - 1); i += 1 }
+      if (clean) one
+      else {
+        val out = new Array[Long](one.length)
+        java.lang.System.arraycopy(one, 0, out, 0, one.length)
+        java.util.Arrays.sort(out)
+        var n = 0; var j = 0
+        while (j < out.length) {
+          if (n == 0 || out(j) != out(n - 1)) { out(n) = out(j); n += 1 }
+          j += 1
+        }
+        java.util.Arrays.copyOf(out, n)
+      }
     case _ =>
       val total = lists.map(_.length).sum
       val merged = new Array[Long](total)

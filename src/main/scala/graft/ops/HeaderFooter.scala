@@ -70,7 +70,14 @@ object HeaderFooter {
   def stripPrefixes(c: Column, prefixes: Seq[String]): Column =
     if (prefixes.length > MaxColumnPrefixes) stripPrefixesUdf(prefixes)(c)
     else prefixes.foldLeft(c) { (acc, p) =>
-      if (p.startsWith("^"))
+      // the cheap replace-ALL branch is first-match-equivalent ONLY for a
+      // fully anchored pattern: '^' can match once, so one replacement
+      // happens. A pattern with alternation ("^a|b") has unanchored
+      // branches that replace-all would strip at EVERY occurrence where
+      // the reference's re.sub(count=1) strips one — those route to
+      // stripFirst's exact first-match splice ('|' inside a char class is
+      // over-conservative here, which only costs the slower exact path)
+      if (p.startsWith("^") && !p.contains("|"))
         when(acc.rlike(p), wsTrim(regexp_replace(acc, p, ""))).otherwise(acc)
       else stripFirst(acc, p)
     }

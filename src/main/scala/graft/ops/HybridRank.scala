@@ -24,10 +24,15 @@ object HybridRank {
     def side(df: DataFrame, norm: String): DataFrame = {
       val deduped = df.groupBy("doc_id").agg(max("score").as("score"))
       val m = deduped.agg(max("score").as("m"))
+      // the reference's exact guard (result_ranker.py:14-21): max == 0 →
+      // every score normalizes to 0; otherwise divide by the REAL max. The
+      // old greatest(m, 1e-12) floor corrupted the all-negative case (a
+      // vector side anti-correlated with every candidate): dividing by the
+      // epsilon exploded scores ~1e12× instead of by the actual max.
       deduped.crossJoin(F.broadcast(m))
         .select(col("doc_id"),
-          (col("score") / coalesce(greatest(col("m"), lit(1e-12)), lit(1.0)))
-            .as(norm))
+          when(coalesce(col("m"), lit(0.0)) === 0.0, lit(0.0))
+            .otherwise(col("score") / col("m")).as(norm))
     }
     val l = side(lexical, "l_norm")
     val v = side(vector, "v_norm")
@@ -53,6 +58,10 @@ object HybridRank {
   def isLexicalQuery(query: String): Boolean = {
     if (query == null) return true
     if (query.exists(RoutingPunct.contains)) return false
-    query.trim.split("\\s+").count(_.nonEmpty) < 4
+    // (?U): Python's str.split() splits on UNICODE whitespace (NBSP
+    // included) — Java's bare \s is ASCII-only and would count an
+    // NBSP-separated 4-word query as one word, routing it differently
+    // than the reference
+    query.trim.split("(?U)\\s+").count(_.nonEmpty) < 4
   }
 }

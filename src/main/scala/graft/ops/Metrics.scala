@@ -32,11 +32,21 @@ object Metrics {
       exactMatch: Column, categories: Column, language: Column,
       enableReranking: Column, pageSize: Column, pageNumber: Column,
       latencyMs: Column, totalResults: Column): Column =
-    concat_ws(",", date_format(ts, "yyyy-MM-dd HH:mm:ss"), clientIp,
-      escape(query), searchType, exactMatch.cast("string"), escape(categories),
-      language, enableReranking.cast("string"), pageSize.cast("string"),
-      pageNumber.cast("string"), latencyMs.cast("string"),
-      totalResults.cast("string"))
+    // every field coalesced: concat_ws SKIPS nulls, so one null field
+    // (e.g. a null query text) would silently shift every later field left
+    // — parse()'s ≥12-field guard then drops the event with no warning
+    concat_ws(",",
+      coalesce(date_format(ts, "yyyy-MM-dd HH:mm:ss"), lit("")),
+      coalesce(clientIp, lit("")),
+      coalesce(escape(query), lit("")), coalesce(searchType, lit("")),
+      coalesce(exactMatch.cast("string"), lit("")),
+      coalesce(escape(categories), lit("")),
+      coalesce(language, lit("")),
+      coalesce(enableReranking.cast("string"), lit("")),
+      coalesce(pageSize.cast("string"), lit("")),
+      coalesce(pageNumber.cast("string"), lit("")),
+      coalesce(latencyMs.cast("string"), lit("")),
+      coalesce(totalResults.cast("string"), lit("")))
 
   // shared, thread-safe (unlike SimpleDateFormat) — zero per-request
   // allocation on the serving hot path
@@ -56,9 +66,13 @@ object Metrics {
       zone: java.time.ZoneId = java.time.ZoneId.systemDefault()): String = {
     val ts = tsFormatter.format(
       java.time.Instant.ofEpochMilli(tsMillis).atZone(zone))
-    s"$ts,$clientIp," +
-      s"${escapeStr(query)},$searchType,$exactMatch,${escapeStr(categories)}," +
-      s"$language,$enableReranking,$pageSize,$pageNumber,$latencyMs,$totalResults"
+    // null string params render as "" — the SAME convention the Column
+    // formatter's coalesce applies, so the two documented-identical
+    // shapes cannot diverge on a null field (escapeStr would NPE on null)
+    def nz(s: String): String = if (s == null) "" else s
+    s"$ts,${nz(clientIp)}," +
+      s"${escapeStr(nz(query))},${nz(searchType)},$exactMatch,${escapeStr(nz(categories))}," +
+      s"${nz(language)},$enableReranking,$pageSize,$pageNumber,$latencyMs,$totalResults"
   }
 
   /** `parse_metrics_log` semantics over a DataFrame of raw lines: split on

@@ -30,6 +30,25 @@ class HybridGranthSpec extends AnyFunSuite {
     assert(out(1L) == 0.6)
   }
 
+  test("fuse normalizes by the REAL max (reference result_ranker guard), even non-positive") {
+    // all-negative vector side (query anti-correlated with every candidate):
+    // the old greatest(max, 1e-12) floor divided by the epsilon and exploded
+    // scores ~1e12x; the reference divides by the actual max (0 only when
+    // max == 0 exactly)
+    val lex = Seq((1L, 2.0)).toDF("doc_id", "score")
+    val vec = Seq((1L, -0.2), (2L, -0.4)).toDF("doc_id", "score")
+    val out = HybridRank.fuse(lex, vec, k = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc1: 0.6 * 2/2 + 0.4 * (-0.2/-0.2) = 1.0; doc2: 0.4 * (-0.4/-0.2) = 0.8
+    assert(out(1L) == 1.0)
+    assert(out(2L) == 0.8)
+    // max == 0 exactly → that side contributes 0 for every doc
+    val vec0 = Seq((1L, 0.0), (2L, 0.0)).toDF("doc_id", "score")
+    val out0 = HybridRank.fuse(lex, vec0, k = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out0(1L) == 0.6 && out0(2L) == 0.0)
+  }
+
   test("routing predicate mirrors reference is_lexical_query semantics") {
     assert(HybridRank.isLexicalQuery("शांति"))
     assert(HybridRank.isLexicalQuery("one two three"))

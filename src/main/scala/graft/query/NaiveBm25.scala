@@ -141,14 +141,20 @@ object NaiveBm25 {
   def search(spark: SparkSession, docstore: DataFrame, q: QuerySpec): (Seq[ScoredDoc], Long) = {
     val terms = Bm25Query.queryTerms(q)
     if (terms.isEmpty) return (Nil, 0L)
+    // persist: count() and the top-k collect would otherwise EACH re-run
+    // the corpus-wide tokenize-explode-join scan (the oracle's dominant
+    // cost) — persisting halves every rank-parity gate's oracle runtime
     val all = scoreAll(spark, docstore, q)
-    val total = all.count()
-    val page = all.orderBy(col("score").desc, col("docId").asc)
-      .limit(q.from + q.pageSize)
-      .collect()
-      .map(r => ScoredDoc(r.getLong(0), r.getDouble(1)))
-      .toSeq
-      .slice(q.from, q.from + q.pageSize)
-    (page, total)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val total = all.count()
+      val page = all.orderBy(col("score").desc, col("docId").asc)
+        .limit(q.from + q.pageSize)
+        .collect()
+        .map(r => ScoredDoc(r.getLong(0), r.getDouble(1)))
+        .toSeq
+        .slice(q.from, q.from + q.pageSize)
+      (page, total)
+    } finally all.unpersist()
   }
 }

@@ -16,7 +16,11 @@ object PeerShard {
   private val scrub = Seq(
     "GRAFT_FLEET_PEERS", "GRAFT_SERVE_ONESHOT", "GRAFT_SERVE_SHARDS",
     "GRAFT_SERVE_EMB", "GRAFT_SERVE_LOG_DIR", "GRAFT_SERVE_GRANTHS",
-    "GRAFT_FLEET_ALLOW_DEGRADED", "GRAFT_SERVE_CPUS")
+    "GRAFT_FLEET_ALLOW_DEGRADED", "GRAFT_SERVE_CPUS",
+    // a leaked eval base would mount /eval/* on every shard; a leaked bind
+    // address would put shards on a routable interface — and break the
+    // loopback-anchored readiness regex below
+    "GRAFT_EVAL_BASE", "GRAFT_BIND_ADDR")
 
   /** Boot a shard JVM over `idxDir` serving `chunks`; block until its HTTP
     * endpoint logs readiness. Returns (process, url, readySeconds). On ANY
@@ -63,13 +67,21 @@ object PeerShard {
       // during Spark init while staying alive and silent would otherwise
       // hang the launcher forever
       val deadline = System.nanoTime() + deadlineSec * 1000000000L
+      // char-at-a-time under ready(), never readLine(): ready() only
+      // promises SOME bytes, so a shard wedging after a partial line (GC
+      // death spiral mid-write) would park readLine() on the missing
+      // newline forever, past the deadline this loop exists to enforce
+      val lineBuf = new java.lang.StringBuilder(256)
       while (url == null) {
         if (System.nanoTime() > deadline)
           sys.error(s"peer shard JVM not ready within $deadlineSec s")
         if (reader.ready()) {
-          val line = reader.readLine()
-          if (line == null) sys.error("peer shard JVM died during startup")
-          urlRe.findFirstMatchIn(line).foreach(m => url = m.group(1))
+          val ch = reader.read()
+          if (ch < 0) sys.error("peer shard JVM died during startup")
+          else if (ch == '\n') {
+            urlRe.findFirstMatchIn(lineBuf.toString).foreach(m => url = m.group(1))
+            lineBuf.setLength(0)
+          } else lineBuf.append(ch.toChar)
         } else if (!proc.isAlive) sys.error("peer shard JVM died during startup")
         else Thread.sleep(100)
       }

@@ -245,7 +245,10 @@ object SparkEntry {
         .withColumn("dist", levenshtein(lit("spakr"), col("term")))
         .withColumn("score", round(lit(1.0) - col("dist") /
           greatest(length(col("term")), lit(5)).cast("double"), 6))
-        .where(col("score") >= 0.6)
+        // max_edits cap (reference = OpenSearch term-suggester default 2):
+        // load-bearing for terms longer than the query word, where dist 3
+        // can still score >= 0.6
+        .where(col("dist") <= 2 && col("score") >= 0.6)
         .select("term", "df", "score")
         .orderBy(col("score").desc, col("df").desc, col("term"))
         .limit(5)
@@ -1094,7 +1097,8 @@ object SparkEntry {
          |  FROM dict
          |  WHERE length(term) >= 3 AND term LIKE 's%' AND term <> 'spakr')
          |SELECT term, df, round(1.0 - dist / CAST(greatest(length(term), 5) AS DOUBLE), 6) AS score
-         |FROM cand WHERE 1.0 - dist / CAST(greatest(length(term), 5) AS DOUBLE) >= 0.6
+         |FROM cand WHERE dist <= 2
+         |  AND 1.0 - dist / CAST(greatest(length(term), 5) AS DOUBLE) >= 0.6
          |ORDER BY score DESC, df DESC, term LIMIT 5""".stripMargin,
     "highlight" -> {
       val inner = bm25Oracle(QTerms, requireAll = true, "", 10)
@@ -1159,7 +1163,9 @@ object SparkEntry {
          |    AND d.term <> v.variant),
          |ranked AS (SELECT *, row_number() OVER (PARTITION BY variant
          |                     ORDER BY score DESC, df DESC, term) AS rn
-         |           FROM cand WHERE score >= 0.5),
+         |           FROM cand
+         |           WHERE score >= 0.5
+         |             AND damerau_levenshtein(variant, term) <= 2),
          |suggested AS (SELECT DISTINCT term FROM ranked WHERE rn <= 3),
          |p3 AS (SELECT s.term AS variant, d.df FROM suggested s JOIN dict d USING (term))
          |SELECT variant, df FROM p3 ORDER BY df DESC, variant""".stripMargin

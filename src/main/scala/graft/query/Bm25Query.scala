@@ -335,21 +335,12 @@ object Bm25Query {
       else afterMode.join(postingDocIds(spark, idx, q.lang, exTerms),
         Seq("docId"), "left_anti")
     }
-    // same ambiguity guard as QueryCore.context: two "year" entries in
-    // facetSel would OR where the paged path refuses and the oracle ANDs
-    require(!(q.metaFilters.contains("year") && q.yearRange.isDefined),
-      "metaFilters(\"year\") combined with yearRange is ambiguous — " +
-        "express the year constraint once")
-    val facetSel: Seq[(String, Seq[String])] =
-      q.metaFilters.toSeq ++ q.yearRange.map { case (a, b) =>
-        "year" -> (a to b).map(_.toString)
-      }.toSeq
+    // the SHARED filter derivation (year-ambiguity guard, yearRange
+    // expansion, date-bound mapping) — one definition with the paged path
+    val (facetSel, dateSel) = QueryCore.filterSelections(q)
     val afterFacets =
       if (facetSel.isEmpty) afterExclude
       else afterExclude.join(facetDocIds(spark, idx, q.lang, facetSel), Seq("docId"))
-    val dateSel = q.dateRange.collect { case (s, e) if s.isDefined || e.isDefined =>
-      (s.map(graft.Fmt.yearStart), e.map(graft.Fmt.yearEnd))
-    }
     val afterDate = dateSel match {
       case None => afterFacets
       case Some(sel) => afterFacets.join(dateDocIds(spark, idx, q.lang, sel), Seq("docId"))
@@ -558,8 +549,10 @@ object Bm25Query {
     // levenshtein bound) run first; exact Damerau-Levenshtein (OSA, what the
     // reference's Lucene suggester uses) refines via UDF; orderBy().limit()
     // brings only the top-`size` winners to the driver.
-    // Prefilter soundness: lev(a,b) <= 2*osa(a,b), and score >= minScore
-    // requires osa <= (1-minScore)*maxLen, so lev <= 2*(1-minScore)*maxLen
+    // Prefilter soundness: lev(a,b) <= 2*osa(a,b), and a candidate must pass
+    // BOTH osa <= 2 (the suggester's max_edits — OpenSearch's term-suggester
+    // default, which the reference never overrides) and score >= minScore
+    // (osa <= (1-minScore)*maxLen), so lev <= least(4, 2*(1-minScore)*maxLen)
     // admits every OSA-valid candidate.
     val osaUdf = udf((a: String, b: String) => damerauLevenshtein(a, b))
     // dictionary source: the materialized termdict table (one pruned scan —
@@ -587,8 +580,12 @@ object Bm25Query {
       .withColumn("qword", explode(filter(qArr, q =>
         substring(q, 1, 1) === substring(col("term"), 1, 1) && q =!= col("term"))))
       .where(levenshtein(col("qword"), col("term")) <=
-        floor(lit(2.0 * (1.0 - minScore)) * maxLen))
-      .withColumn("score", lit(1.0) - osaUdf(col("qword"), col("term")) / maxLen)
+        least(lit(4), floor(lit(2.0 * (1.0 - minScore)) * maxLen)))
+      .withColumn("osa", osaUdf(col("qword"), col("term")))
+      // max_edits cap: without it a length-10 term at OSA distance 4 scores
+      // 0.6 and sneaks in — the reference suggester never returns edits > 2
+      .where(col("osa") <= 2)
+      .withColumn("score", lit(1.0) - col("osa") / maxLen)
       .where(col("score") >= minScore)
       .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("qword"))

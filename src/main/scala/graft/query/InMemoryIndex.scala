@@ -323,15 +323,21 @@ final class InMemoryIndex(
           // when the delta is within (1-minScore)·maxLen — at web scale a
           // first-letter bucket is millions of terms (the Spark path
           // prefilters with the built-in levenshtein for the same reason)
-          t != w &&
+          // |len diff| also lower-bounds OSA, so the max_edits=2 cap below
+          // prunes here too
+          t != w && math.abs(t.length - w.length) <= 2 &&
             math.abs(t.length - w.length) <=
               (1.0 - minScore) * math.max(w.length, t.length)
         }
         .map { case (t, dfv) =>
           val dist = Bm25Query.damerauLevenshtein(w, t)
-          (t, dfv, 1.0 - dist.toDouble / math.max(w.length, t.length))
+          (t, dfv, 1.0 - dist.toDouble / math.max(w.length, t.length), dist)
         }
-        .filter(_._3 >= minScore)
+        // max_edits cap (OpenSearch term-suggester default; the reference
+        // never overrides it) AND the score floor — same rule as
+        // Bm25Query.suggest, gated identical by the parity spec
+        .filter(c => c._4 <= 2 && c._3 >= minScore)
+        .map { case (t, dfv, s, _) => (t, dfv, s) }
         .toSeq
         .sortBy { case (t, dfv, s) => (-s, -dfv, t) }
         .take(size)

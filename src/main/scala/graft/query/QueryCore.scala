@@ -131,6 +131,24 @@ object QueryCore {
       else toks.map(t => (termIndex(t.term), t.pos))
     val excludeTerms = q.excludeWords
       .flatMap(w => Analyzer.terms(w, q.lang)).distinct.toArray
+    val (facetSel, dateSel) = filterSelections(q)
+    // match_phrase is conjunctive (reference slop-0 phrase): phrase + "any"
+    // would silently skip verification in the WAND path, so force "all"
+    val mode = if (q.phrase) "all" else q.mode
+    Some(Ctx(terms, phrasePlan, excludeTerms, facetSel, n, avgdl,
+      mode, q.phrase, q.from + q.pageSize, q.trackTotalHits, dateSel))
+  }
+
+  /** The ONE definition of a query's filter selections, shared by the paged
+    * kernel path ([[context]]) and the analytics/fusion path
+    * ([[Bm25Query.scoreDf]]): the year-ambiguity guard, the yearRange →
+    * "year" facet-value expansion, and the dateRange → physical year-bound
+    * mapping. A change to any of these made here reaches every path —
+    * hand-copies would desync filter semantics between the paged and
+    * DataFrame engines.
+    */
+  def filterSelections(q: QuerySpec)
+      : (Seq[(String, Seq[String])], Option[(Option[String], Option[String])]) = {
     // a metaFilter on "year" PLUS a yearRange would put two value lists
     // under one key — the kernel (and the facet-join path) would OR them
     // while the naive oracle ANDs two predicates; refuse the ambiguity
@@ -141,14 +159,10 @@ object QueryCore {
       q.metaFilters.toSeq ++ q.yearRange.map { case (a, b) =>
         "year" -> (a to b).map(_.toString)
       }.toSeq
-    // match_phrase is conjunctive (reference slop-0 phrase): phrase + "any"
-    // would silently skip verification in the WAND path, so force "all"
-    val mode = if (q.phrase) "all" else q.mode
     val dateSel = q.dateRange.collect { case (s, e) if s.isDefined || e.isDefined =>
       (s.map(graft.Fmt.yearStart), e.map(graft.Fmt.yearEnd))
     }
-    Some(Ctx(terms, phrasePlan, excludeTerms, facetSel, n, avgdl,
-      mode, q.phrase, q.from + q.pageSize, q.trackTotalHits, dateSel))
+    (facetSel, dateSel)
   }
 
   /** termInfo = (term, qPos, idf from GLOBAL df). */

@@ -165,12 +165,19 @@ object ServeCli {
       }
     }
     server.start()
-    println(s"[serve] listening on http://127.0.0.1:${server.boundPort}/api/search")
+    // the logged URL and the one-shot self-test must target the ACTUAL bound
+    // interface: under GRAFT_BIND_ADDR the server does not listen on
+    // loopback at all, so a hard-coded 127.0.0.1 here logs an unreachable
+    // URL and crashes the smoke run with ConnectException. (PeerShard scrubs
+    // GRAFT_BIND_ADDR from shard JVMs, so its loopback-anchored readiness
+    // regex keeps matching.)
+    val host = sys.env.getOrElse("GRAFT_BIND_ADDR", "127.0.0.1")
+    println(s"[serve] listening on http://$host:${server.boundPort}/api/search")
     if (sys.env.get("GRAFT_SERVE_ONESHOT").contains("1")) {
       val client = java.net.http.HttpClient.newHttpClient()
       val phrase = graft.corpus.Webtext.GoldenPhrase("hi").mkString(" ")
       val req = java.net.http.HttpRequest.newBuilder()
-        .uri(java.net.URI.create(s"http://127.0.0.1:${server.boundPort}/api/search"))
+        .uri(java.net.URI.create(s"http://$host:${server.boundPort}/api/search"))
         .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
           s"""{"query": "$phrase", "language": "hindi"}"""))
         .build()
@@ -179,7 +186,7 @@ object ServeCli {
         resp.body().take(400))
       def get(path: String): java.net.http.HttpResponse[String] =
         client.send(java.net.http.HttpRequest.newBuilder()
-          .uri(java.net.URI.create(s"http://127.0.0.1:${server.boundPort}$path"))
+          .uri(java.net.URI.create(s"http://$host:${server.boundPort}$path"))
           .GET().build(), java.net.http.HttpResponse.BodyHandlers.ofString())
       val meta = get("/api/metadata")
       println(s"[serve] self-test /api/metadata -> ${meta.statusCode()}: " +
@@ -203,7 +210,7 @@ object ServeCli {
         val ep = get("/eval/paths")
         println(s"[serve] self-test /eval/paths -> ${ep.statusCode()}: ${ep.body().take(200)}")
         val ext = client.send(java.net.http.HttpRequest.newBuilder()
-          .uri(java.net.URI.create(s"http://127.0.0.1:${server.boundPort}/eval/extract"))
+          .uri(java.net.URI.create(s"http://$host:${server.boundPort}/eval/extract"))
           .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
             """{"page_text": "पहली पंक्ति है।\nदूसरी पंक्ति पूरी होती है।", "language": "hin", "mode": "advanced"}"""))
           .build(), java.net.http.HttpResponse.BodyHandlers.ofString())

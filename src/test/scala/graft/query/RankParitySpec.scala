@@ -358,6 +358,32 @@ class RankParitySpec extends AnyFunSuite {
     }
   }
 
+  test("suggester max_edits=2 cap: distance-3 candidate above the score floor rejected") {
+    import spark.implicits._
+    // dist("abcdefgh","abcdefgha") = 1 → score 8/9 ≈ 0.889: suggested.
+    // dist("abcdefgh","abcdefghxyz") = 3 → score 1-3/11 ≈ 0.727 ≥ 0.6, i.e.
+    // the score floor ALONE admits it for long terms — the reference's
+    // suggester (OpenSearch term suggester, default max_edits 2) never
+    // returns it, so both deployments must reject it.
+    val d = "/tmp/graft-test-sugg-idx"
+    val f = new java.io.File(d)
+    if (f.exists()) scala.reflect.io.Directory(f).deleteRecursively()
+    val now = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    val docs = Seq(
+      graft.corpus.WebDoc(0L, "https://t/0", now, Array.emptyByteArray,
+        "abcdefgha abcdefghxyz filler words", "en", Map.empty[String, String]),
+      graft.corpus.WebDoc(1L, "https://t/1", now, Array.emptyByteArray,
+        "abcdefgha other filler", "en", Map.empty[String, String]))
+    IndexBuild.build(spark, docs.toDF(), d, numChunks = 1)
+    val tIdx = IndexHandle.load(d)
+    val viaSpark = Bm25Query.suggest(spark, tIdx, "en", "abcdefgh")
+    val viaMem = InMemoryIndex.load(spark, tIdx, withDocs = false)
+      .suggest("en", "abcdefgh")
+    assert(viaSpark == viaMem, s"suggest paths diverge: $viaSpark vs $viaMem")
+    assert(viaSpark.contains("abcdefgha"), s"distance-1 candidate missing: $viaSpark")
+    assert(!viaSpark.contains("abcdefghxyz"), s"max_edits=2 violated: $viaSpark")
+  }
+
   test("BMW pivot ties: multi-term any-mode with pruning engaged (cap exceeded)") {
     // head terms co-occur on many docs → iterators tie on docIds constantly;
     // a tight cap engages block-max pruning early. Without pivot widening over

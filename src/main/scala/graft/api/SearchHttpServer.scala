@@ -123,6 +123,11 @@ final class SearchHttpServer(
 
   private def handleSearch(body: String, clientIp: String = "test"): JValue = {
     val t0 = nowMs()
+    // ONE index snapshot for the whole request: the Pravachan and Granth
+    // sections are two search calls, and a hot-reload swap landing between
+    // them would return a single response mixing two index versions (e.g.
+    // a just-deleted doc in one section, post-delete totals in the other)
+    val node = mem.pinned
     var totalHitsAll = 0L
     var degradedAny = false
     val j = parse(body)
@@ -182,7 +187,7 @@ final class SearchHttpServer(
         dateRange = dateRange,
         pageSize = pageSize,
         from = (pageNumber - 1) * pageSize)
-      val r = mem.search(q)
+      val r = node.search(q)
       totalHitsAll += r.totalHits
       if (r.coverageDegraded) degradedAny = true
       (JObject(

@@ -178,6 +178,17 @@ object IndexBuild extends Serializable {
   ): Unit = {
     import spark.implicits._
     TableIO.mkdirs(outDir)
+    // Recover an interrupted mutation BEFORE touching any chunk — every
+    // other entry point does (deleteByQuery/reindexDocs/compact recover,
+    // IndexHandle.load refuses). Skipping it here is a corruption trap: a
+    // rebuild over a journaled index would finish "successfully", serving
+    // would still refuse on the journal, and the operator-mandated recovery
+    // would then replay the PRE-CRASH tmp inputs over freshly rebuilt
+    // chunks — a silent mix of old and new corpora. Recovering first is
+    // also cheap and convergent: the replay restores the committed state,
+    // then resume validation rebuilds exactly the chunks whose input
+    // signatures drifted.
+    recoverPendingMutation(spark, outDir)
     val derivedIds =
       !input.columns.contains("docId") && !input.columns.contains("doc_id")
     val webtext = {

@@ -315,7 +315,10 @@ final class InMemoryIndex(
   def suggest(lang: String, query: String, size: Int = 5, minScore: Double = 0.6): Seq[String] = {
     val qTerms = Analyzer.terms(query, lang).filter(_.length >= 3)
     val byPrefix = dictByPrefix.getOrElse(lang, Map.empty)
-    qTerms.toSeq.flatMap { w =>
+    // dedup BEFORE the bucket scan (same reasoning as Bm25Query.suggest): a
+    // repeated misspelled term would re-pay the full first-char-bucket scan
+    // + OSA DP per occurrence for output the trailing .distinct collapses
+    qTerms.toSeq.distinct.flatMap { w =>
       byPrefix.getOrElse(w.charAt(0), Array.empty[(String, Long)]).iterator
         .filter { case (t, _) =>
           // length-delta prefilter BEFORE the O(len²) OSA DP: |len diff| is

@@ -147,6 +147,10 @@ final class ReloadingNode(
   }
 
   // SearchNode delegation — each call binds to ONE snapshot for its duration
+  /** Multi-call operations pin the CURRENT snapshot once: two sequential
+    * delegated calls could otherwise straddle a swap and mix versions in
+    * one response. */
+  override def pinned: SearchNode = cur
   def search(q: QuerySpec): SearchResult = cur.search(q)
   def facetMetadata(fields: Set[String],
       contentKey: String): Map[String, Map[String, Seq[String]]] =

@@ -36,6 +36,17 @@ trait SearchNode {
   def context(chunkId: Long): Option[(DocPayload, Option[DocPayload], Option[DocPayload])]
   /** Point-read full docstore rows (for endpoint payload assembly). */
   def docPayloads(ids: Seq[Long]): Map[Long, DocPayload]
+  /** This node bound to ONE index snapshot for the duration of a multi-call
+    * operation (e.g. the HTTP search endpoint's Pravachan + Granth pair):
+    * without pinning, a hot-reload swap landing between the two calls
+    * would serve one response mixing two index versions. Default: the node
+    * itself — a plain [[InMemoryIndex]] IS an immutable snapshot, and a
+    * socket fleet ([[ProcFleet]]) cannot pin remote shards that reload
+    * independently (each scatter is snapshot-consistent per shard; the
+    * cross-shard mix window is inherent to distributed serving, same as
+    * querying a live OpenSearch during its reindex).
+    */
+  def pinned: SearchNode = this
 }
 
 object ShardedServe {

@@ -42,7 +42,6 @@ object ServeCli {
       println(s"[serve] no index at $idxDir — building synthetic ($n docs)")
       graft.index.IndexBuild.build(spark, graft.corpus.Webtext.synthesize(spark, n).toDF(), idxDir)
     }
-    val idx = graft.query.IndexHandle.load(idxDir)
     // read once: the fleet coverage check and similar-docs sharding must see
     // the SAME chunk count
     val numChunks = graft.index.IndexBuild.readProps(idxDir).numChunks
@@ -108,6 +107,10 @@ object ServeCli {
       else if (shards <= 1) reloadingNode(None)
       else {
         println(s"[serve] doc-sharded fleet: $shards nodes over $numChunks chunks")
+        // only this static in-process topology needs a handle here — the
+        // reloading paths build theirs inside the loader on every swap
+        // (which also performs the pending-mutation refusal at boot)
+        val idx = graft.query.IndexHandle.load(idxDir)
         // load the corpus-wide term dictionary ONCE and share it across the
         // in-process nodes (it's the largest map in the system; N copies in
         // one JVM would defeat the per-node memory bound)

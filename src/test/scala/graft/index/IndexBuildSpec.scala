@@ -740,6 +740,37 @@ class IndexBuildSpec extends AnyFunSuite {
     assert(graft.query.IndexHandle.load(dir).stats.nonEmpty)
   }
 
+  test("build() over a journaled index recovers the mutation FIRST — no stale-replay corruption") {
+    import org.apache.spark.sql.functions._
+    val dir = "/tmp/gidx-journal-build"
+    val fresh = "/tmp/gidx-journal-build-fresh"
+    rm(dir); rm(fresh)
+    val corpus = Webtext.synthesize(spark, 400, partitions = 3).toDF()
+    IndexBuild.build(spark, corpus, dir, numChunks = 2)
+    // a delete on chunk 0 died mid-rewrite: journal + tmp persist, chunk torn
+    IndexBuild.normalizeInput(corpus)
+      .where(pmod(col("docId"), lit(2)) === 0 && col("docId") >= 40)
+      .write.mode("overwrite").parquet(s"$dir/tmp_rewrite_chunk_0")
+    TableIO.writeStringAtomic(s"$dir/mutation_pending.json", """{"chunk": 0}""")
+    rm(s"$dir/segments/chunk=0")
+    // a routine refresh then rebuilds the SAME outDir from a NEW corpus.
+    // Pre-fix, build() ignored the journal: the rebuild "succeeded", serving
+    // still refused on the journal, and the operator-mandated recovery
+    // replayed the PRE-CRASH tmp over the freshly rebuilt chunk 0 — a silent
+    // old/new corpus mix. Post-fix build() recovers first, then resume
+    // validation rebuilds every drifted chunk from the new corpus.
+    val corpus2 = Webtext.synthesize(spark, 500, partitions = 3).toDF()
+    IndexBuild.build(spark, corpus2, dir, numChunks = 2)
+    assert(IndexBuild.pendingMutation(dir).isEmpty)
+    assert(!new java.io.File(s"$dir/tmp_rewrite_chunk_0").exists())
+    // content equals a from-scratch build of the new corpus, and serving loads
+    IndexBuild.build(spark, corpus2, fresh, numChunks = 2)
+    assert(postingsFingerprint(dir, compacted = false) ==
+      postingsFingerprint(fresh, compacted = false))
+    assert(graft.query.IndexHandle.load(dir).stats ==
+      graft.query.IndexHandle.load(fresh).stats)
+  }
+
   test("multi-chunk mutation: ONE journal covers every chunk — a crash between chunk rewrites recovers fully") {
     import org.apache.spark.sql.functions._
     val dir = "/tmp/gidx-journal-multi"

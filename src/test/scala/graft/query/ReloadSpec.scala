@@ -71,6 +71,29 @@ class ReloadSpec extends AnyFunSuite {
     assert(rn.search(q).totalHits == fresh.search(q).totalHits)
   }
 
+  test("pinned binds multi-call operations to ONE snapshot across a swap") {
+    val dir = "/tmp/gidx-reload-pin"
+    freshIndex(dir)
+    val rn = new ReloadingNode(dir,
+      () => InMemoryIndex.load(spark, IndexHandle.load(dir)))
+    val q = QuerySpec("hi", Webtext.GoldenPhrase("hi").mkString(" "))
+    val pin = rn.pinned // e.g. the HTTP layer starting a two-section request
+    val before = page(pin, q)
+    val victim = before.head._1
+    IndexBuild.deleteByQuery(spark, dir, col("docId") === victim)
+    assert(rn.checkAndReload(), "mutation must trigger a swap")
+    // the pin still serves the PRE-swap snapshot (the request that captured
+    // it stays internally consistent), while the node itself moved on
+    assert(page(pin, q) == before,
+      "a pinned snapshot must be immutable across the swap")
+    assert(!page(rn, q).exists(_._1 == victim),
+      "the node itself must serve the post-mutation snapshot")
+    assert(rn.pinned ne pin, "a new pin must capture the new snapshot")
+    // a plain resident node pins to itself (it IS a snapshot)
+    val full = InMemoryIndex.load(spark, IndexHandle.load(dir))
+    assert(full.pinned eq full)
+  }
+
   test("zero downtime: queries racing the swap always see exactly one snapshot, never an error") {
     val dir = "/tmp/gidx-reload-race"
     freshIndex(dir)

@@ -317,12 +317,11 @@ object SparkEntry {
 
     // ---- windows / sequences ----
     "neighbor_context" -> ((s, dir) => {
-      val w = Window.orderBy("doc_id")
-      documents(s, dir).where(col("source") === "src0")
-        .select(col("doc_id"),
-          lag("doc_id", 1).over(w).as("prev_id"),
-          lead("doc_id", 1).over(w).as("next_id"),
-          substring(lag("text", 1).over(w), 1, 20).as("prev_snippet"))
+      // J4/W4: lag/lead over the global doc_id order WITHOUT the naive
+      // single-partition Window.orderBy plan — range-partitioned local
+      // windows + a driver-resolved edge-row exchange (NeighborContext)
+      graft.ops.NeighborContext.neighbors(s,
+          documents(s, dir).where(col("source") === "src0"), "doc_id", "text")
         .orderBy("doc_id")
     }),
     "fwd_fill" -> ((s, dir) => {

@@ -103,6 +103,16 @@ final class SearchHttpServer(
 
   def boundPort: Int = server.getAddress.getPort
 
+  /** The ACTUALLY bound interface, URL-safe — read from the live socket, not
+    * re-derived from the env (a second copy of the GRAFT_BIND_ADDR rule is
+    * how a caller's logged URL silently desyncs from the real bind). IPv6
+    * literals are bracketed so `http://$host:$port` stays a valid URL.
+    */
+  def boundHostForUrl: String = {
+    val h = server.getAddress.getAddress.getHostAddress
+    if (h.contains(":")) s"[$h]" else h
+  }
+
   private def langCode(l: String): String = Langs.code(l)
 
   private def respond(ex: HttpExchange, code: Int, json: JValue): Unit = {

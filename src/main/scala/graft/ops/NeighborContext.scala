@@ -30,6 +30,14 @@ import org.apache.spark.sql.types._
   */
 object NeighborContext extends Serializable {
 
+  /** code-POINT prefix, not code units: SQL substr counts characters, and a
+    * UTF-16 substring could split a surrogate pair. Idempotent.
+    */
+  private def snippetOf(t: String, n: Int): String =
+    if (t == null) null
+    else if (t.codePointCount(0, t.length) <= n) t
+    else t.substring(0, t.offsetByCodePoints(0, n))
+
   /** lag(id), lead(id) and a `snippetLen`-char prefix of lag(text) over the
     * global `idCol` order. Output: (idCol, prev_id, next_id, prev_snippet).
     */
@@ -48,16 +56,28 @@ object NeighborContext extends Serializable {
     // second network pass. Deliberately NOT persisted: caching the full
     // table to save a local re-sort is the wrong trade at corpus scale.
     val rdd = ranged.rdd
-    def pair(r: Row): (Long, String) = (r.getLong(0), r.getString(1))
-    // boundary pass: (pid, first, last) of every non-empty partition
+    def pair(r: Row): (Long, String) = {
+      // contract error, not a bare NPE: a null id (or a non-numeric id the
+      // LongType cast nulled out) has no position in the global order
+      if (r.isNullAt(0)) throw new IllegalArgumentException(
+        s"NeighborContext: null (or non-castable) value in order column '$idCol'")
+      (r.getLong(0), r.getString(1))
+    }
+    // boundary pass: (pid, first, last) of every non-empty partition. Only
+    // the LAST row's text is ever read downstream (as the next partition's
+    // prev_snippet) and only its first `snippetLen` code points — collecting
+    // full texts here would move two whole documents per partition through
+    // the driver and the broadcast, re-creating the single-point-of-scale
+    // bottleneck this operator exists to remove. First rows carry id only.
     val bounds: Array[(Int, (Long, String), (Long, String))] =
       rdd.mapPartitionsWithIndex { (pid, it) =>
         if (!it.hasNext) Iterator.empty
         else {
-          val first = pair(it.next())
-          var last = first
+          val f = pair(it.next())
+          val first = (f._1, null: String)
+          var last = f
           while (it.hasNext) last = pair(it.next())
-          Iterator.single((pid, first, last))
+          Iterator.single((pid, first, (last._1, snippetOf(last._2, snippetLen))))
         }
       }.collect().sortBy(_._1)
     // prev/next edge row per partition, skipping empty partitions
@@ -85,13 +105,8 @@ object NeighborContext extends Serializable {
           val cur = pending.get
           pending = if (it.hasNext) Some(pair(it.next())) else None
           val nextId = pending.map(_._1).orElse(edgeNext.map(_._1))
-          // code-POINT prefix, not code units: SQL substr counts characters,
-          // and a UTF-16 substring could split a surrogate pair
-          val snippet = prev.map(_._2).map { t =>
-            if (t == null) null
-            else if (t.codePointCount(0, t.length) <= snippetLen) t
-            else t.substring(0, t.offsetByCodePoints(0, snippetLen))
-          }.orNull
+          // edge prev rows arrive pre-snippeted (snippetOf is idempotent)
+          val snippet = prev.map(p => snippetOf(p._2, snippetLen)).orNull
           val out = Row(cur._1,
             prev.map(p => java.lang.Long.valueOf(p._1)).orNull,
             nextId.map(java.lang.Long.valueOf).orNull,

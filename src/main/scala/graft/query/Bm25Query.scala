@@ -549,29 +549,46 @@ object Bm25Query {
     // levenshtein bound) run first; exact Damerau-Levenshtein (OSA, what the
     // reference's Lucene suggester uses) refines via UDF; orderBy().limit()
     // brings only the top-`size` winners to the driver.
-    // Prefilter soundness: lev(a,b) <= 2*osa(a,b), and a candidate must pass
-    // BOTH osa <= 2 (the suggester's max_edits — OpenSearch's term-suggester
-    // default, which the reference never overrides) and score >= minScore
-    // (osa <= (1-minScore)*maxLen), so lev <= least(4, 2*(1-minScore)*maxLen)
-    // admits every OSA-valid candidate.
-    val osaUdf = udf((a: String, b: String) => damerauLevenshtein(a, b))
-    // dictionary source: the materialized termdict table (one pruned scan —
-    // no per-query segment aggregation); segments agg only as a fallback for
-    // pre-termdict indexes
     // dedupe repeated query terms: the old per-term loop processed each
     // occurrence identically and .distinct'ed the output, so occurrences
     // beyond the first never contribute — but in the batched plan they
     // WOULD double candidate rows and push real suggestions past the
     // per-term rank cutoff
     val qSeq = qTerms.toSeq.distinct
-    // ONE Spark job for the whole (possibly multi-term) query: a single
-    // dict scan filtered to the query terms' first-char buckets, each dict
-    // row exploded against only the query terms sharing its first char,
-    // per-term top-`size` via a window — a 3-term misspelled query no
-    // longer pays 3x job-scheduling latency.
+    val rows = suggestPlan(spark, idx, lang, qSeq, size, minScore)
+      .as[(String, Int, String)]
+      .collect() // ≤ size rows per query term
+    val byTerm = rows.groupBy(_._1)
+    // emit in the original per-term order (term iteration order, then rank)
+    // — identical to the former one-job-per-term loop's output
+    qSeq.flatMap(w => byTerm.getOrElse(w, Array.empty).sortBy(_._2).map(_._3)).distinct
+  }
+
+  /** THE batched suggest plan — shared by [[suggest]] (which collects it)
+    * and `tools.ExplainCli` (which explains it), so the inspected plan can
+    * never desync from the executed one. Columns: (qword, rank, term).
+    *
+    * ONE Spark job for the whole (possibly multi-term) query: a single dict
+    * scan filtered to the query terms' first-char buckets, each dict row
+    * exploded against only the query terms sharing its first char, per-term
+    * top-`size` via a window — a 3-term misspelled query doesn't pay 3×
+    * job-scheduling latency.
+    *
+    * Prefilter soundness: lev(a,b) <= 2*osa(a,b), and a candidate must pass
+    * BOTH osa <= 2 (the suggester's max_edits — OpenSearch's term-suggester
+    * default, which the reference never overrides) and score >= minScore
+    * (osa <= (1-minScore)*maxLen), so lev <= least(4, 2*(1-minScore)*maxLen)
+    * admits every OSA-valid candidate.
+    */
+  def suggestPlan(spark: SparkSession, idx: IndexHandle, lang: String,
+      qSeq: Seq[String], size: Int, minScore: Double): DataFrame = {
+    val osaUdf = udf((a: String, b: String) => damerauLevenshtein(a, b))
     val qArr = array(qSeq.map(lit(_)): _*)
     val maxLen = greatest(length(col("term")), length(col("qword"))).cast("double")
-    val rows = termDictDf(spark, idx, lang)
+    // dictionary source: the materialized termdict table (one pruned scan —
+    // no per-query segment aggregation); segments agg only as a fallback for
+    // pre-termdict indexes
+    termDictDf(spark, idx, lang)
       .where(length(col("term")) >= 3)
       // OR of literal StartsWith predicates — unlike substring(term,1,1)
       // this pushes to the term-sorted termdict parquet as row-group-
@@ -592,12 +609,6 @@ object Bm25Query {
         .orderBy(col("score").desc, col("df").desc, col("term"))))
       .where(col("rank") <= size)
       .select(col("qword"), col("rank"), col("term"))
-      .as[(String, Int, String)]
-      .collect() // ≤ size rows per query term
-    val byTerm = rows.groupBy(_._1)
-    // emit in the original per-term order (term iteration order, then rank)
-    // — identical to the former one-job-per-term loop's output
-    qSeq.flatMap(w => byTerm.getOrElse(w, Array.empty).sortBy(_._2).map(_._3)).distinct
   }
 
   /** (term, df) rows of a language's dictionary — termdict scan when the

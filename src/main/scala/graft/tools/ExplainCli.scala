@@ -37,26 +37,13 @@ object ExplainCli {
     println("=== distributed BATCHED suggest plan (ONE job for a multi-term " +
       "query: termdict scan with an OR of pushable StartsWith filters → " +
       "explode vs same-first-char query terms → levenshtein prefilter → " +
-      "OSA UDF → per-term window top-n; expect StartsWith in PushedFilters) ===")
-    // rebuild suggest's plan shape explicitly for inspection (suggest()
-    // itself returns collected winners)
-    val qSeq = Seq("abc", "def")
-    val osaUdf = udf((a: String, b: String) => Bm25Query.damerauLevenshtein(a, b))
-    val qArr = array(qSeq.map(lit(_)): _*)
-    val maxLen = greatest(length(col("term")), length(col("qword"))).cast("double")
-    Bm25Query.termDictDf(spark, idx, "hi")
-      .where(length(col("term")) >= 3)
-      .where(qSeq.map(w => col("term").startsWith(w.substring(0, 1))).reduce(_ || _))
-      .withColumn("qword", explode(filter(qArr, q =>
-        substring(q, 1, 1) === substring(col("term"), 1, 1) && q =!= col("term"))))
-      .where(levenshtein(col("qword"), col("term")) <= floor(lit(0.8) * maxLen))
-      .withColumn("score", lit(1.0) - osaUdf(col("qword"), col("term")) / maxLen)
-      .where(col("score") >= 0.6)
-      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("qword"))
-        .orderBy(col("score").desc, col("df").desc, col("term"))))
-      .where(col("rank") <= 5)
-      .explain("formatted")
+      "OSA UDF + max_edits cap → per-term window top-n; expect StartsWith " +
+      "in PushedFilters) ===")
+    // THE executed plan, not a rebuilt copy: suggestPlan is what suggest()
+    // collects, so this inspection can never desync from production (a
+    // hand-copied plan here once drifted past the max_edits-cap change)
+    Bm25Query.suggestPlan(spark, idx, "hi", Seq("abc", "def"),
+      size = 5, minScore = 0.6).explain("formatted")
 
     println("=== index-backed distributed FULL scoring (scoreDf — hybrid_rank's " +
       "lexical side; expect scan → flatMap decode → one hash aggregate, no collect) ===")

@@ -171,10 +171,11 @@ object ServeCli {
     // the logged URL and the one-shot self-test must target the ACTUAL bound
     // interface: under GRAFT_BIND_ADDR the server does not listen on
     // loopback at all, so a hard-coded 127.0.0.1 here logs an unreachable
-    // URL and crashes the smoke run with ConnectException. (PeerShard scrubs
-    // GRAFT_BIND_ADDR from shard JVMs, so its loopback-anchored readiness
-    // regex keeps matching.)
-    val host = sys.env.getOrElse("GRAFT_BIND_ADDR", "127.0.0.1")
+    // URL and crashes the smoke run with ConnectException. Read from the
+    // live socket (IPv6-bracketed), never a second copy of the env rule.
+    // (PeerShard scrubs GRAFT_BIND_ADDR from shard JVMs, so its
+    // loopback-anchored readiness regex keeps matching.)
+    val host = server.boundHostForUrl
     println(s"[serve] listening on http://$host:${server.boundPort}/api/search")
     if (sys.env.get("GRAFT_SERVE_ONESHOT").contains("1")) {
       val client = java.net.http.HttpClient.newHttpClient()

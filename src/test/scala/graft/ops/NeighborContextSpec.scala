@@ -58,6 +58,30 @@ class NeighborContextSpec extends AnyFunSuite {
       numPartitions = 4).count() == 0)
   }
 
+  test("null or non-castable order-key values are a contract error, not an NPE") {
+    import spark.implicits._
+    val withNullId = Seq((java.lang.Long.valueOf(1L), "a"), (null: java.lang.Long, "b"))
+      .toDF("doc_id", "text")
+    val e = intercept[org.apache.spark.SparkException] {
+      NeighborContext.neighbors(spark, withNullId, "doc_id", "text",
+        numPartitions = 2).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+      c.getMessage.contains("doc_id")))
+    // string ids that fail the LongType cast error out too — under ANSI
+    // (Spark 4 default) the cast itself throws a clear SparkNumberFormat
+    // error; with ANSI off the cast nulls and the guard above fires
+    val strIds = Seq(("a17", "x"), ("9", "y")).toDF("doc_id", "text")
+    val e2 = intercept[Exception] {
+      NeighborContext.neighbors(spark, strIds, "doc_id", "text",
+        numPartitions = 2).collect()
+    }
+    assert(causes(e2).exists(c => c.isInstanceOf[IllegalArgumentException] ||
+      c.getClass.getName.contains("NumberFormat")))
+  }
+
   test("plan has no single-partition WindowExec; scales with the partition count") {
     import spark.implicits._
     val df = (1 to 2000).map(i => (i.toLong * 3, s"text $i")).toDF("doc_id", "text")

@@ -435,6 +435,14 @@ final class SearchHttpServer(
     "series_start_date" -> jstrOrNull(d.meta.get("series_start_date")),
     "series_end_date" -> jstrOrNull(d.meta.get("series_end_date")))
 
+  // best-effort error reply: when the handler failed AFTER headers went out
+  // (client disconnected mid-write → IOException from os.write), a second
+  // sendResponseHeaders throws — the original failure is the story, not
+  // this reply, so it must not escape the handler
+  private def tryRespond(ex: HttpExchange, code: Int, json: JValue): Unit =
+    try respond(ex, code, json)
+    catch { case _: java.io.IOException | _: IllegalStateException => () }
+
   private def endpoint(ctx: String)(body: HttpExchange => Unit): Unit =
     server.createContext(ctx, new HttpHandler {
       def handle(ex: HttpExchange): Unit = try body(ex)
@@ -443,9 +451,9 @@ final class SearchHttpServer(
         // same classification as /api/search
         case e @ (_: IllegalArgumentException | _: MappingException |
                   _: com.fasterxml.jackson.core.JacksonException) =>
-          respond(ex, 400, JObject("detail" -> JString(s"Validation error: ${e.getMessage}")))
+          tryRespond(ex, 400, JObject("detail" -> JString(s"Validation error: ${e.getMessage}")))
         case e: Exception =>
-          respond(ex, 500, JObject("detail" -> JString(s"Internal server error: ${e.getMessage}")))
+          tryRespond(ex, 500, JObject("detail" -> JString(s"Internal server error: ${e.getMessage}")))
       } finally ex.close()
     })
 

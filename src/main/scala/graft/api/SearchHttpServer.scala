@@ -109,8 +109,15 @@ final class SearchHttpServer(
     * literals are bracketed so `http://$host:$port` stays a valid URL.
     */
   def boundHostForUrl: String = {
-    val h = server.getAddress.getAddress.getHostAddress
-    if (h.contains(":")) s"[$h]" else h
+    val a = server.getAddress.getAddress
+    // a wildcard bind (0.0.0.0 / ::) is not a connectable address — log and
+    // self-test via the loopback of the same family instead
+    if (a.isAnyLocalAddress) {
+      if (a.isInstanceOf[java.net.Inet6Address]) "[::1]" else "127.0.0.1"
+    } else {
+      val h = a.getHostAddress
+      if (h.contains(":")) s"[$h]" else h
+    }
   }
 
   private def langCode(l: String): String = Langs.code(l)

@@ -188,7 +188,30 @@ object IndexBuild extends Serializable {
     // also cheap and convergent: the replay restores the committed state,
     // then resume validation rebuilds exactly the chunks whose input
     // signatures drifted.
-    recoverPendingMutation(spark, outDir)
+    //
+    // ONE exception: a journal whose tmp_rewrite inputs are GONE (operator
+    // or disk-cleanup deleted them) cannot replay — and the replay's own
+    // error message prescribes "rebuild the index", which is THIS call. A
+    // hard require here would wedge the operator in a loop only a manual
+    // journal delete breaks. Since a full-corpus build supersedes the
+    // interrupted mutation, build() recovers by force: the journaled chunks
+    // are excluded from resume-skip (their manifest signature can still
+    // match an unchanged corpus while the chunk FILES are half-overwritten
+    // by the crashed rewrite — signature-trusting them would serve
+    // corruption), rebuilt from the corpus below, and the journal is
+    // cleared only AFTER those rebuilds + finalizeStats land (a crash in
+    // between re-enters this path and converges; serving stays refused on
+    // the journal throughout).
+    val journalSupersede: Set[Int] = pendingJournal(outDir) match {
+      case None => Set.empty
+      case Some((ks, _)) if ks.forall(k => TableIO.exists(tmpPath(outDir, k))) =>
+        recoverPendingMutation(spark, outDir); Set.empty
+      case Some((ks, _)) =>
+        println(s"[build] journaled mutation on chunk(s) ${ks.mkString(",")} " +
+          s"of $outDir cannot replay (tmp rewrite input deleted) — this " +
+          "full build supersedes it; forcing those chunks to rebuild")
+        ks.toSet
+    }
     val derivedIds =
       !input.columns.contains("docId") && !input.columns.contains("doc_id")
     val webtext = {
@@ -250,6 +273,10 @@ object IndexBuild extends Serializable {
         val current = Manifest.inputSignatures(webtext, numChunks, storePositions)
         val byChunk = Manifest.rows(outDir).groupBy(_.chunk).map { case (c, rs) => c -> rs.last }
         recorded.filter { c =>
+          // journal-superseded chunks are never resume-skipped: their files
+          // may be half-overwritten by the crashed mutation even though the
+          // manifest signature still matches the (unchanged) corpus input
+          !journalSupersede.contains(c) &&
           byChunk.get(c).exists(r =>
             r.inputChecksum == current.getOrElse(c, Manifest.emptySig(storePositions)))
         }
@@ -299,6 +326,13 @@ object IndexBuild extends Serializable {
       }
     }
     finalizeStats(spark, outDir)
+    // journal cleared LAST, mirroring replayJournaled's ordering: the
+    // superseding rebuilds and the stats they feed are durable first, so a
+    // crash anywhere above re-enters the force-rebuild path (idempotent)
+    if (journalSupersede.nonEmpty) {
+      TableIO.deleteRecursive(pendingPath(outDir))
+      journalSupersede.foreach(k => TableIO.deleteRecursive(tmpPath(outDir, k)))
+    }
     } finally if (derivedIds) webtext.unpersist()
   }
 

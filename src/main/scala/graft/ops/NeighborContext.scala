@@ -49,7 +49,14 @@ object NeighborContext extends Serializable {
     val ranged = df
       .select(col(idCol).cast(LongType).as(idCol), col(textCol).cast(StringType).as(textCol))
       .repartitionByRange(parts, col(idCol))
-      .sortWithinPartitions(idCol)
+      // textCol as tiebreaker: the boundary pass and the main pass are two
+      // JOBS re-sorting the same shuffle blocks, whose fetch order is not
+      // guaranteed — an id-only sort could order duplicate ids differently
+      // per job and hand partition P+1 a prev_snippet that disagrees with
+      // the row the main pass actually emitted last in P. (id, text) makes
+      // the sort total up to full-duplicate rows, which are
+      // indistinguishable by value; costs a comparison only on id ties.
+      .sortWithinPartitions(col(idCol), col(textCol))
     // one EXCHANGE, two reads: the boundary pass and the main pass both run
     // jobs over this RDD — the second re-reads the exchange's shuffle files
     // (stage reuse) and re-pays only the partition-local sort, never a

@@ -582,6 +582,9 @@ object Bm25Query {
     */
   def suggestPlan(spark: SparkSession, idx: IndexHandle, lang: String,
       qSeq: Seq[String], size: Int, minScore: Double): DataFrame = {
+    // suggest() guards this internally; name the precondition for any other
+    // caller instead of letting the StartsWith reduce throw empty.reduce
+    require(qSeq.nonEmpty, "suggestPlan needs at least one query term")
     val osaUdf = udf((a: String, b: String) => damerauLevenshtein(a, b))
     val qArr = array(qSeq.map(lit(_)): _*)
     val maxLen = greatest(length(col("term")), length(col("qword"))).cast("double")

@@ -771,6 +771,36 @@ class IndexBuildSpec extends AnyFunSuite {
       graft.query.IndexHandle.load(fresh).stats)
   }
 
+  test("build() supersedes a journaled mutation whose tmp input is gone — no wedge, no signature-skip corruption") {
+    import org.apache.spark.sql.functions._
+    val dir = "/tmp/gidx-journal-notmp"
+    val fresh = "/tmp/gidx-journal-notmp-fresh"
+    rm(dir); rm(fresh)
+    val corpus = Webtext.synthesize(spark, 400, partitions = 3).toDF()
+    IndexBuild.build(spark, corpus, dir, numChunks = 2)
+    // a mutation on chunk 0 died mid-rewrite AND its tmp input was later
+    // deleted (disk cleanup): journal present, replay impossible, chunk torn
+    TableIO.writeStringAtomic(s"$dir/mutation_pending.json", """{"chunk": 0}""")
+    rm(s"$dir/segments/chunk=0")
+    // serving refuses, and the replay path refuses too (it prescribes a
+    // rebuild — which pre-fix was itself wedged on the same require)
+    assert(intercept[RuntimeException](graft.query.IndexHandle.load(dir))
+      .getMessage.contains("interrupted mutation"))
+    assert(intercept[IllegalArgumentException](
+      IndexBuild.recoverPendingMutation(spark, dir))
+      .getMessage.contains("rebuild the index"))
+    // rebuild over the UNCHANGED corpus — the harshest case: chunk 0's
+    // manifest signature still matches the input, so without the forced
+    // rebuild it would be resume-skipped with torn files on disk
+    IndexBuild.build(spark, corpus, dir, numChunks = 2)
+    assert(IndexBuild.pendingMutation(dir).isEmpty)
+    // content equals a from-scratch build, and serving loads again
+    IndexBuild.build(spark, corpus, fresh, numChunks = 2)
+    assert(postingsFingerprint(dir, compacted = false) ==
+      postingsFingerprint(fresh, compacted = false))
+    assert(graft.query.IndexHandle.load(dir).stats.nonEmpty)
+  }
+
   test("multi-chunk mutation: ONE journal covers every chunk — a crash between chunk rewrites recovers fully") {
     import org.apache.spark.sql.functions._
     val dir = "/tmp/gidx-journal-multi"

@@ -1419,7 +1419,7 @@ object SparkEntry {
         |  SELECT doc_id, text FROM documents
         |  UNION ALL SELECT doc_id + 1000000, text || ' near dup suffix' FROM documents WHERE doc_id % 17 = 0
         |  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 23 = 0),
-        |hashed AS (SELECT doc_id, sha256(text) AS h FROM planted),
+        |hashed AS (SELECT doc_id, sha256(text) AS h FROM planted WHERE text IS NOT NULL),
         |grp AS (SELECT h, min(doc_id) AS canonical_id, count(*) AS n FROM hashed GROUP BY h)
         |SELECT hashed.doc_id, grp.canonical_id
         |FROM hashed JOIN grp USING (h)
@@ -1797,11 +1797,11 @@ object SparkEntry {
         |  SELECT doc_id,
         |         len(string_split(text, chr(10))) AS n_lines,
         |         len(list_distinct(string_split(text, chr(10)))) AS n_distinct_lines
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |w AS (
         |  SELECT doc_id, w, count(*) AS c
         |  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
-        |        FROM documents)
+        |        FROM documents WHERE text IS NOT NULL)
         |  WHERE w <> '' GROUP BY doc_id, w),
         |ws AS (SELECT doc_id, sum(c) AS n_words, max(c) AS top_word_count
         |       FROM w GROUP BY doc_id)
@@ -2031,11 +2031,11 @@ object SparkEntry {
         |  SELECT doc_id,
         |         len(string_split(text, chr(10))) AS n_lines,
         |         len(list_distinct(string_split(text, chr(10)))) AS n_distinct_lines
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |w AS (
         |  SELECT doc_id, w, count(*) AS c
         |  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
-        |        FROM documents)
+        |        FROM documents WHERE text IS NOT NULL)
         |  WHERE w <> '' GROUP BY doc_id, w),
         |ws AS (SELECT doc_id, sum(c) AS n_words, max(c) AS top_word_count
         |       FROM w GROUP BY doc_id),

@@ -38,7 +38,13 @@ object Dedup {
     * (docs whose text equals an earlier doc's), with the canonical (min) id.
     */
   def exactDuplicates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val hashed = docs.select(col(idCol).as("doc_id"), sha2(col(textCol), 256).as("content_hash"))
+    // NULL text is UNKNOWN content, not identical content: sha2(NULL)=NULL
+    // and the window would cluster every NULL-text doc as a "duplicate" of
+    // the min-id one — a dedup pipeline would then delete docs whose text
+    // is merely absent. Dropped here, matching the sketch paths (shingles/
+    // minhash/simhash all make NULL text contribute nothing).
+    val hashed = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), sha2(col(textCol), 256).as("content_hash"))
     // one window over the hash shuffle, not groupBy + self-join: the join
     // shape scans (and sha256-hashes) the corpus TWICE — the agg subtree and
     // the probe side differ physically, so the exchange isn't reused. A
@@ -49,16 +55,24 @@ object Dedup {
       .select("doc_id", "canonical_id", "content_hash")
   }
 
+  /** The ONE tokenizer every Dedup path shares. Candidate GENERATION
+    * (shingles, minhash signatures, simhash sketches) and candidate
+    * VERIFICATION (exactJaccard) must tokenize identically — "candidates
+    * verified with the exact Jaccard" silently loses recall if an edit to
+    * one copy's regex drifts from the others, with no test signal. A single
+    * definition makes that drift impossible. NULL-safe: null → no tokens
+    * (a NULL-text row contributes nothing anywhere in this file).
+    */
+  private[graft] def tokens(text: String): Array[String] =
+    if (text == null) Array.empty[String]
+    else text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty)
+
   /** Word n-gram shingle set per doc (distinct shingles). */
   def shingles(docs: DataFrame, n: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toShingles = udf { (text: String) =>
-      // a NULL text row contributes no shingles, never NPEs the job
-      if (text == null) Seq.empty[String]
-      else {
-        val w = text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty)
-        if (w.length < n) Seq.empty[String]
-        else w.sliding(n).map(_.mkString(" ")).toSeq.distinct
-      }
+      val w = tokens(text)
+      if (w.length < n) Seq.empty[String]
+      else w.sliding(n).map(_.mkString(" ")).toSeq.distinct
     }
     docs.select(col(idCol).as("doc_id"), explode(toShingles(col(textCol))).as("shingle"))
   }
@@ -152,8 +166,7 @@ object Dedup {
     val seeds = Array.tabulate(nh)(i => mix64(0x5EED0000L + i))
     val sigUdf = udf { (text: String) =>
       // NULL text → no signature (row drops out), same convention as shingles
-      val w = if (text == null) Array.empty[String]
-        else text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty)
+      val w = tokens(text)
       if (w.length < ng) Seq.empty[Long]
       else {
         val sig = Array.fill(nh)(Long.MaxValue)
@@ -230,7 +243,7 @@ object Dedup {
   /** Exact word-n-gram Jaccard of two texts (distinct shingles). */
   def exactJaccard(ta: String, tb: String, n: Int): Double = {
     def set(t: String): Set[String] = {
-      val w = t.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty)
+      val w = tokens(t)
       if (w.length < n) Set.empty[String]
       else w.sliding(n).map(_.mkString(" ")).toSet
     }
@@ -365,8 +378,7 @@ object Dedup {
     * fully recomputable by the DuckDB oracle, see [[md5Low60]]).
     */
   def simhash60(text: String): Long =
-    simhash60Tokens(
-      text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty))
+    simhash60Tokens(tokens(text))
 
   /** Token-array form of [[simhash60]] — callers that already tokenized
     * (e.g. [[simhashPairs]]'s emptiness gate) skip a second pass.

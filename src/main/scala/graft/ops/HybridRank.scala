@@ -29,6 +29,11 @@ object HybridRank {
       // old greatest(m, 1e-12) floor corrupted the all-negative case (a
       // vector side anti-correlated with every candidate): dividing by the
       // epsilon exploded scores ~1e12× instead of by the actual max.
+      // Residual quirk, kept DELIBERATELY for parity: dividing by a
+      // NEGATIVE max (possible only when every candidate on a side scores
+      // < 0 — never BM25, only an anti-correlated cosine side) flips that
+      // side's order, in our arithmetic and in result_ranker.py's alike.
+      // "Fixing" it here would diverge from the reference's ranking.
       deduped.crossJoin(F.broadcast(m))
         .select(col("doc_id"),
           when(coalesce(col("m"), lit(0.0)) === 0.0, lit(0.0))

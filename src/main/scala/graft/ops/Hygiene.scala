@@ -59,9 +59,17 @@ object Hygiene {
       .otherwise(url)
   }
 
-  /** Hostname of a URL (lowercased, port stripped). */
+  /** Hostname of a URL (lowercased, userinfo and port stripped). Userinfo
+    * must go: the authority "alice@example.com" names the same HOST as
+    * "bob@example.com", and leaving it in would split one physical host into
+    * many in domainStats' countDistinct (and any per-host rate grouping).
+    * '@' cannot appear in the host itself, so the greedy strip is exact —
+    * same reasoning as canonicalUrl's authority split above.
+    */
   def hostOf(url: Column): Column =
-    regexp_replace(lower(regexp_extract(url, "^[^:/?#]+://([^/?#]*)", 1)), ":\\d+$", "")
+    regexp_replace(
+      lower(regexp_replace(regexp_extract(url, "^[^:/?#]+://([^/?#]*)", 1), "^.*@", "")),
+      ":\\d+$", "")
 
   /** Registrable-domain approximation: last two DNS labels. A production
     * deployment substitutes the public-suffix list (a data file, not an
@@ -80,7 +88,12 @@ object Hygiene {
     * partial-aggregated map-side; nothing is per-doc quadratic.
     * @return (doc_id, n_words, n_lines, dup_line_frac, top_word_frac, flagged)
     */
-  def gopherRepetition(docs: DataFrame): DataFrame = {
+  def gopherRepetition(docsIn: DataFrame): DataFrame = {
+    // NULL text has no repetition metrics: size(split(NULL)) is -1 under
+    // legacy semantics, which would emit n_lines=-1 / flagged=false rows
+    // that domainStats then averages into per-domain quality. Dropped,
+    // consistent with ngramRepetition's NULL guard.
+    val docs = docsIn.where(col("text").isNotNull)
     val lines = split(col("text"), "\n")
     val lineStats = docs.select(
       col("doc_id"),

@@ -322,10 +322,23 @@ object Similarity {
     * centroid table. Two broadcast passes (corpus×centroids assignment,
     * queries×centroids probes) + one cell equi-join — no shuffle of the
     * corpus beyond the cell join.
+    *
+    * Contract note: a corpus with NO `vec_id < nlist` rows (ids start above
+    * nlist, or a filter removed them) has no centroids and the result is
+    * EMPTY for every query — hnswRoutedTopK codes the same branch. That is
+    * indistinguishable from "no neighbors" downstream, so the case is
+    * detected up front (one tiny limit-1 job against the centroid scan,
+    * negligible next to the ANN join) and warned loudly here. For filtered
+    * kNN, filter the QUERY side or use the *FilteredTopK variants — they
+    * filter after bucketing precisely so centroids survive.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nProbe: Int = 4): DataFrame = {
     val cents = sampleCentroids(corpus, nlist)
+    if (cents.isEmpty)
+      System.err.println(s"[similarity] WARN ivfTopK: no centroid rows " +
+        s"(no vec_id < nlist=$nlist in the corpus) — every query returns " +
+        "empty; supply ids covering [0, nlist) or raise nlist")
     def nearestCells(df: DataFrame, idCol: String, n: Int): DataFrame =
       Similarity.nearestCells(df, cents, idCol, n)
     val assigned = corpus.join(nearestCells(corpus, "vec_id", 1), "vec_id")

@@ -258,6 +258,26 @@ final class PostingListReader(blob: Array[Byte], posBlob: Array[Byte]) {
     new PostingIterator(this, withPositions)
 }
 
+object PostingListReader {
+  /** Every docId of a posting blob, decoded — THE shared drain loop for
+    * callers that want the id set rather than a live iterator (the
+    * IndexAccessRule candidate generator, Bm25Query's exclude-terms
+    * semi-join side). One definition keeps the start/exhausted/next
+    * protocol in one place; kernels that drive skip pointers keep using
+    * the raw iterator. NULL-safe: null blob → no ids.
+    */
+  def docIds(blob: Array[Byte]): Array[Long] = {
+    if (blob == null) return Array.empty[Long]
+    val r = new PostingListReader(blob, null)
+    val out = new Array[Long](r.df)
+    val it = r.iterator()
+    it.start()
+    var i = 0
+    while (!it.exhausted) { out(i) = it.docId; i += 1; it.next() }
+    if (i == out.length) out else java.util.Arrays.copyOf(out, i)
+  }
+}
+
 /** Forward-only iterator with skip-based advance. `advance(target)` uses the
   * skip table (lastDocs) to jump whole blocks — the skip-pointer semantics of
   * the north rule — then scans within the block.

@@ -37,9 +37,10 @@ import graft.index.{IndexBuild, PostingListReader, TableIO}
   * langs of postings(t) therefore equals the predicate's satisfying set for
   * ANY literal, analyzable or not (a term the analyzer can never emit
   * simply has no segments row, and the semi join correctly returns
-  * nothing). NULL text/lang analyze to NULL, array_contains yields NULL,
-  * the Filter drops the row — and an unanalyzable doc is in no posting
-  * list, so the semi join drops it too.
+  * nothing). NULL text analyzes to an EMPTY array — the ScalaUDF does not
+  * null-propagate String inputs; `Analyzer.terms` returns empty on null —
+  * so array_contains yields FALSE and the Filter drops the row; an
+  * unanalyzable doc is in no posting list, so the semi join drops it too.
   *
   * The rewrite fires only when ALL of these hold (else the Filter is left
   * untouched — a full scan is always correct, just slow):
@@ -47,7 +48,13 @@ import graft.index.{IndexBuild, PostingListReader, TableIO}
   *    sibling index is servable: `segments` + `stats.json` exist (the same
   *    finalize gate serving keys on) and no mutation journal is pending (a
   *    mid-rewrite docstore/segments pair may disagree; the scan and the
-  *    lookup must describe the same snapshot);
+  *    lookup must describe the same snapshot). This gate runs at PLANNING
+  *    time — a mutation that starts during execution races the rewritten
+  *    plan's two table reads, just as it races any un-rewritten Spark query
+  *    over files being overwritten. The journal gate makes the common case
+  *    (query planned against a quiescent index) safe; concurrent
+  *    mutate-while-querying belongs on the serving path, whose resident
+  *    snapshots are immutable by construction;
   *  - the predicate conjunct is `array_contains(analyze_terms(text, lang),
   *    <non-null string literal>)` — or a pure disjunction of such leaves
   *    (any-term match), which becomes ONE semi join against the term SET's
@@ -64,15 +71,17 @@ import graft.index.{IndexBuild, PostingListReader, TableIO}
   * re-optimized).
   *
   * A negated leaf (`NOT array_contains(...)` — the DSL's must_not) stays
-  * residual BY DESIGN, not omission: the tempting LEFT ANTI rewrite is
-  * wrong under NULLs (a NULL-text doc is in no posting list, so the anti
-  * join would KEEP it, while `NOT <NULL>` is NULL and the Filter drops it),
-  * and patching that needs an `IsNotNull(text)` residual that puts the text
-  * column right back into the scan — forfeiting the pruning that is the
-  * at-scale win. The realistic case needs no rewrite anyway: the reference
-  * DSL only issues must_not alongside positive terms, and once the positive
-  * conjunct becomes a semi join the NOT residual re-analyzes only the
-  * O(|posting list|) survivors, not the corpus.
+  * residual BY DESIGN, not omission. Under the verified empty-array-on-NULL
+  * semantics above, a LEFT ANTI rewrite would TODAY agree with the Filter
+  * even for NULL text (both keep the row) — but that agreement hangs on the
+  * UDF never emitting NULL, a property nothing type-checks: a future
+  * null-propagating analyzer signature silently flips `NOT <NULL>` from
+  * keep to drop and the anti join diverges. The positive rewrite has no
+  * such dependence (FALSE and NULL both drop). And the realistic case
+  * gains nothing from the risk: the reference DSL only issues must_not
+  * alongside positive terms, and once the positive conjunct becomes a semi
+  * join the NOT residual re-analyzes only the O(|posting list|) survivors,
+  * not the corpus.
   *
   * Idempotent by construction: the rewrite consumes the ArrayContains
   * conjunct, so a fixed-point re-run finds nothing to match.
@@ -83,16 +92,8 @@ object IndexAccessRule extends Rule[LogicalPlan] with PredicateHelper {
     * codegen Expression: it runs once per matched (chunk, term) segment row
     * — a handful of rows per query — never per document.
     */
-  private val postingDocIds = udf((blob: Array[Byte]) => {
-    if (blob == null) Seq.empty[Long]
-    else {
-      val it = new PostingListReader(blob, null).iterator()
-      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-      it.start()
-      while (!it.exhausted) { out += it.docId; it.next() }
-      out.toSeq
-    }
-  })
+  private val postingDocIds = udf((blob: Array[Byte]) =>
+    PostingListReader.docIds(blob).toSeq)
 
   /** The analyzer lambda as stored inside every ScalaUDF built from
     * [[GraftFunctions.analyze_terms]] — reference identity is the precise
@@ -174,8 +175,16 @@ object IndexAccessRule extends Rule[LogicalPlan] with PredicateHelper {
     // each probe is a network round trip. A plan with nothing to rewrite
     // must cost zero I/O.
     case f @ Filter(cond, child)
-        if cond.exists { case ac: ArrayContains => matchLeaf(ac).isDefined
-                         case _ => false } =>
+        // cond.deterministic: the rewrite hoists the matched conjunct into
+        // a semi join BELOW the residual Filter, i.e. reorders evaluation.
+        // For deterministic residuals that is invisible; a nondeterministic
+        // residual (rand() sampling next to a term match) would draw on
+        // join survivors instead of every scanned row and return a
+        // different doc set than the un-rewritten plan — the same guard
+        // Spark's own PushDownPredicates applies before moving a predicate
+        if cond.deterministic &&
+          cond.exists { case ac: ArrayContains => matchLeaf(ac).isDefined
+                        case _ => false } =>
       val rels = child.collectLeaves().collect { case lr: LogicalRelation => lr }
       val rewrite = for {
         rel <- if (rels.size == 1) Some(rels.head) else None
@@ -233,6 +242,12 @@ object IndexAccessRule extends Rule[LogicalPlan] with PredicateHelper {
     */
   private val companionRules: Seq[Rule[LogicalPlan]] = Seq(
     org.apache.spark.sql.catalyst.optimizer.ColumnPruning,
+    // PushDownPredicates for the same reason as ColumnPruning: Spark's own
+    // filter pushdown has already run before this batch, so a residual
+    // conjunct the rewrite leaves above the new semi join (e.g. lang='en')
+    // would otherwise stay post-join instead of reaching the docstore scan
+    // as a PushedFilter — the extensions path re-fires it on its own
+    org.apache.spark.sql.catalyst.optimizer.PushDownPredicates,
     org.apache.spark.sql.catalyst.optimizer.CollapseProject,
     org.apache.spark.sql.catalyst.optimizer.RemoveNoopOperators)
 

@@ -438,14 +438,7 @@ object Bm25Query {
     spark.read.parquet(idx.segmentsPath)
       .where(col("lang") === lang && col("term").isin(terms: _*))
       .select(col("blob")).as[Array[Byte]]
-      .flatMap { blob =>
-        val it = new PostingListReader(blob, null).iterator()
-        it.start()
-        new Iterator[Long] {
-          def hasNext: Boolean = !it.exhausted
-          def next(): Long = { val d = it.docId; it.next(); d }
-        }
-      }
+      .flatMap(blob => PostingListReader.docIds(blob))
       .distinct()
       .toDF("docId")
   }

@@ -14,8 +14,19 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object IncrementalEvents {
 
-  /** Windowed counts per event type with a 10-minute watermark. Returns the
-    * in-memory result table after draining all available input once.
+  /** Windowed counts per event type. Returns the in-memory result table
+    * after draining all available input once.
+    *
+    * Honesty note on the watermark: under `outputMode("complete")` a
+    * watermark evicts NOTHING — complete mode retains and re-emits every
+    * window by definition, which is exactly what makes the spec's
+    * stream == batch parity hold for this drain-once demo. The
+    * `withWatermark` call here exercises the event-time plumbing (the NTZ
+    * cast + event-time column the engine requires) but does not bound
+    * state; a LONG-RUNNING deployment of this shape must switch to
+    * update/append mode, where the same watermark line actually closes
+    * windows and caps the state store — at the price of emitting only
+    * changed/final windows instead of the full table each tick.
     */
   def windowedCounts(spark: SparkSession, eventsDir: String, queryName: String): DataFrame = {
     val schema = spark.read.parquet(eventsDir).schema

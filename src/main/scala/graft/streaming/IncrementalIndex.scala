@@ -27,11 +27,27 @@ object IncrementalIndex {
     */
   /** numChunks defaults to the index's recorded props (a streaming writer
     * must never re-chunk an existing index differently from its build).
+    *
+    * `schema` lets the continuous daemon mode start BEFORE the source has
+    * emitted its first file: the default bootstrap infers the schema with a
+    * batch read of `sourceDir`, which throws on an empty or not-yet-created
+    * directory — the normal initial state of a crawler that hasn't run yet.
+    * Pass the corpus schema explicitly in that deployment (file streams
+    * require a schema up front; there is nothing to infer from zero files).
     */
   def run(spark: SparkSession, sourceDir: String, outDir: String,
-      numChunks: Int = -1, availableNow: Boolean = true): StreamingQuery = {
-    val schema = spark.read.parquet(sourceDir).schema // bootstrap schema
-    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+      numChunks: Int = -1, availableNow: Boolean = true,
+      schema: org.apache.spark.sql.types.StructType = null): StreamingQuery = {
+    val s =
+      if (schema != null) schema
+      else try spark.read.parquet(sourceDir).schema // bootstrap from files
+      catch {
+        case e: org.apache.spark.sql.AnalysisException => throw new IllegalArgumentException(
+          s"IncrementalIndex.run: cannot infer the stream schema from '$sourceDir' " +
+            "(missing or empty) — pass schema= explicitly to start before the " +
+            s"first source file exists (${e.getMessage})")
+      }
+    val stream = spark.readStream.schema(s).parquet(sourceDir)
     val writer = stream.writeStream
       .option("checkpointLocation", s"$outDir/stream_checkpoint")
       .foreachBatch { (batch: DataFrame, _: Long) =>

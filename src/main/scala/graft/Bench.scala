@@ -52,8 +52,16 @@ object Bench {
     // is still live belongs to a concurrent bench — left alone.
     Option(new java.io.File("/dev/shm").listFiles()).getOrElse(Array.empty)
       .filter(_.getName.startsWith("graft-spark-"))
-      .filter(_.getName.stripPrefix("graft-spark-").toLongOption
-        .forall(pid => !ProcessHandle.of(pid).isPresent))
+      .filter { f =>
+        // leading digits only: ScalingBench suffixes its dirs ("<pid>-<cpus>"),
+        // and this tool now suffixes corpus/idx/warm. Delete ONLY a dir whose
+        // pid PARSES and is dead — an unparseable name is not ours to reclaim
+        // (the old toLongOption.forall treated parse failure as "crashed" and
+        // deleted a LIVE concurrent ScalingBench's shuffle dir mid-attempt)
+        val pidStr = f.getName.stripPrefix("graft-spark-").takeWhile(_.isDigit)
+        pidStr.nonEmpty &&
+          pidStr.toLongOption.exists(pid => !ProcessHandle.of(pid).isPresent)
+      }
       .foreach(d => graft.tools.CpuProbe.rmDir(d.getAbsolutePath))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -133,21 +141,27 @@ object Bench {
     // ---- north-star: index build throughput (multi-attempt, steal-aware) ----
     val nCores = spark.sparkContext.defaultParallelism
     def rm(p: String): Unit = graft.tools.CpuProbe.rmDir(p)
+    // Scratch dirs share the pid-stamped `graft-spark-<pid>` prefix for two
+    // reasons: concurrent Bench runs no longer clobber each other's corpus/
+    // index mid-build (the old fixed names made two same-doc-count runs
+    // mutually destructive), and a CRASHED run's dirs are reclaimed by the
+    // startup sweep above, which keys on exactly this prefix + dead pid
+    val warmDir = s"$localDir-warm"
     // JIT warmup (analyzer + codec hot loops) so the timed build measures
     // steady-state throughput, not C2 compilation
-    rm("/dev/shm/graft_bench_warm")
+    rm(warmDir)
     IndexBuild.build(spark, Webtext.synthesize(spark, 5000).toDF(),
-      "/dev/shm/graft_bench_warm", numChunks = 1)
+      warmDir, numChunks = 1)
     // Pre-materialize the corpus (UNTIMED): the engine's input is a TABLE
     // (BASELINE.json input_hint: an Iceberg table of web pages), so the timed
     // build must read parquet, not pay the synthetic generator's cost
-    val corpusDir = s"/dev/shm/graft_bench_corpus_$benchDocs"
+    val corpusDir = s"$localDir-corpus-$benchDocs"
     rm(corpusDir)
     Webtext.synthesize(spark, benchDocs, partitions = nCores * 4).toDF()
       .drop("html") // build consumes text; html is the extraction plane's input
       .write.parquet(corpusDir)
     val corpus = spark.read.parquet(corpusDir)
-    val idxDir = s"/dev/shm/graft_bench_idx_$benchDocs"
+    val idxDir = s"$localDir-idx-$benchDocs"
     // Early exit: once an attempt lands under `goodEnough` (defaults to ~2x
     // the clean-window record, scaled to the doc count) further attempts just
     // burn the driver's budget; conversely a run of bad attempts stops at
@@ -377,12 +391,15 @@ object Bench {
       }
     }
 
-    rm(idxDir); rm(corpusDir); rm("/dev/shm/graft_bench_warm") // tmpfs hygiene
+    rm(idxDir); rm(corpusDir); rm(warmDir) // tmpfs hygiene
     // machine-capacity probe: delivered parallel efficiency at this thread
     // count right now (1.0 = linear; see graft.tools.CpuProbe) — lets a
     // reader separate engine performance from host contention at bench time
     val probe = graft.tools.CpuProbe.efficiency(cpus.toInt)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // %.4f, same precision as metric_floors/metric_attempts: serve p50s sit
+    // at 0.5-1 ms, where %.3f quantized a 0.0005 s median to "0.001" (2×)
+    // and would print a faster window's sub-0.5 ms median as "0.000"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val attemptsJson = buildAttempts.map { case (w, st, pr) =>
       f"""{"wall":$w%.2f,"steal_pct":$st%.1f,"cpu_probe":$pr%.3f}"""

@@ -39,7 +39,22 @@ object Verify {
         // this run's partial overwrite) surviving here would make the
         // positional DuckDB compare score a broken query green
         val dir = new java.io.File(s"$outDir/$name")
-        if (dir.exists()) scala.reflect.io.Directory(dir).deleteRecursively()
+        if (dir.exists()) {
+          graft.tools.CpuProbe.rmDir(dir.getAbsolutePath) // the one shared recursive delete
+          if (dir.exists()) {
+            // a delete can fail WITHOUT throwing (open handle on a part
+            // file) — and stale parquet here is exactly what scores a
+            // broken query green. Move it out of the compare's
+            // <name>/*.parquet glob; if even the rename fails, crash
+            // loudly rather than publish a lie.
+            val aside = new java.io.File(s"$outDir/$name.failed")
+            graft.tools.CpuProbe.rmDir(aside.getAbsolutePath)
+            if (!dir.renameTo(aside))
+              throw new IllegalStateException(
+                s"verify: cannot remove or move stale output $dir — " +
+                  "refusing to let a broken query score green")
+          }
+        }
         failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

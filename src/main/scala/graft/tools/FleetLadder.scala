@@ -18,8 +18,13 @@ import graft.query.{IndexHandle, InMemoryIndex, ProcFleet, QuerySpec}
   *   - the coverage handshake at every topology (a mis-assigned ladder run
   *     fails loudly instead of publishing an under-covered qps).
   *
-  * N=1 is the single full resident node (the honest reference: no scatter,
-  * docstore resident). Emits one JSON line (BENCH_r*_fleet artifact).
+  * N=1 is the single-node reference: no scatter, ALL chunks loaded by one
+  * in-process node — loaded with the same chunk-scoped load the shard
+  * topologies use (chunks=all), so every rung pays the identical per-chunk
+  * load path and point-reads payloads on demand; the docstore is NOT bulk
+  * collected at any rung. Comparable-load by construction — do not compare
+  * its qps against earlier rounds' fully-resident-docstore single-node
+  * numbers. Emits one JSON line (BENCH_r*_fleet artifact).
   *
   * Env: GRAFT_FLEETLADDER_DOCS (default 2000000), GRAFT_FLEETLADDER_SHARDS
   * ("1,2,4"), GRAFT_FLEETLADDER_DIR (/tmp/graft-fleetladder),

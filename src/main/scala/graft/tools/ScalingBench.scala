@@ -90,8 +90,18 @@ object ScalingBench {
         (System.nanoTime() - q0) / 1e9
       }.sorted.apply(2)
       s.stop()
-      System.err.println(f"[scaling] cores=$cpus attempt=$a wall=$tBuild%.1f s steal=$stealPct%.1f%% cpu_probe=$probe%.2f")
-      (tBuild, docs / tBuild, lat, stealPct, probe)
+      // min(pre, post), the same guard Bench/FleetLadder apply: a host cap
+      // that ARRIVES during the tens-of-seconds build (the documented
+      // round-4 failure mode) is invisible to a pre-only probe, and the
+      // published probe feeds efficiency_hw_normalized — a clean pre next
+      // to a capped attempt would hw-normalize by the wrong delivered
+      // capacity. Probed after the query loop so the whole attempt window
+      // is bracketed.
+      val probePost = CpuProbe.efficiency(cpus)
+      val probeMin = math.min(probe, probePost)
+      System.err.println(f"[scaling] cores=$cpus attempt=$a wall=$tBuild%.1f s " +
+        f"steal=$stealPct%.1f%% cpu_probe=$probeMin%.2f (pre $probe%.2f / post $probePost%.2f)")
+      (tBuild, docs / tBuild, lat, stealPct, probeMin)
     }
 
     // INTERLEAVED attempts (lo, hi, lo, hi, ...): this host's capacity drifts

@@ -107,6 +107,15 @@ object IndexBuild extends Serializable {
   def facetBucketOf(key: String): Int =
     Math.floorMod(key.hashCode, DefaultBuckets)
 
+  /** Term shard of a term — THE definition of the segments `bucket` column.
+    * One copy (build writes it at three sites, the query layer routes
+    * term-bucket-subset nodes by it): a formula change applied to only some
+    * copies would silently desync shard routing from the built column and
+    * return empty results for in-shard terms.
+    */
+  def termBucketOf(term: String): Int =
+    Math.floorMod(term.hashCode, DefaultBuckets)
+
   /** Standardize any webtext-shaped input to the build schema.
     * Input must have: url, warc_ts, (html | text), lang; docId optional
     * (derived deterministically from url hash if absent); meta optional.
@@ -508,7 +517,7 @@ object IndexBuild extends Serializable {
         // runs are exchanged and k-way merged.
         def toSegment(r: Run): SegmentRow = {
           val reader = new PostingListReader(r.blob, r.posBlob)
-          SegmentRow(k, r.lang, Math.floorMod(r.term.hashCode, DefaultBuckets),
+          SegmentRow(k, r.lang, termBucketOf(r.term),
             r.term, reader.df.toLong, reader.cf, r.blob, r.posBlob)
         }
         val segments =
@@ -527,7 +536,7 @@ object IndexBuild extends Serializable {
               .mapGroups { (key: (String, String), rs: Iterator[Run]) =>
                 val (blob, posBlob, df, cf) =
                   PostingListMerger.merge(rs.map(r => (r.blob, r.posBlob)).toSeq)
-                SegmentRow(k, key._1, Math.floorMod(key._2.hashCode, DefaultBuckets),
+                SegmentRow(k, key._1, termBucketOf(key._2),
                   key._2, df.toLong, cf, blob, posBlob)
               }
             direct.union(merged)
@@ -1123,7 +1132,7 @@ object IndexBuild extends Serializable {
       .mapGroups { (key: (String, String), rs: Iterator[SegmentRow]) =>
         val (blob, posBlob, df, cf) =
           PostingListMerger.merge(rs.map(r => (r.blob, r.posBlob)).toSeq)
-        SegmentRow(-1, key._1, Math.floorMod(key._2.hashCode, DefaultBuckets),
+        SegmentRow(-1, key._1, termBucketOf(key._2),
           key._2, df.toLong, cf, blob, posBlob)
       }
       .toDF()

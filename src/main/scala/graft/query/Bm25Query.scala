@@ -235,9 +235,25 @@ object Bm25Query {
             // starving under concurrent filtered searches
             scala.concurrent.blocking { facetRows.as[QueryCore.FacetRow].collect() })(
             scala.concurrent.ExecutionContext.global)
-        val postList = rows.as[QueryCore.PostRow].collect()
+        val postList =
+          try rows.as[QueryCore.PostRow].collect()
+          catch { case t: Throwable =>
+            // the concurrent facet job cannot be cancelled from here (no
+            // job-group tagging on this path) — observe its future so the
+            // in-flight job's own failure is never an unobserved orphan,
+            // then surface the postings failure as THE error
+            if (facetFut != null)
+              facetFut.onComplete(_ => ())(scala.concurrent.ExecutionContext.global)
+            throw t
+          }
         val facetList =
           if (facetFut == null) Array.empty[QueryCore.FacetRow]
+          // Duration.Inf is deliberate: this parallels the synchronous
+          // .collect() above, which is itself an unbounded same-JVM wait on
+          // the same scheduler — a bound here would time out legitimate
+          // large-corpus facet reads while protecting against nothing the
+          // sibling collect isn't equally exposed to (PeerRpc's bounded
+          // waits guard CROSS-PROCESS hangs, a different failure domain)
           else scala.concurrent.Await.result(facetFut, scala.concurrent.duration.Duration.Inf)
         val facetByChunk = QueryCore.decodeFacets(facetList).groupBy(_._1)
         postList.groupBy(_._1).iterator.flatMap { case (chunk, posts) =>
@@ -268,7 +284,11 @@ object Bm25Query {
           .where(col("docId").isin(ids.toSeq: _*))
           .select("docId", "url", "lang", "text")
           .collect()
-          .map(r => r.getLong(0) -> (r.getString(1), r.getString(3)))
+          // null url/text normalize to "" exactly like the resident path
+          // (InMemoryIndex.load documents NULL columns as legal docstore
+          // rows); a null Hit.url would NPE the JSON render downstream
+          .map(r => r.getLong(0) ->
+            (Option(r.getString(1)).getOrElse(""), Option(r.getString(3)).getOrElse("")))
           .toMap
         val qset = terms.map(_._1).toSet
         page.toSeq.map { sd =>

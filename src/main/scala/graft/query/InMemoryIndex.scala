@@ -355,11 +355,11 @@ object InMemoryIndex {
     * of url+text is tens of MB — cleared wholesale when exceeded). */
   @volatile var PayloadCacheMax: Int = 1 << 16
 
-  /** Term-shard id of a term — must match the `bucket` column written at
-    * build time (IndexBuild.toSegment).
+  /** Term-shard id of a term — delegates to THE bucket definition the build
+    * writes ([[graft.index.IndexBuild.termBucketOf]]); a second formula copy
+    * here could silently desync query routing from the built column.
     */
-  def bucketOf(term: String): Int =
-    Math.floorMod(term.hashCode, graft.index.IndexBuild.DefaultBuckets)
+  def bucketOf(term: String): Int = graft.index.IndexBuild.termBucketOf(term)
 
   /** Facet shards a query's filters need (key-level sharding, matching the
     * facet `bucket` column): metaFilter keys, `year` for year ranges, and the

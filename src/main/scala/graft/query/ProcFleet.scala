@@ -43,7 +43,11 @@ object Wire {
     QuerySpec(
       lang = str("lang"),
       query = str("query"),
-      mode = str("mode"),
+      // a MISSING mode falls back to QuerySpec's default "all", like every
+      // other field — the old "" default silently flipped AND queries to
+      // WAND any-mode on wire-format skew. An explicit JString("") still
+      // round-trips verbatim.
+      mode = (j \ "mode") match { case JString(v) => v; case _ => "all" },
       phrase = (j \ "phrase") == JBool(true),
       excludeWords = (j \ "excludeWords") match {
         case JArray(vs) => vs.collect { case JString(v) => v }; case _ => Nil },

@@ -115,16 +115,24 @@ object QueryCore {
     // text doubled analyzer work per phrase query on the serving hot path)
     val toks = Analyzer.analyze(q.query, q.lang)
     val terms = dedupQueryTerms(toks)
-    if (terms.isEmpty) return None
     // paging validation lives HERE, not per-surface: k = from + pageSize
     // wrapped negative would flip every kernel into count-only mode and
     // return a successful-looking empty page with totalHits > 0 for any
     // non-HTTP caller (the HTTP layer's MaxResultWindow is a policy cap on
     // top, not the correctness guard). pageSize 0 stays legal — that IS the
-    // count-only query.
+    // count-only query. Validated BEFORE the empty-analysis early return:
+    // the same invalid from must throw identically whether the query text
+    // analyzed to terms or to nothing (a stopword-only query previously
+    // returned a successful empty result for from=-5). trackTotalHits must
+    // be positive — at <= 0 every segment reports capped immediately,
+    // total collapses to 0/"gte" and the suggester fires on a MATCHING
+    // query, violating its documented trigger.
     require(q.from >= 0 && q.pageSize >= 0 &&
       q.from.toLong + q.pageSize <= Int.MaxValue,
       s"invalid paging: from=${q.from} pageSize=${q.pageSize}")
+    require(q.trackTotalHits > 0,
+      s"invalid trackTotalHits=${q.trackTotalHits} (must be positive)")
+    if (terms.isEmpty) return None
     val termIndex = terms.map(_._1).zipWithIndex.toMap
     val phrasePlan: Array[(Int, Int)] =
       if (!q.phrase) Array.empty

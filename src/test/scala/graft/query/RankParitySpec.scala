@@ -573,6 +573,19 @@ class RankParitySpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Bm25Query.search(spark, idx, QuerySpec("hi", hiPhrase, from = -1))
     }
+    // the guard fires BEFORE the empty-analysis early return: the same
+    // invalid from must throw identically when the query text analyzes to
+    // nothing (pre-fix a stopword-only/garbage query returned a successful
+    // empty result for from=-5)
+    intercept[IllegalArgumentException] {
+      Bm25Query.search(spark, idx, QuerySpec("hi", "???", from = -5))
+    }
+    // trackTotalHits <= 0 would make every segment report capped at once:
+    // total collapses to 0/"gte" and the suggester fires on a MATCHING
+    // query — rejected at the same choke point
+    intercept[IllegalArgumentException] {
+      Bm25Query.search(spark, idx, QuerySpec("hi", hiPhrase, trackTotalHits = 0))
+    }
   }
 
   test("driver-vs-executor path choice counts FACET volume, not just postings") {

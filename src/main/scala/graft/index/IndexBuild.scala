@@ -1,6 +1,6 @@
 package graft.index
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.analysis.Analyzer
@@ -115,6 +115,24 @@ object IndexBuild extends Serializable {
     */
   def termBucketOf(term: String): Int =
     Math.floorMod(term.hashCode, DefaultBuckets)
+
+  /** Facet keys the build derives (`year`/`has_date` from warc_ts) or the
+    * query kernel routes by (QueryCore's `__`-prefixed date-filter names) —
+    * user meta under any of them would merge into derived lists or be
+    * misrouted into the date-OR kernel (silent 0-hit queries). ONE
+    * definition, enforced at BOTH input choke points (buildChunk's stats
+    * agg and the pre-journal mutation validation): a key added to one
+    * hand-copy but not the other would pass pre-journal validation, then
+    * crash post-journal — exactly the recovery wedge the pre-journal check
+    * exists to prevent.
+    */
+  private[graft] def reservedFacetKeys: Seq[String] =
+    Seq("year", "has_date") ++ graft.query.QueryCore.DateKeys
+
+  /** Aggregate column counting meta entries under [[reservedFacetKeys]]. */
+  private[graft] def reservedMetaHits(meta: Column): Column =
+    coalesce(sum(size(array_intersect(map_keys(meta),
+      array(reservedFacetKeys.map(lit): _*)))), lit(0L))
 
   /** Standardize any webtext-shaped input to the build schema.
     * Input must have: url, warc_ts, (html | text), lang; docId optional
@@ -426,20 +444,15 @@ object IndexBuild extends Serializable {
         }
 
         val (nDocs, nTokens, inputSig) = phase(s"stats agg c$k") {
-          // same scan also validates meta keys: "year"/"has_date" are
-          // DERIVED facet keys (from warc_ts), and the __-prefixed names are
-          // QueryCore's synthetic date-filter routing keys — user meta under
-          // any of them would merge into derived lists / be misrouted into
-          // the date-OR kernel logic (silent 0-hit queries) instead of
-          // matching as a plain facet
-          val reserved = Seq("year", "has_date") ++ graft.query.QueryCore.DateKeys
+          // same scan also validates meta keys against THE shared reserved
+          // set (see reservedFacetKeys — the pre-journal mutation check
+          // enforces the same definition)
           val r = tokenized.agg(count(lit(1)), coalesce(sum($"dl"), lit(0L)),
             coalesce(expr(Manifest.RowHashExpr), lit(0L)),
-            coalesce(sum(size(array_intersect(map_keys($"meta"),
-              array(reserved.map(lit): _*)))), lit(0L))).collect()(0)
+            reservedMetaHits($"meta")).collect()(0)
           require(r.getLong(3) == 0L,
             s"chunk $k: ${r.getLong(3)} meta entries use reserved facet keys " +
-              s"(${reserved.mkString(", ")}: derived at build time or " +
+              s"(${reservedFacetKeys.mkString(", ")}: derived at build time or " +
               "query-kernel routing names) — rename them in the input")
           (r.getLong(0), r.getLong(1),
             Manifest.sig(storePositions, r.getLong(0), r.getLong(2)))
@@ -834,12 +847,10 @@ object IndexBuild extends Serializable {
         // writer's strictly-increasing contract), non-negative docIds
         // (VByte), no reserved facet keys (the stats-agg require). One agg
         // over the just-written tmp.
-        val reserved = Seq("year", "has_date") ++ graft.query.QueryCore.DateKeys
         val r = spark.read.parquet(tmp)
           .agg(count(lit(1)), countDistinct(col("docId")),
             coalesce(min(col("docId")), lit(0L)),
-            coalesce(sum(size(array_intersect(map_keys(col("meta")),
-              array(reserved.map(lit): _*)))), lit(0L))).collect()(0)
+            reservedMetaHits(col("meta"))).collect()(0)
         require(r.getLong(0) == r.getLong(1),
           s"chunk $k rewrite input has ${r.getLong(0) - r.getLong(1)} duplicate " +
             "docIds — the mutation batch must carry each docId once")
@@ -848,7 +859,8 @@ object IndexBuild extends Serializable {
             s"(min=${r.getLong(2)}) — posting codecs require docId >= 0")
         require(r.getLong(3) == 0L,
           s"chunk $k rewrite input: ${r.getLong(3)} meta entries use reserved " +
-            s"facet keys (${reserved.mkString(", ")}) — rename them in the batch")
+            s"facet keys (${reservedFacetKeys.mkString(", ")}) — rename them " +
+            "in the batch")
       }
     } catch {
       case t: Throwable =>

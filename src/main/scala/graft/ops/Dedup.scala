@@ -408,13 +408,11 @@ object Dedup {
     // all hash to the same value and pair up as hamming-0 "duplicates"
     // with no shared content, at quadratic join cost
     val shUdf = udf { (text: String) =>
-      if (text == null) None
-      else {
-        // tokenize ONCE: the emptiness gate and the sketch share the pass
-        val w = text.toLowerCase(java.util.Locale.ROOT)
-          .split("[^a-z0-9]+").filter(_.nonEmpty)
-        if (w.isEmpty) None else Some(simhash60Tokens(w))
-      }
+      // tokenize ONCE via THE shared tokenizer (tokens() is null-safe): the
+      // emptiness gate and the sketch share the pass, and the sketch here
+      // cannot drift from the verification tokenization
+      val w = tokens(text)
+      if (w.isEmpty) None else Some(simhash60Tokens(w))
     }
     val sh = docs.select(col("doc_id"), shUdf(col("text")).as("simhash"))
       .where(col("simhash").isNotNull)

@@ -42,9 +42,11 @@ object TextAnalysis {
     val digitRatio = digits / greatest(nChars, lit(1)).cast("double")
     val stop = Seq("the", "a", "of", "and", "to", "in", "is", "और", "की", "के", "અને", "છે")
     // case-insensitive: sentence-initial "The"/"A"/"In" are the same
-    // stopwords (the raw-case `words` stays as-is for the count/length cols)
-    val stopHits = size(filter(split(trim(lower(text)), "\\s+"),
-      w => w.isin(stop.map(lit(_)): _*)))
+    // stopwords. Lowercase the already-split `words` elements rather than
+    // re-splitting lower(text) — same count (lower() never creates or
+    // removes \s+ boundaries), one regex-split scan of the text instead of
+    // two on this scoring path
+    val stopHits = size(filter(words, w => lower(w).isin(stop.map(lit(_)): _*)))
     val stopRatio = when(nTokens === 0, 0.0).otherwise(stopHits / nTokens.cast("double"))
     val lengthOk = nTokens.between(20, 10000).cast("double")
     val score = round(

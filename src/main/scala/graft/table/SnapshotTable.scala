@@ -39,6 +39,15 @@ object SnapshotTable {
 
   final case class Snapshot(id: Long, parent: Long, files: Seq[String])
 
+  /** A snapshot manifest that is ABSENT — the concurrent-expireSnapshots
+    * race [[append]]'s rebase loop is allowed to retry on. Kept distinct
+    * from the unparseable-manifest error deliberately: a PRESENT-but-corrupt
+    * head manifest is permanent, so treating it as a rebase condition would
+    * exhaust the retry budget, delete the freshly staged data, and report a
+    * bogus "commit conflict" instead of the corruption.
+    */
+  final class MissingSnapshot(msg: String) extends RuntimeException(msg)
+
   private def snapDir(tableDir: String) = s"$tableDir/snapshots"
 
   private def snapPath(tableDir: String, id: Long) =
@@ -54,7 +63,7 @@ object SnapshotTable {
 
   def snapshot(tableDir: String, id: Long): Snapshot = {
     val txt = TableIO.readString(snapPath(tableDir, id))
-      .getOrElse(sys.error(s"no snapshot $id under $tableDir"))
+      .getOrElse(throw new MissingSnapshot(s"no snapshot $id under $tableDir"))
     val parent = "\"parent\":(-?\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong)
       .getOrElse(sys.error(s"unparseable snapshot $id"))
     val files = "\"files\":\\[([^\\]]*)\\]".r.findFirstMatchIn(txt).map(_.group(1))
@@ -94,10 +103,12 @@ object SnapshotTable {
       // a concurrent expireSnapshots can delete the parent manifest between
       // currentId and this read — that is a rebase condition (a fresh
       // currentId sees a retained head), not a crash that leaks the staged
-      // dir until orphan GC
+      // dir until orphan GC. ONLY the missing-manifest case rebases: an
+      // unparseable (corrupt) manifest propagates immediately with the
+      // staged dir intact, so the data survives for a retry after repair
       val parentFilesOpt =
         try Some(parent.map(p => snapshot(tableDir, p).files).getOrElse(Nil))
-        catch { case _: RuntimeException => None }
+        catch { case _: MissingSnapshot => None }
       parentFilesOpt.foreach { parentFiles =>
         val all = (parentFiles ++ newFiles).map(f => s""""$f"""").mkString(",")
         if (TableIO.writeStringIfAbsent(snapPath(tableDir, id),

@@ -78,6 +78,32 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.read(spark, tbl).count() == 2)
   }
 
+  test("corrupt head manifest: append surfaces the corruption, staged data survives") {
+    val tbl = "/tmp/gsnap-corrupt"
+    rm(tbl)
+    import spark.implicits._
+    SnapshotTable.append(spark, tbl, Seq((1L, "a")).toDF("docId", "text"))
+    // bit-rot the head manifest: present but unparseable. This must NOT be
+    // treated as the expireSnapshots rebase race — pre-fix, append burned
+    // all 20 rebases on it, DELETED its freshly staged parquet, and raised
+    // a bogus "commit conflict" instead of the corruption
+    val head = new java.io.File(s"$tbl/snapshots/snap-000000000001.json")
+    java.nio.file.Files.write(head.toPath, "{\"id\":1,\"par".getBytes("UTF-8"))
+    // drop the local-FS checksum sidecar: this case exercises CONTENT
+    // corruption (valid read, garbage JSON); a checksum-failing read is a
+    // different failure that propagates as its own IOException either way
+    new java.io.File(s"$tbl/snapshots/.snap-000000000001.json.crc").delete()
+    val before = new java.io.File(s"$tbl/data").listFiles().map(_.getName).toSet
+    val e = intercept[RuntimeException] {
+      SnapshotTable.append(spark, tbl, Seq((2L, "b")).toDF("docId", "text"))
+    }
+    assert(e.getMessage.contains("unparseable"),
+      s"must report the corruption, not a rebase conflict: ${e.getMessage}")
+    val after = new java.io.File(s"$tbl/data").listFiles().map(_.getName).toSet
+    assert((after -- before).sizeIs == 1,
+      "the staged data dir must survive the failure for retry-after-repair")
+  }
+
   test("concurrent appends: optimistic commits all land, ids dense, no rows lost") {
     val tbl = "/tmp/gsnap-race"
     rm(tbl)

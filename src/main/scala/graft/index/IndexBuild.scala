@@ -1070,8 +1070,14 @@ object IndexBuild extends Serializable {
     val json = stats.sortBy(_.lang).map { s =>
       s"""  "${s.lang}": {"docs": ${s.docs}, "totalTokens": ${s.totalTokens}}"""
     }.mkString("{\n", ",\n", "\n}")
-    TableIO.writeStringAtomic(s"$outDir/stats.json", json)
+    // termdict FIRST, stats.json LAST: both are fingerprinted by
+    // IndexVersion, so the final artifact write must be a fingerprinted one —
+    // a hot-reloading node that polled mid-finalize is then re-triggered by
+    // a later fingerprint move and converges on the fully-written state
+    // (stats.json content equality implies semantic equality, so a no-op
+    // rewrite needing no re-trigger is exactly the case where none fires)
     writeTermDict(spark, outDir)
+    TableIO.writeStringAtomic(s"$outDir/stats.json", json)
   }
 
   /** A5/Q8/W7 artifact: the term dictionary (lang, term, df, cf, bucket) as

@@ -608,8 +608,14 @@ object Bm25Query {
       .where(length(col("term")) >= 3)
       // OR of literal StartsWith predicates — unlike substring(term,1,1)
       // this pushes to the term-sorted termdict parquet as row-group-
-      // prunable filters (the same pushdown the old per-term loop had)
-      .where(qSeq.map(w => col("term").startsWith(w.substring(0, 1))).reduce(_ || _))
+      // prunable filters (the same pushdown the old per-term loop had).
+      // First CODE POINT, not substring(0,1): a supplementary-plane first
+      // char would make the literal a lone high surrogate, which UTF-8
+      // mangles — the predicate would match nothing and the Spark path
+      // would silently return zero suggestions where the resident one
+      // (code-point bucketed) finds candidates
+      .where(qSeq.map(w => col("term").startsWith(
+        w.substring(0, Character.charCount(w.codePointAt(0))))).reduce(_ || _))
       .withColumn("qword", explode(filter(qArr, q =>
         substring(q, 1, 1) === substring(col("term"), 1, 1) && q =!= col("term"))))
       .where(levenshtein(col("qword"), col("term")) <=

@@ -205,7 +205,11 @@ final class InMemoryIndex(
       .map(r => r._1 -> DocPayload(r._1,
         if (r._2 == null) "" else r._2, // null-safe url/text, same as load()
         if (r._3 == null) "" else r._3,
-        r._4, r._5))
+        r._4,
+        // a NULL meta map is a legal docstore row (normalizeInput passes
+        // meta through; every build stage tolerates it) — normalize like
+        // url/text or neighborIds' meta.get NPEs the /api/context render
+        if (r._5 == null) Map.empty else r._5))
       .toMap
   }
 
@@ -306,10 +310,14 @@ final class InMemoryIndex(
     */
   // first-char buckets of the suggest dictionary: a misspelled term scans
   // only its prefix bucket, not the whole vocabulary (suggest already
-  // restricts candidates to the same first character)
-  private val dictByPrefix: Map[String, Map[Char, Array[(String, Long)]]] =
+  // restricts candidates to the same first character). Bucket key is the
+  // first CODE POINT, not charAt(0): Spark's substring/startsWith gates are
+  // code-point based, so a UTF-16-unit key would let two supplementary-plane
+  // terms sharing only a high surrogate pair up here but not on the Spark
+  // path — a silent resident-vs-Spark suggest parity break
+  private val dictByPrefix: Map[String, Map[Int, Array[(String, Long)]]] =
     dict.map { case (lang, entries) =>
-      lang -> entries.filter(e => e._1.length >= 3).groupBy(_._1.charAt(0))
+      lang -> entries.filter(e => e._1.length >= 3).groupBy(_._1.codePointAt(0))
     }
 
   def suggest(lang: String, query: String, size: Int = 5, minScore: Double = 0.6): Seq[String] = {
@@ -319,7 +327,7 @@ final class InMemoryIndex(
     // repeated misspelled term would re-pay the full first-char-bucket scan
     // + OSA DP per occurrence for output the trailing .distinct collapses
     qTerms.toSeq.distinct.flatMap { w =>
-      byPrefix.getOrElse(w.charAt(0), Array.empty[(String, Long)]).iterator
+      byPrefix.getOrElse(w.codePointAt(0), Array.empty[(String, Long)]).iterator
         .filter { case (t, _) =>
           // length-delta prefilter BEFORE the O(len²) OSA DP: |len diff| is
           // a lower bound on edit distance, so score can only reach minScore
@@ -407,22 +415,24 @@ object InMemoryIndex {
     */
   def loadGlobalDf(spark: SparkSession, idx: IndexHandle): Map[(String, String), Long] = {
     import spark.implicits._
-    if (TableIO.exists(s"${idx.dir}/termdict"))
-      spark.read.parquet(s"${idx.dir}/termdict")
-        .select("lang", "term", "df")
-        .as[(String, String, Long)]
-        .collect()
-        .map { case (l, t, d) => (l, t) -> d }
-        .toMap
-    else // legacy index without the artifact: one column-pruned read of
-         // (lang, term, df) over all chunks — parity over silent drift
-      spark.read.parquet(idx.segmentsPath)
-        .groupBy(col("lang"), col("term"))
-        .agg(org.apache.spark.sql.functions.sum("df").as("df"))
-        .as[(String, String, Long)]
-        .collect()
-        .map { case (l, t, d) => (l, t) -> d }
-        .toMap
+    // source resolution delegates to IndexHandle.termdictPath — THE
+    // definition of where the artifact lives and when to fall back (a third
+    // inline existence check here could desync doc-shard nodes' global df
+    // from the Spark paths on an artifact-location change)
+    val rows = idx.termdictPath match {
+      case Some(p) =>
+        spark.read.parquet(p).select("lang", "term", "df")
+          .as[(String, String, Long)]
+      case None =>
+        // legacy index without the artifact: one column-pruned read of
+        // (lang, term, df) over all chunks (chunks partition docs, so
+        // per-chunk df sums to global df) — parity over silent drift
+        spark.read.parquet(idx.segmentsPath)
+          .groupBy(col("lang"), col("term"))
+          .agg(org.apache.spark.sql.functions.sum("df").as("df"))
+          .as[(String, String, Long)]
+    }
+    rows.collect().map { case (l, t, d) => (l, t) -> d }.toMap
   }
 
   /** @param sharedGlobalDf a termdict map loaded once via [[loadGlobalDf]]

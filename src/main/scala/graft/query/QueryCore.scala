@@ -132,6 +132,11 @@ object QueryCore {
       s"invalid paging: from=${q.from} pageSize=${q.pageSize}")
     require(q.trackTotalHits > 0,
       s"invalid trackTotalHits=${q.trackTotalHits} (must be positive)")
+    // filterSelections ALSO validates (the year/yearRange ambiguity refuse)
+    // — run it before the early return for the same reason as the paging
+    // requires above: a stopword-only query with ambiguous filters must
+    // throw identically to a matching one, not silently succeed empty
+    val (facetSel, dateSel) = filterSelections(q)
     if (terms.isEmpty) return None
     val termIndex = terms.map(_._1).zipWithIndex.toMap
     val phrasePlan: Array[(Int, Int)] =
@@ -139,7 +144,6 @@ object QueryCore {
       else toks.map(t => (termIndex(t.term), t.pos))
     val excludeTerms = q.excludeWords
       .flatMap(w => Analyzer.terms(w, q.lang)).distinct.toArray
-    val (facetSel, dateSel) = filterSelections(q)
     // match_phrase is conjunctive (reference slop-0 phrase): phrase + "any"
     // would silently skip verification in the WAND path, so force "all"
     val mode = if (q.phrase) "all" else q.mode
@@ -212,6 +216,14 @@ object QueryCore {
       case (None, Some(d))    => Some(new SortedIdSet(d))
       case (Some(m), Some(d)) => Some(new SortedIdSet(SortedIds.intersectAll(Array(m, d))))
     }
+    // a provably-empty selection (filter key absent from this chunk, date
+    // range matching nothing) admits no doc — skip the kernel instead of
+    // walking EVERY posting of every query term with passesFilters rejecting
+    // each one (theta never rises off -inf when no hit lands, so WAND's
+    // pruning never engages on that walk). Result is bit-identical to the
+    // full run: empty top, 0 hits, uncapped.
+    if (allowed.exists(_.isEmpty))
+      return Iterator.single(SegmentResult(Array.empty[ScoredDoc], 0L, capped = false))
     val exIts = postList.filter(r => ctx.exSet.contains(r._2)).map { r =>
       val it = new PostingListReader(r._4, null).iterator()
       it.start(); it

@@ -14,8 +14,11 @@ import graft.index.TableIO
   *     manifest commit files (names carry a monotonic (ts, counter) — see
   *     [[graft.index.Manifest]]), changing the count and the max sequence;
   *   - auto/explicit compaction rewrites `compact_state.json` and creates or
-  *     drops the `*_compact` read caches.
-  * Cost per poll: one small-directory listing + one tiny file read — no
+  *     drops the `*_compact` read caches;
+  *   - finalizeStats rewrites `termdict/` then `stats.json` (both
+  *     fingerprinted directly — see [[IndexVersion.of]] for why the manifest
+  *     commits alone don't cover the build path's final stats rewrite).
+  * Cost per poll: two small-directory listings + two tiny file reads — no
   * Spark job, no parquet footer reads.
   */
 object IndexVersion {
@@ -32,7 +35,25 @@ object IndexVersion {
     // different signal would either skip a reload across a real source flip
     // or reload onto a half-written cache the loader then ignores
     val hasCompact = graft.index.IndexBuild.compactServable(dir)
-    s"${commits.size}|$latest|$hasCompact|$compactState"
+    // finalizeStats' artifacts move the fingerprint too: build()'s LAST
+    // manifest commit lands BEFORE the corpus-wide stats/termdict rewrite
+    // (minutes at scale), so a reload triggered by that commit would pin
+    // PRE-build stats (every BM25 score skewed) with nothing ever
+    // re-triggering on the build path — the mutation paths converge only
+    // because noteMutation bumps compact_state afterwards. stats.json is
+    // hashed by content (written last — content equality IS semantic
+    // equality); the termdict swap is fingerprinted by its part-file names
+    // (fresh task UUIDs every rewrite, one dir listing per poll)
+    val stats = md5(TableIO.readString(s"$dir/stats.json").getOrElse(""))
+    val termdict = md5(
+      TableIO.listFiles(s"$dir/termdict", "part-").sorted.mkString(","))
+    s"${commits.size}|$latest|$hasCompact|$compactState|$stats|$termdict"
+  }
+
+  private def md5(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.map(b => f"${b & 0xff}%02x").mkString
   }
 }
 

@@ -543,6 +543,37 @@ class RankParitySpec extends AnyFunSuite {
     assert(Bm25Query.search(spark, idx, QuerySpec("hi", typo)).totalHits == 0)
   }
 
+  test("provably-empty filter selection: kernel short-circuit stays bit-identical") {
+    // a filter value that exists nowhere makes every segment's allowed set
+    // provably empty — the kernel now skips the posting walk entirely; the
+    // result must be indistinguishable from the full run (and the naive
+    // oracle): empty page, 0 total, exact relation, suggester untouched
+    val q = QuerySpec("hi", hiPhrase, metaFilters = Map("category" -> Seq("NoSuchCategory")))
+    assertParity(q, expectNonEmpty = false)
+    val r = Bm25Query.search(spark, idx, q)
+    assert(r.totalHits == 0L && r.hits.isEmpty && r.totalRelation == "eq")
+    val mem = InMemoryIndex.load(spark, idx)
+    val rm = mem.search(q)
+    assert(rm.totalHits == 0L && rm.hits.isEmpty && rm.totalRelation == "eq")
+  }
+
+  test("NULL-meta docstore rows: payload meta normalizes to empty, context never NPEs") {
+    import org.apache.spark.sql.functions._
+    val d3 = "/tmp/graft-test-idx-nullmeta"
+    val dd = new java.io.File(d3)
+    if (dd.exists()) scala.reflect.io.Directory(dd).deleteRecursively()
+    val corpus = Webtext.synthesize(spark, 200).toDF()
+      .withColumn("meta", when(col("docId") === 5L,
+        lit(null).cast("map<string,string>")).otherwise(col("meta")))
+    IndexBuild.build(spark, corpus, d3, numChunks = 1)
+    val mem = InMemoryIndex.load(spark, IndexHandle.load(d3))
+    // pre-fix: DocPayload.meta was null for this row and neighborIds'
+    // meta.get NPE'd the /api/context render (and the fleet neighbor wire)
+    val p = mem.docPayloads(Seq(5L))
+    assert(p.contains(5L) && p(5L).meta == Map.empty[String, String])
+    mem.context(5L) // must not throw, whatever neighbors it resolves
+  }
+
   test("NULL-text docstore rows: build indexes them, resident load serves them as empty") {
     import org.apache.spark.sql.functions._
     val d2 = "/tmp/graft-test-idx-nulltext"
@@ -585,6 +616,14 @@ class RankParitySpec extends AnyFunSuite {
     // query — rejected at the same choke point
     intercept[IllegalArgumentException] {
       Bm25Query.search(spark, idx, QuerySpec("hi", hiPhrase, trackTotalHits = 0))
+    }
+    // the year/yearRange ambiguity refuse must ALSO fire before the
+    // empty-analysis early return — same rule as the paging requires: a
+    // stopword-only query with ambiguous filters throws identically to a
+    // matching one instead of silently succeeding empty
+    intercept[IllegalArgumentException] {
+      Bm25Query.search(spark, idx, QuerySpec("hi", "???",
+        metaFilters = Map("year" -> Seq("2020")), yearRange = Some((2019, 2021))))
     }
   }
 

@@ -38,6 +38,13 @@ class ReloadSpec extends AnyFunSuite {
     // explicit compaction (no manifest append) must ALSO move it
     IndexBuild.compact(spark, dir)
     assert(IndexVersion.of(dir) != v1, "compaction must move the fingerprint")
+    // finalizeStats (stats/termdict rewrite, NO manifest append — build()'s
+    // final step) must ALSO move it: pre-fix, a reload triggered by the last
+    // chunk commit raced the corpus-wide stats rewrite and pinned PRE-build
+    // stats (skewing every BM25 score) with nothing ever re-triggering
+    val v2 = IndexVersion.of(dir)
+    IndexBuild.finalizeStats(spark, dir)
+    assert(IndexVersion.of(dir) != v2, "finalizeStats must move the fingerprint")
   }
 
   test("deleteByQuery (auto-compaction firing) swaps to post-mutation results with full parity") {

@@ -1850,13 +1850,15 @@ object SparkEntry {
         |ex AS (SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS line_no
         |       FROM lines),
         |common AS (
-        |  SELECT lower(trim(line)) AS norm
-        |  FROM ex WHERE trim(line) <> ''
+        |  SELECT lower(regexp_replace(line, '^\s+|\s+$', '', 'g')) AS norm
+        |  FROM ex WHERE regexp_replace(line, '^\s+|\s+$', '', 'g') <> ''
         |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
         |k AS (
         |  SELECT e.doc_id, e.line_no, e.line,
-        |         (trim(e.line) <> '' AND c.norm IS NOT NULL) AS dropped
-        |  FROM ex e LEFT JOIN common c ON lower(trim(e.line)) = c.norm)
+        |         (regexp_replace(e.line, '^\s+|\s+$', '', 'g') <> ''
+        |          AND c.norm IS NOT NULL) AS dropped
+        |  FROM ex e LEFT JOIN common c
+        |    ON lower(regexp_replace(e.line, '^\s+|\s+$', '', 'g')) = c.norm)
         |SELECT doc_id,
         |  CAST(count(*) AS INT) AS n_lines,
         |  CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS INT) AS n_dropped,
@@ -1912,8 +1914,9 @@ object SparkEntry {
         |       FROM lns),
         |k AS (
         |  SELECT doc_id, line_no, line,
-        |    (regexp_matches(trim(line), '[.!?"'']$')
-        |     AND len(list_filter(regexp_split_to_array(trim(line), '\s+'), x -> x <> '')) >= 3
+        |    (regexp_matches(regexp_replace(line, '^\s+|\s+$', '', 'g'), '[.!?"'']$')
+        |     AND len(list_filter(regexp_split_to_array(
+        |           regexp_replace(line, '^\s+|\s+$', '', 'g'), '\s+'), x -> x <> '')) >= 3
         |     AND NOT contains(lower(line), 'lorem ipsum')
         |     AND NOT contains(lower(line), 'javascript')
         |     AND NOT contains(lower(line), '{')
@@ -1922,8 +1925,9 @@ object SparkEntry {
         |  FROM ex),
         |clean AS (
         |  SELECT doc_id,
-        |    coalesce(string_agg(CASE WHEN kept THEN line END, chr(10) ORDER BY line_no), '')
-        |      AS text
+        |    coalesce(string_agg(CASE WHEN kept
+        |        THEN regexp_replace(line, '^\s+|\s+$', '', 'g') END,
+        |      chr(10) ORDER BY line_no), '') AS text
         |  FROM k GROUP BY doc_id),
         |dupped AS (
         |  SELECT doc_id, text FROM clean
@@ -2012,8 +2016,9 @@ object SparkEntry {
         |       FROM lines),
         |k AS (
         |  SELECT doc_id, line_no, line,
-        |    (regexp_matches(trim(line), '[.!?"'']$')
-        |     AND len(list_filter(regexp_split_to_array(trim(line), '\s+'), x -> x <> '')) >= 3
+        |    (regexp_matches(regexp_replace(line, '^\s+|\s+$', '', 'g'), '[.!?"'']$')
+        |     AND len(list_filter(regexp_split_to_array(
+        |           regexp_replace(line, '^\s+|\s+$', '', 'g'), '\s+'), x -> x <> '')) >= 3
         |     AND NOT contains(lower(line), 'lorem ipsum')
         |     AND NOT contains(lower(line), 'javascript')
         |     AND NOT contains(lower(line), '{')
@@ -2023,8 +2028,9 @@ object SparkEntry {
         |SELECT doc_id,
         |  CAST(count(*) AS INT) AS n_lines,
         |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS INT) AS n_kept,
-        |  coalesce(string_agg(CASE WHEN kept THEN line END, chr(10) ORDER BY line_no), '')
-        |    AS clean_text
+        |  coalesce(string_agg(CASE WHEN kept
+        |      THEN regexp_replace(line, '^\s+|\s+$', '', 'g') END,
+        |    chr(10) ORDER BY line_no), '') AS clean_text
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "domain_stats" ->
       """WITH ls AS (

@@ -668,16 +668,20 @@ object EvalApi {
     */
   def parseTitle(title: String): (Option[String], Option[String]) = {
     val t = devToAscii(title)
-    val wordDate = DateWords.findFirstMatchIn(t).flatMap { m =>
+    // first RESOLVABLE match, not first match: an earlier non-date that
+    // merely fits the shape ("15 minutes 1990" — "min" is no month;
+    // "3/25/2020" — month 25) must not shadow a real date later in the
+    // title, or the genuine "26 Sep 1978" would be dropped entirely
+    val wordDate = DateWords.findAllMatchIn(t).flatMap { m =>
       MonthNums.get(m.group(2).toLowerCase(java.util.Locale.ROOT).take(3)).map(mo =>
         (m, fmt("%02d-%02d-%04d", Int.box(m.group(1).toInt), Int.box(mo),
           Int.box(year4(m.group(3).toInt)))))
-    }
-    val numDate = DateNums.findFirstMatchIn(t).collect {
+    }.nextOption()
+    val numDate = DateNums.findAllMatchIn(t).collect {
       case m if m.group(2).toInt >= 1 && m.group(2).toInt <= 12 =>
         (m, fmt("%02d-%02d-%04d", Int.box(m.group(1).toInt),
           Int.box(m.group(2).toInt), Int.box(year4(m.group(3).toInt))))
-    }
+    }.nextOption()
     val date = wordDate.orElse(numDate)
     // the anchored bare-number pattern must not mistake a LEADING DATE's day
     // for a pravachan number ("26.09.1978" → no number, date only); the

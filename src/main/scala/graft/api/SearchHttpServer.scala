@@ -169,14 +169,12 @@ final class SearchHttpServer(
         (t \ "page_size").extractOrElse[Int](20),
         (t \ "page_number").extractOrElse[Int](1))
     }
-    def searchType(name: String): (JValue, Seq[String]) = {
+    def validateCfg(name: String): Unit = {
       val (enabled, pageSize, pageNumber) = typeCfg(name)
       // a DISABLED section's page config is never used — the reference
-      // skips the section before touching it, so validating it here would
-      // 400 a request the reference serves
-      if (!enabled)
-        return (JObject("results" -> JArray(Nil), "total_hits" -> JInt(0),
-          "page_size" -> JInt(pageSize), "page_number" -> JInt(pageNumber)), Nil)
+      // skips the section before touching it, so validating it would 400 a
+      // request the reference serves
+      if (!enabled) return
       if (pageSize <= 0 || pageNumber <= 0)
         throw new IllegalArgumentException(
           s"$name page_size and page_number must be positive")
@@ -187,6 +185,16 @@ final class SearchHttpServer(
         throw new IllegalArgumentException(
           s"$name page beyond max_result_window " +
             s"(page_number * page_size must be <= ${SearchHttpServer.MaxResultWindow})")
+    }
+    // BOTH sections validate before the FIRST search runs: a malformed
+    // Granth page config must 400 without first paying a full Pravachan
+    // search (on a fleet coordinator that is a scatter to every shard)
+    validateCfg("Pravachan"); validateCfg("Granth")
+    def searchType(name: String): (JValue, Seq[String]) = {
+      val (enabled, pageSize, pageNumber) = typeCfg(name)
+      if (!enabled)
+        return (JObject("results" -> JArray(Nil), "total_hits" -> JInt(0),
+          "page_size" -> JInt(pageSize), "page_number" -> JInt(pageNumber)), Nil)
       // reference quirks: the per-type category pin applies ONLY when the
       // client didn't send its own category KEY (index_searcher.py:396-398,
       // 422-424 — presence check, so {"category": []} suppresses the pin),

@@ -60,8 +60,18 @@ object ConfigMerge {
       .where(col("scope") === "default" ||
         (col("scope") === col("stem") && col("depth") === col("max_depth")))
       .where(col("kind") =!= "sentinel") // presence markers contribute no keys
-      // file-specific rows sort after every default row (they're applied last)
-      .withColumn("layer", when(col("scope") === "default", lit(0)).otherwise(lit(1)))
+      // file-specific rows sort after every default row (they're applied
+      // last). A stem that is LITERALLY "default" (a file named default.pdf)
+      // selects the SAME config section as the default scope — the reference
+      // applies that section twice, once as the default layer and once as
+      // the file layer (scan_config.py get(stem) returns the same dict), so
+      // list keys extend twice; emit BOTH layers for that row instead of
+      // collapsing it into layer 0
+      .withColumn("layer", explode(
+        when(col("scope") =!= "default", array(lit(1)))
+          .when(col("stem") === "default" && col("depth") === col("max_depth"),
+            array(lit(0), lit(1)))
+          .otherwise(array(lit(0)))))
     val lists = scoped.where(col("kind") === "list")
       .groupBy("doc_id", "key")
       .agg(array_join(transform(array_sort(collect_list(

@@ -159,6 +159,15 @@ object Hygiene {
 
   // ---- C4-style line filtering --------------------------------------------
 
+  /** \s-aware two-sided strip — NOT `trim()`, which removes only ASCII
+    * spaces: C4's reference implementation applies Python `str.strip()`
+    * (removes \r and \t too) before its line tests, so a CRLF corpus's
+    * trailing `\r` must not defeat the terminal-punctuation match or split
+    * the line-dedup hash by line-ending convention. The DuckDB oracles use
+    * the same `regexp_replace(..., '^\s+|\s+$', ...)` in lockstep.
+    */
+  private def stripWs(c: Column): Column = regexp_replace(c, "^\\s+|\\s+$", "")
+
   /** The C4 line-level cleaning battery (public C4 rules): keep a line only
     * if it ends in terminal punctuation, has ≥ `minWords` words, and does
     * not contain boilerplate markers ("lorem ipsum", "javascript", a curly
@@ -170,17 +179,24 @@ object Hygiene {
   def c4LineFilter(docs: DataFrame, minWords: Int = 3): DataFrame = {
     val lines = docs
       .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("line_no", "line")))
-    val t = trim(col("line"))
+    // stripWs, not trim(): a Windows-origin doc's lines all end in \r, which
+    // trim() keeps — pre-fix the terminal-punctuation test then failed for
+    // EVERY line and the whole doc came back n_kept=0 / clean_text="",
+    // diverging from C4 (which str.strip()s before the end-mark test)
+    val t = stripWs(col("line"))
     val lw = lower(col("line"))
-    // \z, not $: Java's $ matches BEFORE a trailing \r (CRLF corpora), which
-    // would keep lines the RE2-based oracle (and C4) drop
+    // \z, not $: on the stripped line they agree, but \z states the intent
+    // (end of input, no line-terminator magic)
     val kept =
       t.rlike("[.!?\"']\\z") &&
       size(filter(split(t, "\\s+"), w => w =!= "")) >= minWords &&
       !lw.contains("lorem ipsum") && !lw.contains("javascript") &&
       !lw.contains("{") && !lw.contains("cookie policy") &&
       !lw.contains("terms of use")
-    lines.withColumn("kept", kept)
+    // clean_text joins the STRIPPED lines — C4's cleaned output is built
+    // from str.strip()ed lines, and a kept CRLF line must not smuggle its
+    // \r into the reassembled text
+    lines.withColumn("kept", kept).withColumn("line_s", t)
       .groupBy("doc_id")
       .agg(
         count(lit(1)).cast("int").as("n_lines"),
@@ -188,17 +204,18 @@ object Hygiene {
         array_join(
           transform(
             array_sort(collect_list(when(col("kept"),
-              struct(col("line_no"), col("line"))))),
-            x => x.getField("line")),
+              struct(col("line_no"), col("line_s"))))),
+            x => x.getField("line_s")),
           "\n").as("clean_text"))
   }
 
   // ---- cross-document line dedup (CCNet-style boilerplate removal) --------
 
-  /** Drop lines whose normalized form (lower + trim) appears in at least
-    * `minDocs` distinct documents — the standard web-corpus boilerplate
-    * filter (nav bars, cookie banners, footers repeat across a site; real
-    * prose doesn't). Blank lines are never dedup candidates.
+  /** Drop lines whose normalized form (lower + \s-strip — so the same
+    * boilerplate line from LF and CRLF documents hashes identically) appears
+    * in at least `minDocs` distinct documents — the standard web-corpus
+    * boilerplate filter (nav bars, cookie banners, footers repeat across a
+    * site; real prose doesn't). Blank lines are never dedup candidates.
     *
     * Scale shape: explode → one groupBy on a 64-bit line hash (map-side
     * partial agg; the common-line table is corpus-boilerplate-sized, far
@@ -214,8 +231,8 @@ object Hygiene {
   def lineDedup(docs: DataFrame, minDocs: Int): DataFrame = {
     val lines = docs
       .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("line_no", "line")))
-      .withColumn("norm_hash", xxhash64(lower(trim(col("line")))))
-      .withColumn("blank", trim(col("line")) === "")
+      .withColumn("norm_hash", xxhash64(lower(stripWs(col("line")))))
+      .withColumn("blank", stripWs(col("line")) === "")
     val common = lines.where(!col("blank"))
       .groupBy("norm_hash")
       .agg(countDistinct("doc_id").as("n_docs"))

@@ -28,9 +28,22 @@ object IncrementalEvents {
     * windows and caps the state store — at the price of emitting only
     * changed/final windows instead of the full table each tick.
     */
-  def windowedCounts(spark: SparkSession, eventsDir: String, queryName: String): DataFrame = {
-    val schema = spark.read.parquet(eventsDir).schema
-    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+  def windowedCounts(spark: SparkSession, eventsDir: String, queryName: String,
+      schema: org.apache.spark.sql.types.StructType = null): DataFrame = {
+    // same bootstrap contract as IncrementalIndex.run: file streams need a
+    // schema up front, and before the producer's first file there is nothing
+    // to infer — fail with guidance (not Spark's opaque AnalysisException)
+    // and accept an explicit schema for the start-before-first-file case
+    val s =
+      if (schema != null) schema
+      else try spark.read.parquet(eventsDir).schema
+      catch {
+        case e: org.apache.spark.sql.AnalysisException => throw new IllegalArgumentException(
+          s"IncrementalEvents.windowedCounts: cannot infer the stream schema " +
+            s"from '$eventsDir' (missing or empty) — pass schema= explicitly " +
+            s"to start before the first source file exists (${e.getMessage})")
+      }
+    val stream = spark.readStream.schema(s).parquet(eventsDir)
     val agg = stream
       .withColumn("ts", col("ts").cast("timestamp")) // NTZ → event-time type
       .withWatermark("ts", "10 minutes")

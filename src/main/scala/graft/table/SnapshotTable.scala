@@ -8,9 +8,11 @@ import graft.index.TableIO
   * immutable data files + immutable snapshot manifests, giving the three
   * properties the north rule's ingestion story needs:
   *
-  *   - **atomic append**: a commit writes new data files under `data/c-<id>/`
-  *     and then ONE snapshot manifest listing parent files + new files; a
-  *     reader either sees the whole commit or none of it,
+  *   - **atomic append**: a commit stages new data files under a
+  *     writer-unique `data/u-<nonce>/` dir (commit-independent by design —
+  *     see the multi-writer rebase below) and then writes ONE snapshot
+  *     manifest listing parent files + new files; a reader either sees the
+  *     whole commit or none of it,
   *   - **time travel**: `read(asOf = id)` resolves any historical snapshot's
   *     exact file list,
   *   - **incremental consume**: `appendedSince(id)` is the file-set diff two

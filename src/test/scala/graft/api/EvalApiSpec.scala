@@ -387,6 +387,13 @@ class EvalApiSpec extends AnyFunSuite {
     assert(parseTitle("26-09-1978 व्याख्यान") == (None, Some("26-09-1978")))
     // but an explicit pravachan prefix is never date-shadowed
     assert(parseTitle("प्रवचन 26.09.1978") == (Some("26"), Some("26-09-1978")))
+    // an earlier NON-date that merely fits the regex shape must not shadow a
+    // real date later in the title (pre-fix, first-match-only parsing
+    // dropped the genuine date in both families)
+    assert(parseTitle("15 minutes 1990 recording - 26 Sep 1978")._2
+      .contains("26-09-1978")) // "min" is no month; keep scanning
+    assert(parseTitle("version 3/25/2020 scan, pravachan 26-09-1978")._2
+      .contains("26-09-1978")) // month 25 is invalid; keep scanning
   }
 
   test("extractBookmarks echoes outline rows with parsed fields") {

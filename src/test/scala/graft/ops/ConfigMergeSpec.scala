@@ -47,6 +47,21 @@ class ConfigMergeSpec extends AnyFunSuite {
     assert(!out.contains((43L, ""))) // sentinel contributes no keys
   }
 
+  test("a file whose stem is literally 'default' gets the section twice (reference get(stem) quirk)") {
+    // scan_config.py's file layer is config.get(stem): for default.pdf that
+    // returns the SAME dict as the default section, so the reference extends
+    // list keys twice (default layer + file layer) — pre-fix our scope
+    // encoding collapsed both into one layer-0 application
+    val out = run(
+      docs = Seq((50L, "base/default.pdf"), (51L, "base/51.pdf")),
+      cfg = Seq(
+        ("base", "default", "list", "header_prefix", 0, "^X"),
+        ("base", "default", "scalar", "psm", 0, "3")))
+    assert(out((50L, "header_prefix")) == "^X,^X") // applied as BOTH layers
+    assert(out((50L, "psm")) == "3") // scalar: same value either layer
+    assert(out((51L, "header_prefix")) == "^X") // other stems: once
+  }
+
   test("scalar precedence: deepest default wins below the file layer") {
     val out = run(
       docs = Seq((7L, "base/x/y/7.pdf")),

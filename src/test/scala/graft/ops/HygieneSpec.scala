@@ -133,13 +133,46 @@ class HygieneSpec extends AnyFunSuite {
     val docs = Seq(
       (1L, "This line is a keeper sentence.\nno terminal punctuation here\n" +
         "Call javascript:void(0) now.\nOpen { brace } line.\nToo few.\n" +
-        "A CRLF-terminated sentence drops.\r\n" + // \r survives the \n split; \z must reject it
+        // \r survives the \n split; C4 str.strip()s BEFORE the end-mark
+        // test, so this line KEEPS (and its \r never reaches clean_text) —
+        // pre-fix, trim() left the \r and the line was wrongly dropped
+        "A CRLF-terminated sentence keeps.\r\n" +
         "Another good line stays here!")
     ).toDF("doc_id", "text")
     val out = Hygiene.c4LineFilter(docs).orderBy("doc_id")
       .as[(Long, Int, Int, String)].collect()
-    assert(out(0) == ((1L, 7, 2,
-      "This line is a keeper sentence.\nAnother good line stays here!")))
+    assert(out(0) == ((1L, 7, 3,
+      "This line is a keeper sentence.\nA CRLF-terminated sentence keeps.\n" +
+        "Another good line stays here!")))
+  }
+
+  test("c4LineFilter: a fully CRLF document is not silently emptied") {
+    // the whole-corpus failure mode: every line of a Windows-origin doc ends
+    // in \r, so a space-only trim left the terminal-punctuation test failing
+    // for ALL lines — n_kept=0, clean_text="" for perfectly good prose
+    val docs = Seq(
+      (1L, "Good sentence number one lives.\r\nGood sentence number two lives.\r\n")
+    ).toDF("doc_id", "text")
+    val out = Hygiene.c4LineFilter(docs)
+      .select("doc_id", "n_kept", "clean_text")
+      .as[(Long, Int, String)].collect()
+    assert(out(0) == ((1L, 2,
+      "Good sentence number one lives.\nGood sentence number two lives.")))
+  }
+
+  test("lineDedup: CRLF and LF copies of a boilerplate line hash as ONE normalized form") {
+    // pre-fix, lower(trim(line)) kept the trailing \r: the same cookie
+    // banner from CRLF docs and LF docs counted as two different lines and
+    // neither side reached minDocs
+    val docs = Seq(
+      (1L, "Accept cookies\r\nreal one"),
+      (2L, "Accept cookies\nreal two"),
+      (3L, "accept cookies \r\nreal three")
+    ).toDF("doc_id", "text")
+    val out = Hygiene.lineDedup(docs, minDocs = 3).orderBy("doc_id")
+      .select("doc_id", "n_dropped").as[(Long, Int)].collect()
+    assert(out.toSeq == Seq((1L, 1), (2L, 1), (3L, 1)),
+      "all three line-ending variants must dedup together")
   }
 
   test("domainStats: subdomain hosts collapse to registrable domain") {

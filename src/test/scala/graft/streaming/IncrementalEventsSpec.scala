@@ -25,4 +25,23 @@ class IncrementalEventsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
     assert(streamed.toSeq == batch.toSeq)
   }
+
+  test("missing events dir fails with guidance, and an explicit schema bootstraps it") {
+    // same contract as IncrementalIndex.run: before the producer's first
+    // file there is nothing to infer — pre-fix this threw Spark's opaque
+    // AnalysisException instead of the pass-schema-explicitly message
+    val none = "/tmp/graft-stream-events-none"
+    val d = new java.io.File(none)
+    if (d.exists()) scala.reflect.io.Directory(d).deleteRecursively()
+    val e = intercept[IllegalArgumentException] {
+      IncrementalEvents.windowedCounts(spark, none, "inc_events_none")
+    }
+    assert(e.getMessage.contains("pass schema= explicitly"))
+    // with an explicit schema the stream starts on an EMPTY (just-created)
+    // dir and drains to an empty result instead of failing
+    d.mkdirs()
+    val schema = spark.read.parquet("/root/testdata/sf0.001/events.parquet").schema
+    val out = IncrementalEvents.windowedCounts(spark, none, "inc_events_boot", schema)
+    assert(out.collect().isEmpty)
+  }
 }

@@ -23,12 +23,16 @@ object QueryAb {
     val docs = sys.env.getOrElse("GRAFT_QAB_DOCS", "100000").toLong
     val attempts = sys.env.getOrElse("GRAFT_QAB_ATTEMPTS", "7").toInt
     val dir = sys.env.getOrElse("GRAFT_QAB_DIR", s"/dev/shm/graft_qab_$docs")
+    // pid-stamped under the shared graft-spark- prefix: a clean exit removes
+    // it below, and graft.Bench's startup sweep reclaims dead-pid leftovers —
+    // a killed run must not strand shuffle state in RAM-backed tmpfs
+    val localDir = s"/dev/shm/graft-spark-${ProcessHandle.current().pid()}-qab"
     val spark = SparkSession.builder()
       .appName("graft-query-ab")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .config("spark.local.dir", "/dev/shm/graft_qab_tmp")
+      .config("spark.local.dir", localDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -39,7 +43,12 @@ object QueryAb {
     // indexes warm across alternations by pointing GRAFT_QAB_DIR (or
     // GRAFT_QAB_TAG) at per-worktree values.
     val tag = sys.env.getOrElse("GRAFT_QAB_TAG",
-      QueryAb.getClass.getProtectionDomain.getCodeSource.getLocation.toString)
+      // getCodeSource is null under some launchers (uber-jar-in-jar, custom
+      // app loaders) — fall back to a tag that still differs per build
+      Option(QueryAb.getClass.getProtectionDomain.getCodeSource)
+        .flatMap(cs => Option(cs.getLocation)).map(_.toString)
+        .getOrElse("no-codesource:" + Integer.toHexString(
+          System.getProperty("java.class.path", "").hashCode)))
     val done = new java.io.File(dir, "stats.json")
     val tagFile = new java.io.File(dir, "qab_tag")
     val tagOk = tagFile.isFile && new String(
@@ -75,5 +84,6 @@ object QueryAb {
     val probe = CpuProbe.efficiency(cpus)
     println(s"""{"metric":"query_ab","docs":$docs,${out.mkString(",")},"probe":${f"$probe%.3f"}}""")
     spark.stop()
+    CpuProbe.rmDir(localDir) // tmpfs hygiene
   }
 }

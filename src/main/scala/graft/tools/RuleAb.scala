@@ -27,12 +27,16 @@ object RuleAb {
     val docs = sys.env.getOrElse("GRAFT_RULEAB_DOCS", "200000").toLong
     val attempts = sys.env.getOrElse("GRAFT_RULEAB_ATTEMPTS", "7").toInt
     val dir = sys.env.getOrElse("GRAFT_RULEAB_DIR", s"/dev/shm/graft_ruleab_$docs")
+    // pid-stamped under the shared graft-spark- prefix: a clean exit removes
+    // it below, and graft.Bench's startup sweep reclaims dead-pid leftovers —
+    // a killed run must not strand shuffle state in RAM-backed tmpfs
+    val localDir = s"/dev/shm/graft-spark-${ProcessHandle.current().pid()}-ruleab"
     val spark = SparkSession.builder()
       .appName("graft-rule-ab")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .config("spark.local.dir", "/dev/shm/graft_ruleab_tmp")
+      .config("spark.local.dir", localDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -96,5 +100,6 @@ object RuleAb {
         f""""speedup_median":${median(naive) / median(rewr)}%.2f,""" +
         s""""text_pruned":$pruned,"probe":${f"$probe%.3f"}}""")
     spark.stop()
+    CpuProbe.rmDir(localDir) // tmpfs hygiene
   }
 }

@@ -17,12 +17,16 @@ object TimeQuery {
     val attempts = args.lift(1).map(_.toInt).getOrElse(3)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // pid-stamped under the shared graft-spark- prefix: a clean exit removes
+    // it below, and graft.Bench's startup sweep reclaims dead-pid leftovers —
+    // a killed run must not strand shuffle state in RAM-backed tmpfs
+    val localDir = s"/dev/shm/graft-spark-${ProcessHandle.current().pid()}-timeq"
     val spark = SparkSession.builder()
       .appName(s"graft-time-$name")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .config("spark.local.dir", "/dev/shm/graft_timeq")
+      .config("spark.local.dir", localDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = graft.SparkEntry.queries(name)
@@ -34,5 +38,6 @@ object TimeQuery {
       println(f"[timeq] $name attempt=$a wall=$wall%.2f s rows=$n probe=$probe%.2f")
     }
     spark.stop()
+    CpuProbe.rmDir(localDir) // tmpfs hygiene
   }
 }

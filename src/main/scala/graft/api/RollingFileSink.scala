@@ -17,6 +17,7 @@ final class RollingFileSink(path: String, maxBytes: Long = 16L << 20)
 
   private[this] var out: java.io.Writer = _
   private[this] var written: Long = 0L
+  private[this] var closed = false
 
   private def open(): Unit = {
     val f = new java.io.File(path)
@@ -27,6 +28,11 @@ final class RollingFileSink(path: String, maxBytes: Long = 16L << 20)
   }
 
   def apply(line: String): Unit = synchronized {
+    // close() is TERMINAL: a straggler handler outliving the server's stop
+    // must not resurrect the writer by reopening the just-closed (possibly
+    // archived) file — the late line is dropped, like the bounded in-memory
+    // sinks drop under pressure
+    if (closed) return
     if (out == null) open()
     out.write(line)
     out.write('\n')
@@ -56,6 +62,7 @@ final class RollingFileSink(path: String, maxBytes: Long = 16L << 20)
   }
 
   def close(): Unit = synchronized {
+    closed = true
     if (out != null) { out.close(); out = null }
   }
 }

@@ -32,12 +32,24 @@ object PeerRpc {
         if (r.statusCode() == 200) r.body()
         else sys.error(s"peer $url -> ${r.statusCode()}: ${r.body().take(200)}"))
 
+  /** The JDK HttpRequest.timeout only bounds time-to-RESPONSE-HEADERS: once
+    * a shard has written its status line, a stall mid-BODY (SIGSTOP, long GC
+    * pause) fires no HttpTimeoutException and an unbounded join would park
+    * the coordinator worker forever — the exact wedge the 30 s bound exists
+    * to prevent. Slightly above the request timeout so the JDK timer still
+    * classifies the slow-connect/slow-status cases first.
+    */
+  private val JoinTimeoutSec = 35L
+
   /** Join with ONE bounded retry on a fresh connection: transient resets and
     * restarting shards recover; a persistently-dead shard still fails the
-    * request loudly.
+    * request loudly. BOTH joins are deadline-bounded (see [[JoinTimeoutSec]]).
     */
   def joinRetry(url: String, body: String,
-      fut: java.util.concurrent.CompletableFuture[String]): String =
-    try fut.join()
-    catch { case _: Exception => postAsync(url, body).join() }
+      fut: java.util.concurrent.CompletableFuture[String],
+      timeoutSec: Long = JoinTimeoutSec): String =
+    try fut.orTimeout(timeoutSec, java.util.concurrent.TimeUnit.SECONDS).join()
+    catch { case _: Exception =>
+      postAsync(url, body)
+        .orTimeout(timeoutSec, java.util.concurrent.TimeUnit.SECONDS).join() }
 }

@@ -475,5 +475,27 @@ class SearchHttpServerSpec extends AnyFunSuite {
     assert(row.length == 1 && row(0).getString(0) == "10.0.0.1")
     val sum = graft.ops.Metrics.summary(parsed).collect()
     assert(sum.nonEmpty)
+    // close() is TERMINAL: a straggler handler's late apply() must not
+    // resurrect the writer against the just-closed (possibly archived) file
+    val lenAfterClose = live.length()
+    sink(line)
+    assert(live.length() == lenAfterClose, "post-close apply must drop the line")
+  }
+
+  test("peer RPC join is deadline-bounded even when the future never completes") {
+    // the JDK request timeout only bounds time-to-response-HEADERS; a shard
+    // stalling mid-body completes nothing — pre-fix, join() parked the
+    // coordinator worker forever. With the bound, the stalled future times
+    // out, the one retry hits a connection-refused port fast, and the
+    // scatter FAILS loudly instead of wedging.
+    val never = new java.util.concurrent.CompletableFuture[String]()
+    val t0 = System.nanoTime()
+    intercept[java.util.concurrent.CompletionException] {
+      // port 9 (discard) is unbound here: the retry fails fast on connect
+      graft.query.PeerRpc.joinRetry("http://127.0.0.1:9/x", "{}", never,
+        timeoutSec = 1L)
+    }
+    val waited = (System.nanoTime() - t0) / 1e9
+    assert(waited < 15.0, f"bounded join should fail in ~1 s + retry, took $waited%.1f s")
   }
 }

@@ -498,4 +498,47 @@ class SearchHttpServerSpec extends AnyFunSuite {
     val waited = (System.nanoTime() - t0) / 1e9
     assert(waited < 15.0, f"bounded join should fail in ~1 s + retry, took $waited%.1f s")
   }
+
+  test("peer RPC join is deadline-bounded on a REAL mid-body stall (headers sent, body never)") {
+    // the precise JDK blind spot: once the status line + headers arrive the
+    // request timer is cancelled, so only our orTimeout stands between a
+    // body-stalled shard and a permanently parked coordinator worker. A raw
+    // socket server sends a 200 with a large Content-Length, flushes a few
+    // body bytes, then holds the connection open forever.
+    val srv = new java.net.ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
+    val stall = new java.util.concurrent.CountDownLatch(1)
+    val t = new Thread(() => {
+      try {
+        val s = srv.accept()
+        val in = s.getInputStream
+        // drain the request head (until the blank line) so the client is
+        // committed before we answer
+        var last4 = 0
+        var c = in.read()
+        while (c != -1 && last4 != 0x0d0a0d0a) {
+          last4 = (last4 << 8) | c
+          if (last4 != 0x0d0a0d0a) c = in.read()
+        }
+        val out = s.getOutputStream
+        out.write("HTTP/1.1 200 OK\r\nContent-Type: application/json\r\nContent-Length: 1000000\r\n\r\n{\"partial\":".getBytes("US-ASCII"))
+        out.flush()
+        stall.await() // hold the socket open, never finish the body
+        s.close()
+      } catch { case _: Throwable => } finally { try srv.close() catch { case _: Throwable => } }
+    }, "stall-shard")
+    t.setDaemon(true); t.start()
+    val url = s"http://127.0.0.1:${srv.getLocalPort}/api/internal/partials"
+    val t0 = System.nanoTime()
+    try {
+      intercept[java.util.concurrent.CompletionException] {
+        graft.query.PeerRpc.joinRetry(url, "{}",
+          graft.query.PeerRpc.postAsync(url, "{}"), timeoutSec = 2L)
+      }
+      val waited = (System.nanoTime() - t0) / 1e9
+      // first join times out at 2 s; the retry reconnects to the now-closed
+      // (single-backlog, already-accepted) listener or times out again —
+      // either way the scatter fails in bounded time instead of pinning
+      assert(waited < 30.0, f"mid-body stall must fail in bounded time, took $waited%.1f s")
+    } finally { stall.countDown() }
+  }
 }

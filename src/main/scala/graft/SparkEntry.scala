@@ -169,16 +169,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "tokenize_tf" -> ((s, dir) => {
+      // tf computed per doc INSIDE the analyzer UDF (GraftFunctions
+      // .analyze_tf): (doc_id, term) rows come out already aggregated, so
+      // the old per-token groupBy exchange disappears entirely — the only
+      // exchange left is the output orderBy (guide §2.3/§2.4). Same rows.
       documents(s, dir)
-        .select(col("doc_id"), explode(GraftFunctions.analyze_terms(col("text"), col("lang"))).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .select(col("doc_id"),
+          explode(GraftFunctions.analyze_tf(col("text"), col("lang"))).as("e"))
+        .select(col("doc_id"), col("e.term").as("term"), col("e.tf").as("tf"))
         .orderBy("doc_id", "term")
     }),
     "term_stats" -> ((s, dir) => {
+      // (doc, term) pairs are unique after the map-side tf pass, so
+      // df = count(*) replaces the two-phase countDistinct(doc_id) and the
+      // exchange carries one row per (doc, term) instead of one per token
       documents(s, dir)
-        .select(col("doc_id"), explode(GraftFunctions.analyze_terms(col("text"), col("lang"))).as("term"))
-        .groupBy("term")
-        .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("cf"))
+        .select(col("doc_id"),
+          explode(GraftFunctions.analyze_tf(col("text"), col("lang"))).as("e"))
+        .groupBy(col("e.term").as("term"))
+        .agg(count(lit(1)).as("df"), sum(col("e.tf")).as("cf"))
         .orderBy("term")
     }),
     "doc_stats" -> ((s, dir) => {

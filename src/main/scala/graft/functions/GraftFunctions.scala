@@ -67,6 +67,31 @@ object GraftFunctions {
 
   val analyze_terms = udf(analyzeTermsFn)
 
+  /** Per-document term frequencies computed IN the analyzer pass —
+    * array<struct<term,tf>>. Exploding this instead of the raw term stream
+    * moves the tf aggregation map-side: (doc, term) pairs are already unique,
+    * so `tokenize_tf` needs NO shuffle at all and `term_stats` shuffles one
+    * row per (doc, term) instead of one per token (guide §2.3 "aggregate
+    * before you shuffle"). tf is Long to match the `count(*)` column type it
+    * replaces.
+    */
+  final case class TermTf(term: String, tf: Long)
+
+  val analyze_tf = udf { (text: String, lang: String) =>
+    val m = new java.util.LinkedHashMap[String, Long]()
+    Analyzer.foreachToken(text, lang)((term, _, _, _) =>
+      m.merge(term, 1L, (a, b) => a + b))
+    val out = new Array[TermTf](m.size)
+    var i = 0
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = TermTf(e.getKey, e.getValue)
+      i += 1
+    }
+    out.toSeq
+  }
+
   /** Element type of [[analyze_tokens]] — a named case class, NOT a tuple:
     * tuple encoding would surface the struct fields as `_1`/`_2` and break
     * the documented `tok.term` / `tok.pos` access after an explode. */

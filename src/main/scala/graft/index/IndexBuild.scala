@@ -77,6 +77,29 @@ object IndexBuild extends Serializable {
 
   val DefaultBuckets = 64
 
+  /** Target bytes per output parquet file (docstore/segments). 64 MB sits in
+    * the guide-§6 sweet band: big enough that per-file open/footer overhead
+    * never dominates point reads (the round-5 layout's ~2 ms × 64-128 files
+    * per read was most of every warm query latency), small enough that a
+    * resident node's parallel load and executor scans keep useful file-level
+    * parallelism. Counts derive from measured chunk volume, so the layout
+    * adapts from bench scale (a handful of files) to 100 TB chunks (capped
+    * at parts/4 files ≥ 64 MB each) with no local-mode constant.
+    */
+  @volatile var TargetFileBytes: Long =
+    sys.env.getOrElse("GRAFT_TARGET_FILE_BYTES", (64L * 1024 * 1024).toString).toLong
+
+  /** parquet.page.row.count.limit for the index tables. The default (20k
+    * rows/page) lets a whole file's key column fit ONE page, which makes the
+    * page-level column index useless: a point read's row range then spans
+    * the file and the reader decompresses every page of every projected
+    * column (measured: a 1-docId payload fetch decompressed the full 23 MB
+    * docstore file). At 1024 rows/page a point read decompresses ~one page
+    * per column; the extra page headers/index entries are noise next to the
+    * data.
+    */
+  val PageRowLimit = 1024
+
   /** Max docIds per facet ROW. Facet lists get no salting analog, so a
     * chunk-wide value (has_date covers every doc) would otherwise pool one
     * whole-chunk long array in a single task; slices bound that at ~32 MB.
@@ -431,31 +454,63 @@ object IndexBuild extends Serializable {
         var headsB: org.apache.spark.broadcast.Broadcast[Map[(String, String), Int]] = null
         try {
 
-        // ---- docstore ----
-        phase(s"docstore+tokenize c$k") {
-          tokenized
-            .select($"docId", $"url", $"warc_ts", $"text", $"lang", $"meta", $"dl",
-              year($"warc_ts").as("year"))
-            // docId-sorted row groups → parquet min/max stats prune point
-            // fetches (top-k payload reads touch ~1 row group per file
-            // instead of scanning the whole docstore); shuffle-free
-            .sortWithinPartitions($"docId")
-            .write.mode(SaveMode.Overwrite).parquet(s"$outDir/docstore/chunk=$k")
-        }
-
-        val (nDocs, nTokens, inputSig) = phase(s"stats agg c$k") {
+        // ---- stats agg (also materializes the tokenize cache) ----
+        // runs BEFORE the docstore write since round 6: its byte totals now
+        // drive the scale-adaptive output file sizing below, and a reserved-
+        // key violation fails before any file lands on disk
+        val (nDocs, nTokens, textBytes, inputSig) = phase(s"stats agg c$k") {
           // same scan also validates meta keys against THE shared reserved
           // set (see reservedFacetKeys — the pre-journal mutation check
           // enforces the same definition)
           val r = tokenized.agg(count(lit(1)), coalesce(sum($"dl"), lit(0L)),
             coalesce(expr(Manifest.RowHashExpr), lit(0L)),
-            reservedMetaHits($"meta")).collect()(0)
+            reservedMetaHits($"meta"),
+            coalesce(sum(octet_length($"text")), lit(0L))).collect()(0)
           require(r.getLong(3) == 0L,
             s"chunk $k: ${r.getLong(3)} meta entries use reserved facet keys " +
               s"(${reservedFacetKeys.mkString(", ")}: derived at build time or " +
               "query-kernel routing names) — rename them in the input")
-          (r.getLong(0), r.getLong(1),
+          (r.getLong(0), r.getLong(1), r.getLong(4),
             Manifest.sig(storePositions, r.getLong(0), r.getLong(2)))
+        }
+
+        // ---- scale-adaptive output file sizing (guide §6) ----
+        // File counts derive from the CHUNK'S OWN measured volume, not from a
+        // parallelism constant: the old parts/4 target wrote ~64 files per
+        // chunk at any size, and every query-time point read paid ~2 ms of
+        // footer/open overhead PER FILE (measured — 128 segment files made a
+        // 3-term postings read 0.23 s on a warm page cache). Files aim at
+        // [[TargetFileBytes]]; partitions stay ≥1 and ≤ parts/4, so a huge
+        // chunk still writes enough files for scan parallelism at 100 TB
+        // while a bench-scale chunk writes a handful. Rows stay sorted
+        // within files, so parquet page-level column indexes keep point
+        // reads pruned regardless of file size.
+        def filesFor(estBytes: Long): Int =
+          math.max(1, math.min(parts / 4,
+            ((estBytes + TargetFileBytes - 1) / TargetFileBytes).toInt))
+        // postings ≈ 6 B/token encoded (docId delta + tf + positions);
+        // docstore ≈ the raw text bytes (url/meta/ts are small next to text)
+        val segFiles = filesFor(nTokens * 6L)
+        val docFiles = filesFor(textBytes)
+
+        // ---- docstore ----
+        phase(s"docstore+tokenize c$k") {
+          tokenized
+            .select($"docId", $"url", $"warc_ts", $"text", $"lang", $"meta", $"dl",
+              year($"warc_ts").as("year"))
+            // RANGE-partitioned by docId (files hold disjoint docId bands)
+            // + docId-sorted: a point fetch prunes to ~ONE file via
+            // row-group min/max, then ~one page via the column index. The
+            // old layout round-robined docIds across files, so every file's
+            // [min, max] spanned the whole id space and a 20-id payload
+            // fetch opened and paged through every docstore file. The range
+            // sampling pass reads the already-cached tokenize output —
+            // cheap, unlike the term exchange where sampling re-ran the
+            // tokenizer (see the hash repartition note there).
+            .repartitionByRange(docFiles, $"docId")
+            .sortWithinPartitions($"docId")
+            .write.option("parquet.page.row.count.limit", PageRowLimit.toString)
+            .mode(SaveMode.Overwrite).parquet(s"$outDir/docstore/chunk=$k")
         }
 
         // ---- term-doc postings input ----
@@ -497,10 +552,18 @@ object IndexBuild extends Serializable {
             case None    => 0
           })
 
-        // ---- the one wide exchange: range-partition by (lang, term, salt) ----
+        // ---- the one wide exchange: hash-partition by (lang, term, salt) ----
+        // HASH, not repartitionByRange: range partitioning pays a whole extra
+        // sampling pass over the token stream (RangePartitioner's reservoir
+        // job — one full explode of the cached corpus per chunk) just to
+        // compute bounds, and hash partitioning gives the same property the
+        // writer needs — every (lang, term, salt) group colocated in exactly
+        // one partition — for free. Balance is equivalent or better: the
+        // 200k+ distinct keys (salting caps any one key at ~saltTarget
+        // postings) spread uniformly by hash, with no sampling error.
         val runs = termDocs
           .withColumn("salt", saltOf($"lang", $"term", $"docId"))
-          .repartitionByRange(parts, $"lang", $"term", $"salt")
+          .repartition(parts, $"lang", $"term", $"salt")
           .sortWithinPartitions($"lang", $"term", $"salt", $"docId")
           .as[(String, String, Long, Int, Array[Int], Int, Int)] // lang,term,docId,tf,pos,dl,salt
           .mapPartitions { it =>
@@ -559,9 +622,17 @@ object IndexBuild extends Serializable {
           segments
             .toDF()
             .drop("chunk") // supplied by the chunk=K partition dir on read
-            .repartition(math.max(parts / 4, 1), $"term")
+            // coalesce, NOT repartition($"term"): the old plan paid a SECOND
+            // full exchange of the encoded posting blobs (≈ the index bytes)
+            // purely to bound the file count — coalesce bounds it with a
+            // narrow dependency, zero shuffle. File count is size-derived
+            // (see filesFor above); sortWithinPartitions still sorts each
+            // output file by (lang, term), so parquet row-group stats and
+            // page column indexes keep term pushdown exactly as before.
+            .coalesce(segFiles)
             .sortWithinPartitions($"lang", $"term") // parquet row-group stats → term pushdown
-            .write.mode(SaveMode.Overwrite).parquet(s"$outDir/segments/chunk=$k")
+            .write.option("parquet.page.row.count.limit", PageRowLimit.toString)
+            .mode(SaveMode.Overwrite).parquet(s"$outDir/segments/chunk=$k")
         }
         // the cached runs are dead once the segments are on disk — release
         // them eagerly so the facets phase isn't competing with a stale
@@ -583,7 +654,8 @@ object IndexBuild extends Serializable {
         phase(s"termdict slice c$k") {
           spark.read.parquet(s"$outDir/segments/chunk=$k")
             .select($"lang", $"term", $"df", $"cf", $"bucket")
-            .write.mode(SaveMode.Overwrite).parquet(s"$outDir/termdict_chunks/chunk=$k")
+            .write.option("parquet.page.row.count.limit", PageRowLimit.toString)
+            .mode(SaveMode.Overwrite).parquet(s"$outDir/termdict_chunks/chunk=$k")
         }
 
         // ---- facet index: sorted docId lists per (lang, key, value) + year ----
@@ -616,7 +688,8 @@ object IndexBuild extends Serializable {
           }
           .toDF()
           .drop("chunk") // supplied by the chunk=K partition dir on read
-          .write.mode(SaveMode.Overwrite).parquet(s"$outDir/facets/chunk=$k")
+          .write.option("parquet.page.row.count.limit", PageRowLimit.toString)
+            .mode(SaveMode.Overwrite).parquet(s"$outDir/facets/chunk=$k")
         }
 
         val wallMs = (System.nanoTime() - t0) / 1000000
@@ -1110,7 +1183,8 @@ object IndexBuild extends Serializable {
       .agg(sum($"df").as("df"), sum($"cf").as("cf"), first($"bucket").as("bucket"))
       .repartition(math.max(spark.sparkContext.defaultParallelism / 4, 1), $"term")
       .sortWithinPartitions($"lang", $"term") // row-group stats → term pushdown
-      .write.mode(SaveMode.Overwrite).parquet(tmp)
+      .write.option("parquet.page.row.count.limit", PageRowLimit.toString)
+            .mode(SaveMode.Overwrite).parquet(tmp)
     // swap via two renames, not delete-then-rename: a crash between a DELETE
     // and the rename-in would leave NO termdict at all (df lookups silently
     // demoted to the legacy path until some later finalizeStats). With
@@ -1156,7 +1230,8 @@ object IndexBuild extends Serializable {
       .toDF()
       .repartition(math.max(parts / 4, 1), $"term")
       .sortWithinPartitions($"lang", $"term")
-      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/segments_compact")
+      .write.option("parquet.page.row.count.limit", PageRowLimit.toString)
+            .mode(SaveMode.Overwrite).parquet(s"$outDir/segments_compact")
     // facets likewise
     // lazily decode and re-slice: materializing ONE corpus-wide array per
     // value (the old shape) is exactly the unbounded-task-memory pattern the
@@ -1176,7 +1251,8 @@ object IndexBuild extends Serializable {
         }
       }
       .toDF()
-      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/facets_compact")
+      .write.option("parquet.page.row.count.limit", PageRowLimit.toString)
+            .mode(SaveMode.Overwrite).parquet(s"$outDir/facets_compact")
     writeCompactState(outDir, 0)
     TableIO.writeStringAtomic(compactDonePath(outDir), """{"done": true}""")
   }

@@ -89,10 +89,17 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
       maxShingleDf: Long = 1000): DataFrame = {
     val sh = shingles(docs, n)
-    val dfTab = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    // one shingle-keyed join feeds both per-doc stats and the candidate
-    // self-join; its exchanges are reused across the two subtrees
-    val withDf = sh.join(dfTab, "shingle")
+    // per-shingle corpus df via ONE window over the shingle exchange, not a
+    // groupBy + join-back: the join shape planned the df aggregation as a
+    // broadcast side, so NO exchange was shared between the three consumers
+    // below and the shingle UDF + explode re-ran once per subtree (5 full
+    // corpus re-tokenizations in the round-5 plan). With the window, every
+    // consumer hangs off the same Exchange(shingle) — the tokenize/shingle
+    // map side runs ONCE and ReusedExchange serves the other subtrees; the
+    // window output is already partitioned AND sorted by shingle, so the
+    // candidate self-join below needs no further exchange or sort.
+    val withDf = sh.withColumn("df", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
     // per-doc stats in ONE aggregation: total distinct-shingle count plus
     // the doc's own FREQUENT shingles as a set (few per doc — a shingle is
     // frequent only when its corpus df exceeds maxShingleDf, so the global
@@ -182,14 +189,34 @@ object Dedup {
             }
           }
         } else {
-          val hs = w.sliding(ng).map(g => stringHash64(g.mkString(" ")))
-          hs.foreach { x =>
+          // index loop over the token array, hashing the shingle's CHARS
+          // (word chars + single separating spaces) straight into FNV-1a —
+          // byte-identical to stringHash64(g.mkString(" ")) without the
+          // per-window Seq + String allocations of sliding/mkString on the
+          // dominant signature pass
+          var s0 = 0
+          while (s0 + ng <= w.length) {
+            var h = 0xcbf29ce484222325L
+            var wi = 0
+            while (wi < ng) {
+              if (wi > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
+              val word = w(s0 + wi)
+              var ci = 0
+              while (ci < word.length) {
+                h ^= word.charAt(ci).toLong
+                h *= 0x100000001b3L
+                ci += 1
+              }
+              wi += 1
+            }
+            val x = mix64(h)
             var i = 0
             while (i < nh) {
               val v = mix64(x ^ seeds(i))
               if (v < sig(i)) sig(i) = v
               i += 1
             }
+            s0 += 1
           }
         }
         sig.toSeq
@@ -207,7 +234,15 @@ object Dedup {
       recomputable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
+    // ONE explicit doc_id exchange under the signature UDF: the banding
+    // explode and the two per-side signature joins below all hang off this
+    // same canonical subplan, so ReusedExchange makes the (dominant)
+    // signature computation run ONCE — without it the plan computed the
+    // UDF once for the bucket exchange and again for the candidate-pair
+    // signature joins. The exchange itself carries numHashes longs per doc
+    // (constant-size), orders of magnitude below the token stream it hashes.
     val sigs = minhashSignatures(docs, n, numHashes, recomputable)
+      .repartition(col("doc_id"))
     val bandUdf = udf { (sig: Seq[Long]) =>
       if (sig.isEmpty) Seq.empty[(Int, Long)] // shingle-free doc: no buckets
       else (0 until bands).map { b =>

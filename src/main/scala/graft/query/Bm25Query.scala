@@ -160,10 +160,17 @@ object Bm25Query {
     if (missing.isEmpty) cached
     else {
       // termdict when present (one pruned row per term, no aggregation);
-      // pre-termdict indexes fall back to the segments aggregation
-      val probed = termDictDf(spark, idx, lang)
-        .where(col("term").isin(missing: _*))
-        .as[(String, Long)].collect().toMap
+      // local indexes read it directly on the driver (LocalParquet — same
+      // pushdown, no Spark job); pre-termdict indexes fall back to the
+      // segments aggregation
+      val probed: Map[String, Long] = idx.termdictPath match {
+        case Some(p) if graft.index.LocalParquet.isLocalDir(p) =>
+          graft.index.LocalParquet.readTermDict(p, lang, missing).toMap
+        case _ =>
+          termDictDf(spark, idx, lang)
+            .where(col("term").isin(missing: _*))
+            .as[(String, Long)].collect().toMap
+      }
       if (idx.dfCache.size > DfCacheMax) idx.dfCache.clear()
       missing.foreach(t => idx.dfCache.put((lang, t), Long.box(probed.getOrElse(t, 0L))))
       cached ++ missing.map(t => t -> probed.getOrElse(t, 0L))
@@ -188,13 +195,8 @@ object Bm25Query {
     val terms = ctx.terms
 
     val allTerms = (terms.map(_._1) ++ ctx.excludeTerms).distinct
-    val posCol = if (ctx.phrase) col("posBlob") else lit(null).cast("binary").as("posBlob")
-    val rows = spark.read.parquet(idx.segmentsPath)
-      .where(col("lang") === q.lang && col("term").isin(allTerms.toSeq: _*))
-      .select(col("chunk"), col("term"), col("df"), col("blob"), posCol)
-
-    // facet rows for filters (terms filter Q4 + year/date range Q5)
-    val facetRows: DataFrame = facetReadDf(spark, idx, q.lang, ctx)
+    val hasFilters = ctx.facetSel.nonEmpty || ctx.dateSel.nonEmpty
+    val local = graft.index.LocalParquet.isLocalDir(idx.dir)
 
     // global df per term (for idf + execution-path choice) — from the
     // handle's term-df cache; only first-seen terms pay a probe job
@@ -220,13 +222,35 @@ object Bm25Query {
     // read), cached per (lang, selection) on the handle like term dfs.
     val dfSum = dfMap.values.sum
     val totalPostings =
-      if (facetRows == null || dfSum > MaxDriverPostings) dfSum // probe can't change the verdict
-      else dfSum + facetVolume(spark, idx, q.lang, ctx, facetRows)
+      if (!hasFilters || dfSum > MaxDriverPostings) dfSum // probe can't change the verdict
+      else dfSum + facetVolume(spark, idx, q.lang, ctx)
     val segResults: Array[SegmentResult] =
-      if (totalPostings <= MaxDriverPostings) {
+      if (totalPostings <= MaxDriverPostings && local) {
+        // LOCAL driver path: the query's posting/facet rows are a few
+        // pushdown-pruned KB that land on the driver either way — read the
+        // parquet directly (LocalParquet: same PushedFilters-shaped
+        // predicates, row-group pruning, projection) instead of paying a
+        // full Spark job's scheduling latency per read. Same rows, gated by
+        // LocalParquetSpec + RankParitySpec.
+        val postList: Array[QueryCore.PostRow] =
+          graft.index.LocalParquet.readSegmentRows(
+            idx.segmentsPath, q.lang, allTerms.toSeq, ctx.phrase).toArray
+        val facetList: Array[QueryCore.FacetRow] =
+          if (!hasFilters) Array.empty else localFacetRows(idx, q.lang, ctx)
+        val facetByChunk = QueryCore.decodeFacets(facetList).groupBy(_._1)
+        postList.groupBy(_._1).iterator.flatMap { case (chunk, posts) =>
+          QueryCore.segmentKernel(ctx, info, posts, facetByChunk.getOrElse(chunk, Array.empty))
+        }.toArray
+      } else if (totalPostings <= MaxDriverPostings) {
+        // non-local index dir: same driver path through Spark collects.
         // postings and facet lists are independent reads — submit both jobs
         // concurrently (Spark schedules parallel jobs from separate threads),
         // so a filtered query pays max(post, facet) latency, not the sum
+        val posCol = if (ctx.phrase) col("posBlob") else lit(null).cast("binary").as("posBlob")
+        val rows = spark.read.parquet(idx.segmentsPath)
+          .where(col("lang") === q.lang && col("term").isin(allTerms.toSeq: _*))
+          .select(col("chunk"), col("term"), col("df"), col("blob"), posCol)
+        val facetRows: DataFrame = facetReadDf(spark, idx, q.lang, ctx)
         val facetFut =
           if (facetRows == null) null
           else scala.concurrent.Future(
@@ -260,6 +284,11 @@ object Bm25Query {
           QueryCore.segmentKernel(ctx, info, posts, facetByChunk.getOrElse(chunk, Array.empty))
         }.toArray
       } else {
+        val posCol = if (ctx.phrase) col("posBlob") else lit(null).cast("binary").as("posBlob")
+        val rows = spark.read.parquet(idx.segmentsPath)
+          .where(col("lang") === q.lang && col("term").isin(allTerms.toSeq: _*))
+          .select(col("chunk"), col("term"), col("df"), col("blob"), posCol)
+        val facetRows: DataFrame = facetReadDf(spark, idx, q.lang, ctx)
         val postingRows = rows.as[QueryCore.PostRow]
         val facetRowsDs =
           if (facetRows == null) spark.emptyDataset[QueryCore.FacetRow]
@@ -280,16 +309,24 @@ object Bm25Query {
       if (page.isEmpty) Seq.empty[Hit]
       else {
         val ids = page.map(_.docId)
-        val docs = spark.read.parquet(s"${idx.dir}/docstore")
-          .where(col("docId").isin(ids.toSeq: _*))
-          .select("docId", "url", "lang", "text")
-          .collect()
-          // null url/text normalize to "" exactly like the resident path
-          // (InMemoryIndex.load documents NULL columns as legal docstore
-          // rows); a null Hit.url would NPE the JSON render downstream
-          .map(r => r.getLong(0) ->
-            (Option(r.getString(1)).getOrElse(""), Option(r.getString(3)).getOrElse("")))
-          .toMap
+        // null url/text normalize to "" exactly like the resident path
+        // (InMemoryIndex.load documents NULL columns as legal docstore
+        // rows); a null Hit.url would NPE the JSON render downstream
+        val docs: Map[Long, (String, String)] =
+          if (local)
+            // page-sized point read — docId-sorted row groups prune the same
+            // way the Spark isin scan did, minus the job overhead
+            graft.index.LocalParquet.readDocPayloads(s"${idx.dir}/docstore", ids.toSeq)
+              .map { case (id, url, _, text) =>
+                id -> (if (url == null) "" else url, if (text == null) "" else text)
+              }.toMap
+          else spark.read.parquet(s"${idx.dir}/docstore")
+            .where(col("docId").isin(ids.toSeq: _*))
+            .select("docId", "url", "lang", "text")
+            .collect()
+            .map(r => r.getLong(0) ->
+              (Option(r.getString(1)).getOrElse(""), Option(r.getString(3)).getOrElse("")))
+            .toMap
         val qset = terms.map(_._1).toSet
         page.toSeq.map { sd =>
           // a winner can be missing from the docstore when a mutation
@@ -399,18 +436,55 @@ object Bm25Query {
     * pickers and category filters — skip the probe entirely.
     */
   private def facetVolume(spark: SparkSession, idx: IndexHandle, lang: String,
-      ctx: QueryCore.Ctx, facetRows: DataFrame): Long = {
+      ctx: QueryCore.Ctx): Long = {
     // structural key, not toString: rendered strings collide (a value
     // containing ", " is indistinguishable from two values) and a collision
     // silently reuses another selection's volume in the path choice
     val key = (lang, (ctx.facetSel, ctx.dateSel): AnyRef)
     Option(idx.facetVolCache.get(key)).map(_.longValue).getOrElse {
-      val r = facetRows.agg(sum(col("df"))).collect()(0)
-      val v = if (r.isNullAt(0)) 0L else r.getLong(0)
+      val v =
+        if (graft.index.LocalParquet.isLocalDir(idx.dir))
+          // df-column-only local probe (withBlob = false: the docId blobs are
+          // never read), same label-multiplicity as the union the Spark agg
+          // summed over
+          localFacetRows(idx, lang, ctx, withBlob = false).iterator.map(_._3).sum
+        else {
+          val facetRows = facetReadDf(spark, idx, lang, ctx)
+          val r = facetRows.agg(sum(col("df"))).collect()(0)
+          if (r.isNullAt(0)) 0L else r.getLong(0)
+        }
       if (idx.facetVolCache.size > DfCacheMax) idx.facetVolCache.clear()
       idx.facetVolCache.put(key, Long.box(v))
       v
     }
+  }
+
+  /** Local-read analog of [[facetReadDf]]: ONE pass over the pruned facet
+    * files, then the same per-branch labeling the Spark union produced — a
+    * facetSel match keeps its physical key, a date-rule match is relabeled
+    * to the rule's synthetic key, and a row matching both branches is
+    * emitted for each (exactly the union's row multiset). Rule acceptance
+    * uses DateRule.accepts, the same shared definition the resident path
+    * consumes; values on the date keys are ASCII ISO dates, so Java string
+    * order, Spark UTF8String order and the parquet STRING comparator agree.
+    */
+  private def localFacetRows(idx: IndexHandle, lang: String,
+      ctx: QueryCore.Ctx, withBlob: Boolean = true): Array[QueryCore.FacetRow] = {
+    val rules = ctx.dateSel.map(QueryCore.dateRules).getOrElse(Seq.empty)
+    val conds: Seq[(String, Option[Seq[String]], Option[(Option[String], Option[String])])] =
+      ctx.facetSel.map { case (k, vs) => (k, Some(vs): Option[Seq[String]], None) } ++
+        rules.map(r => (r.key, None, Some((r.lo, r.hi))))
+    val rows = graft.index.LocalParquet.readFacetRows(
+      idx.facetsPath, lang, conds, withBlob)
+    val out = Array.newBuilder[QueryCore.FacetRow]
+    rows.foreach { case (chunk, key, value, df, blob) =>
+      if (ctx.facetSel.exists { case (k, vs) => k == key && vs.contains(value) })
+        out += ((chunk, key, df, blob))
+      rules.foreach { r =>
+        if (r.key == key && r.accepts(value)) out += ((chunk, r.label, df, blob))
+      }
+    }
+    out.result()
   }
 
   /** Facet rows a query's filters need, with the Q5 date-filter rows

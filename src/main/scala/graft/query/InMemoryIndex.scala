@@ -178,6 +178,14 @@ final class InMemoryIndex(
     * group per file (same shape as Bm25Query's J7 payload semi-join).
     */
   private def fetchDocs(ids: Seq[Long]): Map[Long, (String, String)] = {
+    if (graft.index.LocalParquet.isLocalDir(idx.dir))
+      // direct pruned point read (no Spark job) — serving-path latency; same
+      // rows, same docId-sorted row-group pruning (LocalParquetSpec)
+      return graft.index.LocalParquet
+        .readDocPayloads(s"${idx.dir}/docstore", ids)
+        .map { case (id, url, _, text) =>
+          id -> (if (url == null) "" else url, if (text == null) "" else text) }
+        .toMap
     import spark.implicits._
     spark.read.parquet(s"${idx.dir}/docstore")
       .where(col("docId").isin(ids: _*))
@@ -196,6 +204,17 @@ final class InMemoryIndex(
     */
   def docPayloads(ids: Seq[Long]): Map[Long, DocPayload] = {
     if (ids.isEmpty) return Map.empty
+    if (graft.index.LocalParquet.isLocalDir(idx.dir))
+      // direct pruned point read incl. the meta map — same normalization
+      return graft.index.LocalParquet
+        .readDocPayloadsMeta(s"${idx.dir}/docstore", ids)
+        .map { case (id, url, lang, text, meta) =>
+          id -> DocPayload(id,
+            if (url == null) "" else url,
+            if (text == null) "" else text,
+            lang,
+            if (meta == null) Map.empty else meta)
+        }.toMap
     import spark.implicits._
     spark.read.parquet(s"${idx.dir}/docstore")
       .where(col("docId").isin(ids: _*))
@@ -420,6 +439,10 @@ object InMemoryIndex {
     // inline existence check here could desync doc-shard nodes' global df
     // from the Spark paths on an artifact-location change)
     val rows = idx.termdictPath match {
+      case Some(p) if graft.index.LocalParquet.isLocalDir(p) =>
+        // direct full read of the (small) stats-only artifact — no Spark job
+        return graft.index.LocalParquet.readTermDictFull(p)
+          .map { case (l, t, d) => (l, t) -> d }.toMap
       case Some(p) =>
         spark.read.parquet(p).select("lang", "term", "df")
           .as[(String, String, Long)]
@@ -460,24 +483,35 @@ object InMemoryIndex {
       if (chunks.isDefined && idx.facetsPath.endsWith("_compact"))
         s"${idx.dir}/facets"
       else idx.facetsPath
-    val segRead0 = spark.read.parquet(segSrc)
-    val segRead = chunks match {
-      case Some(cs) => segRead0.where(col("chunk").isin(cs.toSeq: _*))
-      case None     => segRead0
-    }
-    val segSel = buckets match {
-      case Some(bs) => segRead.where(col("bucket").isin(bs.toSeq: _*))
-      case None     => segRead
-    }
+    val localDir = graft.index.LocalParquet.isLocalDir(idx.dir)
+    // load-time scans read whole tables (pruned only by bucket/chunk shard
+    // selection) destined for THIS process's heap — on a local index dir the
+    // direct parquet read skips the executor→driver row serialization round
+    // trip entirely (LocalParquetSpec gates row parity with the Spark read)
+    val segRows: Array[(String, String, Array[Byte], Array[Byte])] =
+      if (localDir)
+        graft.index.LocalParquet.readSegmentsFull(segSrc, buckets, chunks).toArray
+      else {
+        val segRead0 = spark.read.parquet(segSrc)
+        val segRead = chunks match {
+          case Some(cs) => segRead0.where(col("chunk").isin(cs.toSeq: _*))
+          case None     => segRead0
+        }
+        val segSel = buckets match {
+          case Some(bs) => segRead.where(col("bucket").isin(bs.toSeq: _*))
+          case None     => segRead
+        }
+        segSel
+          .select("lang", "term", "blob", "posBlob")
+          .as[(String, String, Array[Byte], Array[Byte])]
+          .collect()
+      }
     // per-term chunk-run merges are independent pure CPU — spread them over
     // the node's cores (load time is node startup; ~3× faster than the
     // single-thread loop on a 3-chunk index)
     val byteSum = new java.util.concurrent.atomic.AtomicLong()
     val syncPostings = java.util.Collections.synchronizedMap(postings)
-    segSel
-      .select("lang", "term", "blob", "posBlob")
-      .as[(String, String, Array[Byte], Array[Byte])]
-      .collect()
+    segRows
       .groupBy(r => (r._1, r._2))
       .toSeq.par
       .foreach { case (key, rows) =>
@@ -487,19 +521,26 @@ object InMemoryIndex {
         syncPostings.put(key, (df.toLong, blob, posBlob))
       }
     bytes += byteSum.get()
-    val facetRead0 = spark.read.parquet(facetSrc)
-    val facetRead = chunks match {
-      case Some(cs) => facetRead0.where(col("chunk").isin(cs.toSeq: _*))
-      case None     => facetRead0
-    }
-    val facetSel = facetBuckets.orElse(buckets.map(_ => Set.empty[Int])) match {
-      case Some(fbs) => facetRead.where(col("bucket").isin(fbs.toSeq: _*))
-      case None      => facetRead
-    }
-    val facets = facetSel
-      .select("lang", "key", "value", "df", "docIds")
-      .as[(String, String, String, Long, Array[Byte])]
-      .collect()
+    val facetShard = facetBuckets.orElse(buckets.map(_ => Set.empty[Int]))
+    val facetRows: Array[(String, String, String, Long, Array[Byte])] =
+      if (localDir)
+        graft.index.LocalParquet.readFacetsFull(facetSrc, facetShard, chunks).toArray
+      else {
+        val facetRead0 = spark.read.parquet(facetSrc)
+        val facetRead = chunks match {
+          case Some(cs) => facetRead0.where(col("chunk").isin(cs.toSeq: _*))
+          case None     => facetRead0
+        }
+        val facetSel = facetShard match {
+          case Some(fbs) => facetRead.where(col("bucket").isin(fbs.toSeq: _*))
+          case None      => facetRead
+        }
+        facetSel
+          .select("lang", "key", "value", "df", "docIds")
+          .as[(String, String, String, Long, Array[Byte])]
+          .collect()
+      }
+    val facets = facetRows
       .groupBy(r => (r._1, r._2, r._3))
       .map { case (key, rows) =>
         val all = rows.flatMap(r => SortedIds.decode(r._5, r._4.toInt))
@@ -533,20 +574,24 @@ object InMemoryIndex {
       }
     val docs = new java.util.HashMap[Long, (String, String)]()
     if (withDocs && buckets.isEmpty && chunks.isEmpty) {
-      spark.read.parquet(s"${idx.dir}/docstore")
-        .select("docId", "url", "text")
-        .as[(Long, String, String)]
-        .collect()
-        .foreach { case (id, url, text) =>
-          // NULL text/url rows are legal in the docstore (the build indexes
-          // them with zero postings — Analyzer.foreachToken no-ops on null):
-          // normalize to "" so the resident node neither NPEs here nor
-          // hands a null to highlight()
-          val u = if (url == null) "" else url
-          val t = if (text == null) "" else text
-          bytes += (u.length + t.length) * 2L // UTF-16 chars resident
-          docs.put(id, (u, t))
-        }
+      val docRows: Seq[(Long, String, String)] =
+        if (localDir)
+          graft.index.LocalParquet.readDocstoreFull(s"${idx.dir}/docstore")
+        else spark.read.parquet(s"${idx.dir}/docstore")
+          .select("docId", "url", "text")
+          .as[(Long, String, String)]
+          .collect()
+          .toSeq
+      docRows.foreach { case (id, url, text) =>
+        // NULL text/url rows are legal in the docstore (the build indexes
+        // them with zero postings — Analyzer.foreachToken no-ops on null):
+        // normalize to "" so the resident node neither NPEs here nor
+        // hands a null to highlight()
+        val u = if (url == null) "" else url
+        val t = if (text == null) "" else text
+        bytes += (u.length + t.length) * 2L // UTF-16 chars resident
+        docs.put(id, (u, t))
+      }
     }
     new InMemoryIndex(spark, idx, postings, facets, dict, docs, bytes,
       globalDf, chunks)

@@ -276,37 +276,14 @@ object IndexBuild extends Serializable {
     // collision check, whose failure must not strand the corpus-sized cache
     // in the block manager of a long-lived session
     try {
-    locally {
-      // docId uniqueness is validated on EVERY path, not just derived ids.
-      // Derived (xxhash64(url)) ids: at 10^10+ docs the 2^63 space EXPECTS
-      // birthday collisions. Explicit doc_id inputs can carry duplicates
-      // just as easily (a re-crawl batch unioned twice) — and those either
-      // crash deep in the posting writer's strictly-increasing-docId
-      // invariant hours into the build (same-lang duplicates sharing a
-      // term) or build a SILENTLY corrupt index (docstore holding two rows
-      // under one id; point-reads then serve an arbitrary one). One
-      // map-side-combined count per docId — the shuffle carries (id, n)
-      // pairs, not text — paid once up front to fail fast and actionably.
-      // the same job also rejects negative explicit ids (derived ids are
-      // masked non-negative at normalizeInput): the posting codec's first
-      // delta from prevLastDoc = 0 would otherwise throw in an executor
-      // task hours into the build, deep in the term exchange
-      val bad = webtext.groupBy("docId").count()
-        .where(col("count") > 1 || col("docId") < 0).limit(1).collect()
-      require(bad.isEmpty, { // message only renders on failure, bad(0) exists
-        val id = bad.headOption.map(_.get(0)).getOrElse("")
-        if (bad.headOption.exists(_.getLong(1) > 1)) {
-          if (derivedIds)
-            s"xxhash64(url)-derived docIds collide (e.g. docId=$id) — " +
-              "supply an explicit doc_id column for this corpus"
-          else
-            s"input carries duplicate doc_id values (e.g. $id) — " +
-              "each document must appear once; dedup the batch before build()"
-        } else
-          s"input carries a negative doc_id (e.g. $id) — posting codecs " +
-            "require docId >= 0"
-      })
-    }
+    // docId uniqueness / non-negativity is validated INSIDE each chunk's
+    // stats aggregation (see buildChunk): duplicates of one docId always
+    // share a chunk (chunk = docId mod numChunks), so per-chunk
+    // count == countDistinct + min >= 0 covers exactly what the former
+    // standalone corpus-wide groupBy(docId) job covered — that job was a
+    // whole extra pass over the input per build (guide §2.4), paid even on
+    // pure resumes. Failure stays fast and actionable: the check fires on
+    // the FIRST rebuilt chunk's stats agg, before its term exchange.
     // Resume validation: a manifest row is only trusted when its recorded
     // input signature (positions mode + docs + xor of per-row content hashes,
     // warc_ts included) matches the CURRENT input for that chunk — rebuilding
@@ -465,11 +442,31 @@ object IndexBuild extends Serializable {
           val r = tokenized.agg(count(lit(1)), coalesce(sum($"dl"), lit(0L)),
             coalesce(expr(Manifest.RowHashExpr), lit(0L)),
             reservedMetaHits($"meta"),
-            coalesce(sum(octet_length($"text")), lit(0L))).collect()(0)
+            coalesce(sum(octet_length($"text")), lit(0L)),
+            countDistinct($"docId"),
+            coalesce(min($"docId"), lit(0L))).collect()(0)
           require(r.getLong(3) == 0L,
             s"chunk $k: ${r.getLong(3)} meta entries use reserved facet keys " +
               s"(${reservedFacetKeys.mkString(", ")}: derived at build time or " +
               "query-kernel routing names) — rename them in the input")
+          // docId uniqueness/non-negativity ride THIS aggregation (duplicates
+          // of an id always share the chunk — chunk = docId mod numChunks),
+          // replacing the former standalone corpus-wide groupBy(docId) job.
+          // Duplicates would crash the posting writer's strictly-increasing
+          // contract deep in the term exchange or corrupt the docstore;
+          // negative ids break the first VByte delta. The example-id lookup
+          // runs only on the failure path.
+          require(r.getLong(0) == r.getLong(5), {
+            val ex = tokenized.groupBy($"docId").count()
+              .where(col("count") > 1).limit(1).collect()
+              .headOption.map(_.get(0)).getOrElse("")
+            s"chunk $k input carries duplicate doc_id values (e.g. $ex) — " +
+              "each document must appear once (for url-derived ids this is " +
+              "an xxhash64 collision: supply an explicit doc_id column)"
+          })
+          require(r.getLong(6) >= 0L,
+            s"chunk $k input carries a negative doc_id (min=${r.getLong(6)}) " +
+              "— posting codecs require docId >= 0")
           (r.getLong(0), r.getLong(1), r.getLong(4),
             Manifest.sig(storePositions, r.getLong(0), r.getLong(2)))
         }

@@ -273,7 +273,14 @@ object PostingListReader {
     val it = r.iterator()
     it.start()
     var i = 0
-    while (!it.exhausted) { out(i) = it.docId; i += 1; it.next() }
+    while (!it.exhausted) {
+      // a corrupt blob whose actual posting count exceeds its encoded df
+      // must fail with a diagnosis, not a bare ArrayIndexOutOfBoundsException
+      if (i >= out.length)
+        throw new IllegalStateException(
+          s"posting blob df mismatch: encoded df=${r.df} but the blob decodes more postings")
+      out(i) = it.docId; i += 1; it.next()
+    }
     if (i == out.length) out else java.util.Arrays.copyOf(out, i)
   }
 }

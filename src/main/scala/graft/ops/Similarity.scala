@@ -47,6 +47,48 @@ object Similarity {
   private def cosineUdf(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     graft.functions.CosineSimExpr.cosineSim(a, b)
 
+  /** Map-side partial top-k before the per-query ranking window (guide §2.3,
+    * "aggregate before you shuffle"): the window's Exchange(query_id) has as
+    * many useful partitions as there are QUERIES, so without this every
+    * scored (query, corpus-vector) row funnels through a handful of window
+    * tasks — the one genuine scale-killer in the scored-candidates shape.
+    * Keeping each partition's top-k per query first bounds the exchange at
+    * k × partitions × queries rows and leaves the window a formality.
+    *
+    * Bit-identical results: the global top-k is contained in the union of
+    * per-partition top-k's (any row ranked above a global winner is itself a
+    * global winner, hence a partition winner), and the surviving rows' ranks
+    * over the reduced set equal their global ranks. The comparator is
+    * EXACTLY the window's order — sim desc with NaN FIRST (Spark sorts NaN
+    * greatest; java.lang.Double.compare agrees), vec_id asc on ties.
+    */
+  private[ops] def partialTopK(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val ord: Ordering[(Long, Double)] = new Ordering[(Long, Double)] {
+      // "better" = smaller: sim desc (NaN greatest-first), then vec_id asc
+      def compare(a: (Long, Double), b: (Long, Double)): Int = {
+        val c = -java.lang.Double.compare(a._2, b._2)
+        if (c != 0) c else java.lang.Long.compare(a._1, b._1)
+      }
+    }
+    scored.select(col("query_id"), col("vec_id"), col("sim"))
+      .as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        // per-query bounded heap of the k best rows seen in this partition
+        val heaps = scala.collection.mutable.Map[Long,
+          scala.collection.mutable.PriorityQueue[(Long, Double)]]()
+        it.foreach { case (q, v, s) =>
+          val h = heaps.getOrElseUpdate(q,
+            scala.collection.mutable.PriorityQueue.empty[(Long, Double)](ord))
+          if (h.size < k) h.enqueue((v, s))
+          else if (ord.compare((v, s), h.head) < 0) { h.dequeue(); h.enqueue((v, s)) }
+        }
+        heaps.iterator.flatMap { case (q, h) => h.iterator.map(e => (q, e._1, e._2)) }
+      }
+      .toDF("query_id", "vec_id", "sim")
+  }
+
   /** Exact top-k nearest neighbors for each query vector.
     * @param corpus  (vec_id, embedding)
     * @param queries (query_id, embedding) — small; broadcast
@@ -59,7 +101,8 @@ object Similarity {
       .select(col("query_id"), col("c.vec_id").as("vec_id"),
         cosineUdf(col("c.embedding"), col("q_embedding")).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    partialTopK(scored, k)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "vec_id", "sim", "rank")
   }
 
@@ -110,7 +153,8 @@ object Similarity {
         cosineUdf(col("embedding"), col("q_embedding")).as("sim"))
       .groupBy("query_id", "vec_id").agg(max("sim").as("sim")) // dedupe multiprobe
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    partialTopK(scored, k)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "vec_id", "sim", "rank")
   }
 
@@ -355,7 +399,8 @@ object Similarity {
         cosineUdf(col("embedding"), col("q_embedding")).as("sim"))
       .groupBy("query_id", "vec_id").agg(max("sim").as("sim")) // dedupe probes
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    partialTopK(scored, k)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "vec_id", "sim", "rank")
   }
 

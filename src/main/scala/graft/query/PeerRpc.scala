@@ -48,7 +48,11 @@ object PeerRpc {
   def joinRetry(url: String, body: String,
       fut: java.util.concurrent.CompletableFuture[String],
       timeoutSec: Long = JoinTimeoutSec): String =
-    try fut.orTimeout(timeoutSec, java.util.concurrent.TimeUnit.SECONDS).join()
+    // orTimeout on a DERIVED future (copy()), not the caller's: orTimeout
+    // completes its receiver exceptionally on expiry as a side effect, and a
+    // caller sharing `fut` with another consumer would observe an injected
+    // TimeoutException it never asked for
+    try fut.copy().orTimeout(timeoutSec, java.util.concurrent.TimeUnit.SECONDS).join()
     catch { case _: Exception =>
       postAsync(url, body)
         .orTimeout(timeoutSec, java.util.concurrent.TimeUnit.SECONDS).join() }

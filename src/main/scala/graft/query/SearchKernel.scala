@@ -309,14 +309,46 @@ object SearchKernel {
               if (k <= 0 && hits >= cap)
                 return SegmentResult(top.toArray, hits, capped = true)
             }
+            // advance all iterators sitting on pivotDoc
+            var m2 = 0
+            while (m2 < ts.length && ts(m2).it.docId == pivotDoc) {
+              ts(m2).it.next()
+              m2 += 1
+            }
+            sortByDoc()
+          } else {
+            // TRUE block-max skip (this branch used to advance ONE posting,
+            // so a failed shallow check still walked every posting of a head
+            // term one-by-one): every candidate in (pivotDoc, target) is
+            // supported only by the tied iterators, whose contribution in
+            // their CURRENT blocks is bounded by exactly the bm that just
+            // failed, so none of those docs would be scored by the one-step
+            // walk either — jump the whole tied group past the range via the
+            // skip table. target = earliest tied block end + 1, capped at
+            // the first untied iterator's docId (a doc at or past that
+            // iterator could draw support from outside the tied group and
+            // must be re-evaluated normally). theta > -inf only once the
+            // count cap is reached, so exact counting below the cap — and
+            // the count-only k <= 0 mode, whose theta stays -inf — are
+            // untouched.
+            var minBlockEnd = Long.MaxValue
+            var j2 = 0
+            while (j2 <= p) {
+              val e = ts(j2).it.currentBlockLastDoc
+              if (e < minBlockEnd) minBlockEnd = e
+              j2 += 1
+            }
+            var target = minBlockEnd + 1
+            if (p + 1 < ts.length && ts(p + 1).it.docId < target)
+              target = ts(p + 1).it.docId
+            if (target <= pivotDoc) target = pivotDoc + 1 // always progress
+            var m2 = 0
+            while (m2 < ts.length && ts(m2).it.docId == pivotDoc) {
+              ts(m2).it.advance(target)
+              m2 += 1
+            }
+            sortByDoc()
           }
-          // advance all iterators sitting on pivotDoc
-          var m2 = 0
-          while (m2 < ts.length && ts(m2).it.docId == pivotDoc) {
-            ts(m2).it.next()
-            m2 += 1
-          }
-          sortByDoc()
         } else {
           // advance the largest-maxScore iterator sitting STRICTLY BEFORE
           // pivotDoc (a docId tie can straddle the pivot index: an iterator

@@ -239,6 +239,19 @@ object BenchExtra {
       }
       println(fmt("InMemoryIndex.load", walls))
       println(s"loadedBytes=${mem.loadedBytes}")
+      // resident kernel p50s, bench-identical shapes
+      import graft.query.QuerySpec
+      val hiPhrase = Webtext.GoldenPhrase("hi").mkString(" ")
+      def p50(name: String, q: QuerySpec): Unit = {
+        (1 to 5).foreach(_ => mem.search(q))
+        val ws = (1 to 50).map { _ =>
+          val t0 = System.nanoTime(); mem.search(q); (System.nanoTime() - t0) / 1e9
+        }
+        println(f"$name%-28s p50=${ws.sorted.apply(25)}%.4f s")
+      }
+      p50("serve_and", QuerySpec("hi", hiPhrase))
+      p50("serve_any", QuerySpec("hi", hiPhrase, mode = "any"))
+      p50("serve_headterm", QuerySpec("hi", Webtext.word("hi", 0), mode = "any"))
     } finally {
       CpuProbe.rmDir(corpusDir); CpuProbe.rmDir(idxDir)
     }

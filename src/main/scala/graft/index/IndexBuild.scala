@@ -100,6 +100,13 @@ object IndexBuild extends Serializable {
     */
   val PageRowLimit = 1024
 
+  /** Head-term detection samples 1 in N docs (deterministic docId hash).
+    * Safe because salting is output-invariant (see the head df agg note in
+    * buildChunk); set to 1 to restore exact counting.
+    */
+  @volatile var HeadSampleMod: Int =
+    sys.env.getOrElse("GRAFT_HEAD_SAMPLE_MOD", "10").toInt
+
   /** Max docIds per facet ROW. Facet lists get no salting analog, so a
     * chunk-wide value (has_date covers every doc) would otherwise pool one
     * whole-chunk long array in a single task; slices bound that at ~32 MB.
@@ -525,10 +532,29 @@ object IndexBuild extends Serializable {
         // but bounded by the chunk doc count, while the true skew bombs (the
         // cap-N heaviest) are always salted.
         val headCap = sys.env.getOrElse("GRAFT_HEAD_CAP", "100000").toInt
+        // DETERMINISTIC DOC SAMPLE for head detection: salting is provably
+        // output-invariant (salted runs of a term k-way merge back into the
+        // identical blob — the "different chunking + salting yields identical
+        // postings" spec builds with different salt targets and compares), so
+        // the head-df pass only needs heavy-hitter ESTIMATES, not exact
+        // counts. Sampling 1/HeadSampleMod of DOCS (by docId hash — stable
+        // across runs/resumes, no RNG) cuts this full explode+agg pass ~10×.
+        // Estimation error at the df > saltTarget boundary only moves a
+        // term's salt factor or head membership, never a byte of output; a
+        // missed borderline head leaves one ≤2×-target run (already the
+        // tolerated behavior for terms past headCap). True skew bombs
+        // (df ≫ target) have sample counts far above the cut — never missed.
+        val sampleMod = HeadSampleMod
         val heads: Map[(String, String), Int] = phase(s"head df agg c$k") {
-          val rows = termDocs
+          val sampled =
+            if (sampleMod <= 1) termDocs.toDF()
+            else tokenized
+              .where(pmod(xxhash64($"docId", lit(0x4EAD5EEDL)), lit(sampleMod)) === 0)
+              .select($"lang", explode($"entries").as("e"))
+              .select($"lang", $"e._1".as("term"))
+          val rows = sampled
             .groupBy($"lang", $"term").agg(count(lit(1)).as("df"))
-            .filter($"df" > saltTargetPostings)
+            .filter($"df" * sampleMod > saltTargetPostings)
             .orderBy($"df".desc)
             .limit(headCap)
             .collect()
@@ -536,7 +562,8 @@ object IndexBuild extends Serializable {
             println(s"[build] WARN chunk $k: head-term set hit cap $headCap; " +
               "terms below the cap-th df stay unsalted")
           rows.map(r => (r.getString(0), r.getString(1)) ->
-              math.min(1024, math.ceil(r.getLong(2).toDouble / saltTargetPostings).toInt))
+              math.min(1024, math.ceil(r.getLong(2).toDouble * sampleMod /
+                saltTargetPostings).toInt))
             .toMap
         }
         headsB = spark.sparkContext.broadcast(heads)
